@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Locally we run `local[N]` with `shuffle.partitions = N`; on a real
+  * cluster the same builder is used with `shuffle.partitions` sized to
+  * ~2-3x total cores (AQE coalesces down, so erring high is cheap).
+  */
+object GraftSession {
+
+  /** Apply graft defaults to an arbitrary builder (keeps master/mem choices
+    * with the caller — Verify/Bench/tests pick their own parallelism). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    // default; read as long and convert in Tables.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / standalone runs. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .appName("graft")).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.B relational inventory — the SQL surface the reference exposes via
+  * its SQLite REPL (/root/reference/src/main.rs:214-294), re-expressed as
+  * declarative DataFrame plans so Catalyst handles pushdown, pruning,
+  * join strategy and AQE.
+  *
+  * Every query carries a deterministic total ORDER BY and uses
+  * decimal-exact float aggregation (see [[graft.queries.dsum]]) so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+
+    // -- scans & filters ---------------------------------------------------
+    Q("q01_scan_project",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_quantity > 45
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("q02_filter_pred",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24 &&
+                col("l_returnflag").isin("A", "R"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_rev"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(l_extendedprice * l_discount, 4) AS disc_rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate <  TIMESTAMP '1999-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24 AND l_returnflag IN ('A','R')
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // -- aggregation -------------------------------------------------------
+    Q("q03_agg_groupby",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${sqlSum("l_quantity")} AS sum_qty,
+                      ${sqlSum("l_extendedprice")} AS sum_base,
+                      ${sqlSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+                      ${sqlAvg("l_quantity")} AS avg_qty,
+                      COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // -- joins -------------------------------------------------------------
+    Q("q04_join_broadcast",
+      (s, d) => t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, COUNT(*) AS cnt, ${sqlSum("l_quantity")} AS sum_qty
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY p_brand ORDER BY p_brand""")),
+
+    Q("q05_join_shuffle",
+      (s, d) => t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS cnt,
+                      ${sqlSum("o_totalprice")} AS sum_price
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q06_multijoin",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("cnt"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name,
+                      ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                      COUNT(*) AS cnt
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               JOIN region   ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    Q("q07_semijoin",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c.c_custkey AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    Q("q08_antijoin",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c.c_custkey AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    Q("q23_left_join",
+      (s, d) => t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left")
+        .groupBy("p_partkey")
+        .agg(count(col("l_orderkey")).as("n_lines"),
+             coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_qty"))
+        .orderBy("p_partkey"),
+      Some(s"""SELECT p_partkey, COUNT(l_orderkey) AS n_lines,
+                      COALESCE(${sqlSum("l_quantity")}, 0.0) AS sum_qty
+               FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+               GROUP BY p_partkey ORDER BY p_partkey""")),
+
+    // -- ordering / distinct ----------------------------------------------
+    Q("q09_topk",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    Q("q10_distinct",
+      (s, d) => t(s, d, "customer")
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+              ORDER BY c_mktsegment, c_nationkey""")),
+
+    // -- window functions --------------------------------------------------
+    Q("q11_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, d, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("c_mktsegment", "rn", "c_custkey", "c_acctbal")
+          .orderBy("c_mktsegment", "rn")
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY c_acctbal DESC, c_custkey) AS rn
+                FROM customer) WHERE rn <= 5
+              ORDER BY c_mktsegment, rn""")),
+
+    Q("q12_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders")
+          .withColumn("running_total",
+            sum(col("o_totalprice").cast(D4)).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double"))
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .select("o_custkey", "o_orderkey", "o_totalprice",
+                  "running_total", "prev_price")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS running_total,
+                     lag(o_totalprice, 1) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                       AS prev_price
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // -- having / conditional / set ops -----------------------------------
+    Q("q13_having",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_orders,
+                      ${sqlSum("o_totalprice")} AS sum_price
+               FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+               ORDER BY o_custkey""")),
+
+    Q("q14_case_agg",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                     CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                     CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("q15_union",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey").as("id"), lit("customer").as("kind"))
+        .unionByName(t(s, d, "supplier")
+          .select(col("s_suppkey").as("id"), lit("supplier").as("kind")))
+        .groupBy("kind").agg(count(lit(1)).as("cnt"), sum(col("id")).as("sum_id"))
+        .orderBy("kind"),
+      Some("""SELECT kind, COUNT(*) AS cnt, CAST(SUM(id) AS BIGINT) AS sum_id
+              FROM (SELECT c_custkey AS id, 'customer' AS kind FROM customer
+                    UNION ALL
+                    SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier)
+              GROUP BY kind ORDER BY kind""")),
+
+    Q("q16_subquery",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val avgDf = o.agg(davg(col("o_totalprice")).as("avg_price"))
+        o.join(broadcast(avgDf))           // scalar subquery → 1-row broadcast
+          .filter(col("o_totalprice") > col("avg_price") * 1.5)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_totalprice > (SELECT ${sqlAvg("o_totalprice")}
+                                     FROM orders) * 1.5
+               ORDER BY o_orderkey""")),
+
+    // -- scalar functions --------------------------------------------------
+    Q("q17_string_funcs",
+      (s, d) => t(s, d, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u,
+                     substring(p_name, 1, 10) AS name10,
+                     CAST(length(p_name) AS INTEGER) AS name_len,
+                     concat_ws('#', p_brand, p_type) AS brand_type
+              FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""")),
+
+    Q("q18_date_funcs",
+      (s, d) => t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+                 month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("yr", "mo"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      CAST(month(o_orderdate) AS INTEGER) AS mo,
+                      COUNT(*) AS cnt, ${sqlSum("o_totalprice")} AS sum_price
+               FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // -- grouping sets / pivot / percentiles ------------------------------
+    Q("q19_rollup",
+      (s, d) => t(s, d, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+                 col("c_nationkey").asc_nulls_first),
+      Some(s"""SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+                      ${sqlSum("c_acctbal")} AS sum_bal
+               FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+               ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
+
+    Q("q20_pivot",
+      (s, d) => {
+        val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val piv = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").pivot("o_orderpriority", pr).count()
+        pr.foldLeft(piv)((df, p) =>
+            df.withColumn(p, coalesce(col(s"`$p`"), lit(0L))))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+                     COUNT(CASE WHEN o_orderpriority='1-URGENT' THEN 1 END) AS "1-URGENT",
+                     COUNT(CASE WHEN o_orderpriority='2-HIGH' THEN 1 END) AS "2-HIGH",
+                     COUNT(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+                     COUNT(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+                     COUNT(CASE WHEN o_orderpriority='5-LOW' THEN 1 END) AS "5-LOW"
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q21_percentile",
+      (s, d) => t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 2).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 2).as("p90"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+                     round(quantile_cont(c_acctbal, 0.5), 2) AS p50,
+                     round(quantile_cont(c_acctbal, 0.9), 2) AS p90
+              FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    Q("q22_count_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // -- events: time buckets + json --------------------------------------
+    Q("q24_time_bucket",
+      (s, d) => t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("bucket", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
+                      COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
+               FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    Q("q25_json_extract",
+      (s, d) => t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("k_mod"),
+      Some("""SELECT CAST(CAST(props->>'$.k' AS INTEGER) % 10 AS INTEGER) AS k_mod,
+                     COUNT(*) AS cnt,
+                     CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
+              FROM events GROUP BY 1 ORDER BY k_mod"""))
+  )
+}
