@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-past) join — an operator Spark SQL lacks natively.
+  *
+  * Semantics: for every left row, attach the payload of the latest right
+  * row with the same key and `rightTime <= leftTime` (left outer: no
+  * match → nulls). Equivalent to DuckDB's `ASOF LEFT JOIN`.
+  *
+  * Scale design: the naive formulation (range-join then per-left-row
+  * max) explodes to O(|L|·|R|) pairs per key. Instead we union both
+  * sides into one stream, shuffle ONCE by key, sort within partitions by
+  * time, and take a running `last(payload, ignoreNulls)` window — O((|L|
+  * +|R|) log) per key, no pair explosion, AQE-skew-splittable.
+  */
+object AsofJoin {
+
+  /** @param rightPayload right-side columns to carry onto left rows;
+    *                     right rows must be unique per (key, time) —
+    *                     pre-aggregate otherwise. */
+  def apply(
+      left: DataFrame, leftKey: Column, leftTime: Column,
+      right: DataFrame, rightKey: Column, rightTime: Column,
+      rightPayload: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__k", leftKey).withColumn("__t", leftTime)
+      .withColumn("__is_left", lit(1))
+      .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
+        leftCols.map(col) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rTagged = right
+      .withColumn("__k", rightKey).withColumn("__t", rightTime)
+      .withColumn("__is_left", lit(0))
+      .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightPayload.map(col): _*)
+
+    // Right rows sort before left rows at equal time → `<=` semantics.
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightPayload.foldLeft(lTagged.unionByName(rTagged)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ rightPayload.map(col): _*)
+  }
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale rule: never compare rows pairwise across the whole corpus.
+  * Exact dedup buckets by content hash (one shuffle, map-side partial
+  * agg). Near-dup ops bucket by MinHash/SimHash keys first, then verify
+  * only within buckets — candidate generation is a hash-join, not a
+  * cross product.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one representative row per distinct key (min of
+    * `tieBreak` wins, so results are deterministic). Single hash shuffle
+    * on the content hash; no sort of the full data. */
+  def exact(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tieBreak)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word-token set per doc: (id, token) rows — the inverted
+    * index both Jaccard and MinHash build on. */
+  private def tokenSet(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+        explode(array_distinct(split(trim(lower(text)), "\\s+"))).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** Exact n-gram (token-set) Jaccard pair mining via inverted index:
+    * explode tokens → self-join on token → |A∩B| per pair → join set
+    * sizes → J = inter/(|A|+|B|-inter) ≥ minJaccard. Distributed: the
+    * join key is the token, so only docs SHARING a token ever meet.
+    * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
+                        minJaccard: Double): DataFrame = {
+    val toks = tokenSet(df, id, text).cache()
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** Deterministic per-permutation MinHash: h_i(tok) = min over tokens of
+    * ((a_i * (xxhash64(tok) mod p) + b_i) mod p) with p = 2^31-1, so the
+    * product stays < 2^62 (ANSI mode forbids silent long wrap-around).
+    * (a_i, b_i) come from a seeded LCG so signatures are reproducible
+    * across runs/executors. */
+  private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 3 }
+    Seq.fill(n)((next() % (P31 - 1) + 1, next() % P31))
+  }
+
+  /** MinHash signature columns (one per permutation). */
+  def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Seq[Column] = {
+    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    perms(numPerms, seed).map { case (a, b) =>
+      array_min(transform(toks, t =>
+        pmod(pmod(xxhash64(t), lit(P31)) * a + b, lit(P31))))
+    }
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified with exact
+    * Jaccard. bands*rowsPerBand permutations; two docs collide if any
+    * band of their signatures is identical — P(collide) ≈ 1-(1-J^r)^b.
+    * Candidate generation = explode bands → hash-join on (band, key):
+    * only docs agreeing on a band meet. Output like ngramJaccardPairs
+    * filtered to verified >= minJaccard. */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      minJaccard: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val sig = minhashSignature(text, bands * rowsPerBand, seed)
+    val bandCols = (0 until bands).map { b =>
+      val bandSig = concat_ws("_",
+        sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*)
+      struct(lit(b).as("band"), xxhash64(bandSig).as("bkey"))
+    }
+    val buckets = df
+      .select(id.as("id"), lower(trim(text)).as("__txt"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("__txt"), col("bk.band"), col("bk.bkey"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.__txt").as("ta"), col("b.__txt").as("tb"))
+      .distinct()
+    // verify candidates with exact token-set Jaccard (row-local on the
+    // candidate pair — candidates are few by construction)
+    val setA = array_distinct(split(col("ta"), "\\s+"))
+    val setB = array_distinct(split(col("tb"), "\\s+"))
+    cand
+      .withColumn("inter", size(array_intersect(setA, setB)).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(setA) + size(setB) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: for each bit, sum +1/-1 votes of
+    * xxhash64(token) bits; sign → fingerprint bit. Row-local,
+    * codegen-friendly (aggregate over token array). */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    val hashes = transform(toks, t => xxhash64(t))
+    (0 until 64).map { bit =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, using the
+    * pigeonhole trick: split the 64-bit fingerprint into (maxDist+1)
+    * segments — any pair within maxDist agrees exactly on >= 1 segment,
+    * so a hash-join per segment finds all candidates without O(n²). */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3): DataFrame = {
+    val nSeg = maxDist + 1
+    val segBits = 64 / nSeg
+    val withFp = df.select(id.as("id"), simhash(text).as("fp"))
+    val segs = withFp.select(col("id"), col("fp"),
+      explode(array((0 until nSeg).map(sg => struct(lit(sg).as("seg"),
+        shiftright(col("fp"), sg * segBits)
+          .bitwiseAND((1L << segBits) - 1).as("skey"))): _*)).as("s"))
+      .select(col("id"), col("fp"), col("s.seg"), col("s.skey"))
+    val popcnt = (x: Column) => bit_count(x).cast("int")
+    segs.as("a").join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.skey") === col("b.skey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        popcnt(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata alongside. The Spark
+  * side — schema, partitioning, batch iteration — is real; the actual
+  * media decode is STUBBED with a deterministic fake (no image/audio
+  * libraries in this environment). Swap [[decodeStub]] for a real
+  * decoder (e.g. JNI/javacv) without touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a binary payload: row-local, codegen
+    * built-ins only. `magic` = first 4 bytes hex — enough to dispatch a
+    * real decoder per format. */
+  def withMeta(df: DataFrame, bin: Column): DataFrame = df
+    .withColumn("n_bytes", length(bin).cast("long"))
+    .withColumn("magic", lower(hex(substring(bin, 1, 4))))
+
+  /** Deterministic stand-in decode: 16-bin byte-value histogram as the
+    * "feature vector". Shapewise identical to a real per-item feature
+    * extractor (binary → fixed-size Array[Float]). */
+  final case class Feature(doc_id: Long, n_bytes: Int, features: Array[Float])
+
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+    if (bytes.length > 0) {
+      var j = 0
+      while (j < 16) { hist(j) /= bytes.length; j += 1 }
+    }
+    hist
+  }
+
+  /** Batch feature extraction over (id, payload) rows. mapPartitions so
+    * a real decoder could amortize per-batch model/codec init exactly
+    * like mapInPandas would — one init per partition, streamed rows. */
+  def extractFeatures(df: DataFrame, id: Column, bin: Column): Dataset[Feature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), bin.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec/model handle)
+        it.map { case (docId, bytes) =>
+          Feature(docId, bytes.length, decodeStub(bytes))
+        }
+      }
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `Array[Float]` embedding column.
+  *
+  * Baseline is exact brute-force (fine when the query set is small and
+  * broadcastable: cost = |Q|·|corpus| row-local dot products, no
+  * shuffle until top-k). The scale paths avoid scanning the whole
+  * corpus per query: random-hyperplane LSH buckets or IVF cells bound
+  * the candidate set, then exact re-ranking restores precision.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision — deterministic
+    * across engines/partitionings (same element order every time). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact top-k neighbours for each query vector (brute force).
+    * `queries` must be small — it is broadcast so the corpus is scanned
+    * exactly once with no shuffle before the per-query top-k. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.as("c")
+      .join(broadcast(queries.as("q")), col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 of the two indices mapped to ±1. No RNG state to ship. */
+  private def planeSign(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** nBits-bit random-hyperplane signature: bit j = sign(dot(plane_j, v)).
+    * Row-local; collisions preserve cosine similarity (SimHash for
+    * angles). */
+  def hyperplaneSignature(vec: Column, nBits: Int = 16): Column =
+    (0 until nBits).map { j =>
+      val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(j, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN top-k: candidates = corpus vectors whose signature agrees with
+    * the query on >= one of `bands` signature bands (multi-probe), then
+    * exact cosine re-rank. Join key = (band, band bits): only same-bucket
+    * vectors meet — at 100 TB the per-query candidate set is ~corpus/2^r
+    * per band instead of the whole corpus. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val bits = nBits / bands
+    def banded(df: DataFrame, idc: String): DataFrame = {
+      val sig = hyperplaneSignature(col("embedding"), nBits)
+      df.select(col("vec_id").as(idc), col("embedding"), sig.as("sig"))
+        .select(col(idc), col("embedding"),
+          explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+            shiftright(col("sig"), b * bits)
+              .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
+        .select(col(idc), col("embedding"),
+          col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val cand = banded(corpus, "vec_id").as("c")
+      .join(broadcast(banded(queries, "query_id")).as("q"),
+        col("c.band") === col("q.band") && col("c.bkey") === col("q.bkey") &&
+        col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest of `nCells`
+    * deterministic seed centroids (corpus vectors with vec_id % step ==
+    * 0), probe the `nProbe` nearest cells per query, exact re-rank
+    * within probed cells. One broadcast of the (small) centroid table;
+    * corpus scanned once for assignment. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = corpus.count()
+    val step = math.max(1L, n / nCells)
+    val centroids = corpus.filter(col("vec_id") % step === 0)
+      .limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+    val bcCent = broadcast(centroids)
+
+    def assign(df: DataFrame, idc: String, keep: Int): DataFrame = {
+      val scored = df.as("v").join(bcCent)
+        .select(col("v.vec_id").as(idc), col("v.embedding"), col("cell_id"),
+          cosine(col("v.embedding"), col("centroid")).as("ccos"))
+      val w = Window.partitionBy(idc).orderBy(col("ccos").desc, col("cell_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(idc), col("embedding"), col("cell_id"))
+    }
+    val corpusCells = assign(corpus, "vec_id", 1)
+    val queryCells = assign(queries, "query_id", nProbe)
+    val cand = corpusCells.as("c")
+      .join(broadcast(queryCells).as("q"),
+        col("c.cell_id") === col("q.cell_id") &&
+        col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("c.vec_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus on the
+    * full signature (plus per-band buckets for recall), verify cosine >=
+    * minCos inside buckets only. */
+  def nearDupPairs(corpus: DataFrame, minCos: Double,
+                   nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val bits = nBits / bands
+    val sig = hyperplaneSignature(col("embedding"), nBits)
+    val banded = corpus
+      .select(col("vec_id").as("id"), col("embedding"), sig.as("sig"))
+      .select(col("id"), col("embedding"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bits)
+            .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines. All are
+  * row-local (narrow) transformations built from codegen'd built-in
+  * functions — they scale embarrassingly and never shuffle by
+  * themselves; aggregations on top are the caller's choice.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text → 0 tokens. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword proxy: word-piece count where a "piece" is a run of
+    * letters, digits, or a single non-alnum symbol (close to what a BPE
+    * pre-tokenizer emits before merges). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** # tokens that are stopwords (lowercase match). */
+  def stopwordCount(text: Column): Column = {
+    val arr = split(trim(lower(text)), "\\s+")
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(filter(arr, w => w.isInCollection(stopwords))).cast("long"))
+  }
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^.,!?;:'\"]", "")).cast("double")
+        / length(text))
+
+  /** Heuristic quality score in [0,1]: rewards reasonable length and
+    * stopword presence (fluent prose), penalizes punctuation soup.
+    * Deterministic row-local arithmetic — safe to oracle. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val lenScore = least(toks.cast("double") / 50.0, lit(1.0))
+    val stopRatio = when(toks === 0, 0.0)
+      .otherwise(stopwordCount(text).cast("double") / toks)
+    lit(0.4) * lenScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0)))
+  }
+
+  /** [[qualityScore]] in integer basis points (0..10000) — same signal,
+    * but built from integer counts with floor division only, so the
+    * value is bit-identical on any engine (doubles round differently at
+    * half-ulp boundaries across engines; integers never do).
+    * 4000·length + 3000·stopword-fluency + 3000·punctuation-sanity. */
+  def qualityScoreBp(text: Column): Column = {
+    val toks = tokenCount(text)
+    val stop = stopwordCount(text)
+    val npunct = length(regexp_replace(text, "[^.,!?;:'\"]", "")).cast("long")
+    val nchar = length(text).cast("long")
+    val lenBp = least(toks, lit(50L)) * 80L
+    val stopBp = least(floor(stop * 15000L / greatest(toks, lit(1L))).cast("long"), lit(3000L))
+    val punctBp = lit(3000L) -
+      least(floor(npunct * 30000L / greatest(nchar, lit(1L))).cast("long"), lit(3000L))
+    (lenBp + stopBp + punctBp).as("quality_bp")
+  }
+
+  /** Language ID via stopword-profile voting: score each candidate
+    * language by hits of its characteristic function words, take the
+    * argmax (ties → earlier language wins; "und" when no hits).
+    * Row-local, codegen-friendly (no UDF). */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ich", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que", "no", "un"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "他"))
+
+  def langId(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val scores = langProfiles.map { case (lang, words) =>
+      struct(size(filter(toks, w => w.isInCollection(words))).as("hits"),
+             lit(lang).as("lang"))
+    }
+    // argmax by hits; ties broken by profile order (later entries only
+    // win with strictly more hits).
+    val best = scores.reduceLeft((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** 62-bit polynomial rolling-hash fingerprint of the normalized text
+    * (lowercase, collapsed whitespace): two independent 31-bit rolling
+    * hashes h = Σ c_i·B^(n-1-i) mod (2^31-1), packed into one long.
+    * Modular form keeps every intermediate < 2^39 — ANSI mode forbids
+    * silent 64-bit wrap-around. aggregate() over the char codes stays
+    * inside whole-stage codegen — no UDF. */
+  def fingerprint(text: Column): Column = {
+    val P = 2147483647L // 2^31 - 1
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
+    def roll(base: Long) =
+      aggregate(codes, lit(0L), (acc, c) => pmod(acc * base + c, lit(P)))
+    shiftleft(roll(131L), 31).bitwiseOR(roll(257L))
+  }
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** §2.D–G scale operators + the as-of join, wired into the driver
+  * contract. Oracles are provided wherever DuckDB can express the exact
+  * same computation; LSH/sketch ops are rows-only here and verified
+  * against brute-force ground truth in ScalaTest specs.
+  */
+object Pipeline {
+
+  private val tok = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    // -- as-of join (q26) --------------------------------------------------
+    Q("q26_asof_join",
+      (s, d) => {
+        // right side unique per (key, time): keep max orderkey per day
+        val o = Dedup.exact(t(s, d, "orders"),
+            concat_ws("_", col("o_custkey"), col("o_orderdate")),
+            -col("o_orderkey"))
+          .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts_s"))
+        AsofJoin(e, col("user_id"), col("ts_s"),
+            o, col("o_custkey"), col("o_orderdate"),
+            Seq("o_orderkey", "o_totalprice"))
+          .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+                  SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                               ORDER BY o_orderkey DESC) AS rn
+                  FROM orders) WHERE rn = 1)
+              SELECT event_id, user_id, o_orderkey, o_totalprice
+              FROM events ASOF LEFT JOIN o
+                ON user_id = o.o_custkey AND date_trunc('second', ts) >= o.o_orderdate
+              ORDER BY event_id""")),
+
+    // -- deduplication -----------------------------------------------------
+    Q("d01_dedup_exact",
+      (s, d) => t(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(md5(col("text"))).as("n_distinct")),
+      Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+              FROM documents""")),
+
+    Q("d02_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), col("doc_id"), col("text"), 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (
+                 SELECT DISTINCT id, tok FROM (
+                   SELECT doc_id AS id, unnest($tok) AS tok FROM documents)
+                 WHERE tok <> ''),
+               sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+               pairs AS (
+                 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                 FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+                 GROUP BY 1, 2)
+               SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+                      round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+               FROM pairs
+               JOIN sizes sa ON id_a = sa.id
+               JOIN sizes sb ON id_b = sb.id
+               WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6
+               ORDER BY id_a, id_b""")),
+
+    Q("d03_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          bands = 16, rowsPerBand = 4, minJaccard = 0.6)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("d04_simhash",
+      (s, d) => Dedup.simhashPairs(
+          t(s, d, "documents"), col("doc_id"), col("text"), maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    Q("d05_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), minCos = 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // -- similarity search -------------------------------------------------
+    Q("s01_cosine_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id,
+                                CAST(embedding AS DOUBLE[]) AS qe
+                         FROM embeddings WHERE vec_id < 5),
+                   c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                         FROM embeddings),
+                   scored AS (
+                     SELECT query_id, vec_id,
+                            list_dot_product(qe, ce) /
+                              (sqrt(list_dot_product(qe, qe)) *
+                               sqrt(list_dot_product(ce, ce))) AS cos
+                     FROM q JOIN c ON vec_id <> query_id),
+                   ranked AS (
+                     SELECT *, CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id)
+                       AS INTEGER) AS rank
+                     FROM scored)
+              SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+              FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    Q("s02_ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    Q("s03_ivf_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    // -- text analysis -----------------------------------------------------
+    Q("t01_token_count",
+      (s, d) => t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens")).as("sum_tokens"),
+             (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+                      CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+                      CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens
+               FROM (SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+                     FROM documents)
+               GROUP BY lang ORDER BY lang""")),
+
+    Q("t02_lang_id",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      None),
+
+    Q("t03_quality_score",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ntok AS n_tokens,
+                      LEAST(ntok, 50) * 80
+                      + LEAST((nstop * 15000) // GREATEST(ntok, 1), 3000)
+                      + 3000 - LEAST((npunct * 30000) // GREATEST(nchar, 1), 3000)
+                        AS quality_bp
+               FROM (SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok,
+                       CAST(len(list_filter($tok,
+                         w -> w IN ('the','a','an','of','and','to','in','is','it','for'))) AS BIGINT) AS nstop,
+                       CAST(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g')) AS BIGINT) AS npunct,
+                       CAST(length(text) AS BIGINT) AS nchar
+                     FROM documents)
+               ORDER BY doc_id""")),
+
+    Q("t04_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    Q("t05_ngram_stats",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50)
+        .orderBy(col("cnt").desc, col("tok")),
+      Some(s"""SELECT tok, COUNT(*) AS cnt
+               FROM (SELECT unnest($tok) AS tok FROM documents)
+               WHERE tok <> ''
+               GROUP BY tok HAVING COUNT(*) >= 50
+               ORDER BY cnt DESC, tok""")),
+
+    // -- multimodal --------------------------------------------------------
+    Q("m01_binary_meta",
+      (s, d) => {
+        val bin = t(s, d, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        Multimodal.withMeta(bin, col("payload"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("sum_bytes"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    Q("m02_feature_stub",
+      (s, d) => {
+        val bin = t(s, d, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+        Multimodal.extractFeatures(bin, col("doc_id"), col("payload"))
+          .toDF()
+          .withColumn("f0", round(element_at(col("features"), 1), 6))
+          .select("doc_id", "n_bytes", "f0")
+          .orderBy("doc_id")
+      },
+      None)
+  )
+}
