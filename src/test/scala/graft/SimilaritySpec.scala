@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends TestSpark {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: 3 tight clusters of 20 vectors in
+    * 16 dims + the cluster centers as queries. Near-dup pairs within a
+    * cluster have cosine ~0.99; across clusters ~0. */
+  private def clustered = {
+    val dims = 16
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val base = Array.tabulate(dims)(k => if (k % 3 == c) 1.0f else 0.05f)
+      // deterministic jitter per (c, i, k)
+      val v = base.zipWithIndex.map { case (x, k) =>
+        x + 0.02f * (((c * 31 + i * 7 + k * 13) % 5) - 2)
+      }
+      (c * 100L + i, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k ranks same-cluster vectors first") {
+    val corpus = clustered
+    val queries = clustered.filter(col("vec_id") % 100 === 0) // one per cluster
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 10)
+    val byQuery = top.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((q, ids) <- byQuery) {
+      assert(ids.size === 10)
+      assert(ids.forall(id => id / 100 === q / 100),
+        s"query $q pulled cross-cluster neighbours: $ids")
+    }
+  }
+
+  test("LSH ANN reaches high recall vs brute force on clustered data") {
+    val corpus = clustered
+    val queries = clustered.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("IVF ANN reaches reasonable recall vs brute force") {
+    val corpus = clustered
+    val queries = clustered.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.ivfTopK(corpus, queries, 10, nCells = 6, nProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("near-dup pairs finds intra-cluster pairs only") {
+    val pairs = Similarity.nearDupPairs(clustered, minCos = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a / 100 == b / 100 })
+  }
+
+  test("cosine matches plain-scala computation on real embeddings") {
+    val two = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1).map(_._2)
+    val expected = {
+      val dot = two(0).zip(two(1)).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val na = math.sqrt(two(0).map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(two(1).map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = Tables(spark, sfDir, "embeddings").filter(col("vec_id") === 0).as("a")
+      .crossJoin(Tables(spark, sfDir, "embeddings").filter(col("vec_id") === 1).as("b"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Double].head()
+    assert(math.abs(got - expected) < 1e-9)
+  }
+}
