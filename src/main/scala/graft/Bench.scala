@@ -1,6 +1,29 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline query set on
+  * `SPARK_GRAFT_SF_DIR`, prints one JSON line with per-query seconds.
+  *
+  * Queries execute against the `noop` sink so the full physical plan
+  * runs (scan → shuffle → agg) without count()'s shortcuts or a
+  * collect bottleneck on the driver.
+  */
 object Bench {
+
+  /** Representative, scale-meaningful subset of SURVEY §2: scans,
+    * broadcast + shuffle joins, window, top-k, asof, dedup, ANN, text.
+    * (d02 exact-Jaccard pair mining is deliberately absent: on the
+    * benchmark corpus every doc shares the tiny vocabulary, so exact
+    * all-pairs is quadratic by construction — d03 MinHash-LSH is the
+    * scale path for that workload.) */
+  val headline: Seq[String] = Seq(
+    "q01_scan_project", "q03_agg_groupby", "q04_join_broadcast",
+    "q06_multijoin", "q09_topk", "q11_window_rank", "q12_window_running",
+    "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
+    "d01_dedup_exact", "d03_minhash_lsh", "s01_cosine_topk",
+    "t01_token_count", "t03_quality_score", "m01_binary_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,15 +32,25 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JIT/codegen warm-up on the smallest SF so headline timings
+    // measure the plan, not first-call compilation.
+    SparkEntry.queries("q03_agg_groupby")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,11 +23,23 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct word-token set per doc: (id, token) rows — the inverted
-    * index both Jaccard and MinHash build on. */
+  /** Distinct n-token shingles of a document (order-sensitive). Plain
+    * token SETS are degenerate on natural corpora — most documents
+    * share the high-frequency vocabulary, so set-Jaccard saturates and
+    * every LSH bucket holds the whole corpus (quadratic candidates).
+    * Shingles keep word ORDER, so only genuinely similar passages
+    * collide. Row-local, codegen built-ins only. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val sh = transform(sequence(lit(0), size(toks) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(sh))
+  }
+
+  /** Exploded (id, shingle) rows — the inverted index both Jaccard and
+    * MinHash build on. */
   private def tokenSet(df: DataFrame, id: Column, text: Column): DataFrame =
-    df.select(id.as("id"),
-        explode(array_distinct(split(trim(lower(text)), "\\s+"))).as("tok"))
+    df.select(id.as("id"), explode(shingles(text)).as("tok"))
       .filter(col("tok") =!= "")
 
   /** Exact n-gram (token-set) Jaccard pair mining via inverted index:
@@ -67,7 +79,7 @@ object Dedup {
 
   /** MinHash signature columns (one per permutation). */
   def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Seq[Column] = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
+    val toks = shingles(text)
     perms(numPerms, seed).map { case (a, b) =>
       array_min(transform(toks, t =>
         pmod(pmod(xxhash64(t), lit(P31)) * a + b, lit(P31))))
@@ -101,8 +113,8 @@ object Dedup {
       .distinct()
     // verify candidates with exact token-set Jaccard (row-local on the
     // candidate pair — candidates are few by construction)
-    val setA = array_distinct(split(col("ta"), "\\s+"))
-    val setB = array_distinct(split(col("tb"), "\\s+"))
+    val setA = shingles(col("ta"))
+    val setB = shingles(col("tb"))
     cand
       .withColumn("inter", size(array_intersect(setA, setB)).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -115,8 +127,7 @@ object Dedup {
     * xxhash64(token) bits; sign → fingerprint bit. Row-local,
     * codegen-friendly (aggregate over token array). */
   def simhash(text: Column): Column = {
-    val toks = array_distinct(split(trim(lower(text)), "\\s+"))
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(shingles(text), t => xxhash64(t))
     (0 until 64).map { bit =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))

@@ -56,7 +56,10 @@ object Pipeline {
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (
                  SELECT DISTINCT id, tok FROM (
-                   SELECT doc_id AS id, unnest($tok) AS tok FROM documents)
+                   SELECT doc_id AS id,
+                          unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                   FROM (SELECT doc_id, $tok AS tk FROM documents))
                  WHERE tok <> ''),
                sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
                pairs AS (

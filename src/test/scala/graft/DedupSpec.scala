@@ -6,13 +6,17 @@ import graft.operators.Dedup
 class DedupSpec extends TestSpark {
   import spark.implicits._
 
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls softly " +
+    "on the quiet village roofs tonight"                       // 19 tokens
+
   private def docs = Seq(
-    (1L, "the quick brown fox jumps over the lazy dog"),
-    (2L, "the quick brown fox jumps over the lazy dog"),     // exact dup of 1
-    (3L, "the quick brown fox leaps over the lazy dog"),     // near dup of 1
-    (4L, "completely different words about spark engines"),
-    (5L, "spark engines words different completely about"),  // same token set as 4
-    (6L, "unrelated text mentioning nothing similar at all")
+    (1L, base),
+    (2L, base),                                                // exact dup of 1
+    (3L, base.replace("tonight", "today")),                    // near dup of 1
+    (4L, "completely different words about spark engines and data"),
+    (5L, "data and engines spark about words different completely"), // same SET, different order
+    (6L, "unrelated text mentioning nothing similar at all anywhere here")
   ).toDF("id", "text")
 
   test("exact dedup keeps one deterministic representative per key") {
@@ -22,11 +26,12 @@ class DedupSpec extends TestSpark {
     assert(out.filter(col("id").isin(1L, 2L)).select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
-  test("ngram jaccard finds exact and token-set duplicates") {
-    val pairs = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 0.99)
+  test("shingle jaccard is order-sensitive: reordered docs are NOT near-dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))  // identical
-    assert(pairs.contains((4L, 5L)))  // same set, different order
+    assert(pairs.contains((1L, 2L)))   // identical
+    assert(pairs.contains((1L, 3L)))   // one-word edit, J ≈ 0.86
+    assert(!pairs.contains((4L, 5L)))  // same token SET but different order
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
@@ -46,13 +51,12 @@ class DedupSpec extends TestSpark {
     val fps = docs.select(col("id"), Dedup.simhash(col("text")).as("fp"))
       .as[(Long, Long)].collect().toMap
     assert(fps(1L) === fps(2L))
-    assert(fps(4L) === fps(5L)) // simhash is token-set based
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fps(1L), fps(3L)) <= 16)       // one word changed
     assert(ham(fps(1L), fps(6L)) > 16)        // unrelated
     val pairs = Dedup.simhashPairs(docs, col("id"), col("text"), maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+    assert(pairs.contains((1L, 2L)))
   }
 
   test("minhash-LSH agrees with brute force on the real documents table") {
@@ -63,7 +67,7 @@ class DedupSpec extends TestSpark {
         bands = 16, rowsPerBand = 4, minJaccard = 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(brute))
-    // banding catches >= 90% of J>=0.8 pairs in expectation
+    // banding catches >= 80% of J>=0.8 pairs in expectation
     assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.8)
   }
 }

@@ -5,7 +5,8 @@ package graft
   * (mirrored locally by tools/check_local.py). */
 class InventorySmokeSpec extends TestSpark {
 
-  private val mayBeEmpty = Set("d03_minhash_lsh", "d04_simhash")
+  private val mayBeEmpty =
+    Set("d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
