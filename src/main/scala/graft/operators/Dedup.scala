@@ -31,9 +31,17 @@ object Dedup {
     * collide. Row-local, codegen built-ins only. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    val sh = transform(sequence(lit(0), size(toks) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
-    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(sh))
+    // Chain zip_with over shifted slices of the token array. Indexing
+    // the array inside the lambda (element_at(toks, i)) would re-run
+    // the tokenizer per ELEMENT: higher-order lambdas are interpreted
+    // (CodegenFallback), so nothing hoists the split — that's O(len²)
+    // regex work per row. zip_with pads the shorter side with null and
+    // concat propagates it, so truncated tail windows drop out in the
+    // filter.
+    val joined = (2 to n).foldLeft(toks)((acc, k) =>
+      zip_with(acc, slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+    array_distinct(filter(joined, x => x.isNotNull))
   }
 
   /** Exploded (id, shingle) rows — the inverted index both Jaccard and
@@ -95,30 +103,54 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       bands: Int = 16, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val sig = minhashSignature(text, bands * rowsPerBand, seed)
+    // Stage 1: hash each shingle ONCE per document into a long array.
+    // Computing string shingles inside all 64 permutation expressions
+    // would re-evaluate the tokenizer 64×/row once the giant tree falls
+    // out of whole-stage codegen; after this projection each permutation
+    // is pure long arithmetic. persist() cuts the tree so the self-join
+    // reads the signatures instead of recomputing them per side (the
+    // 100 TB equivalent is staging signatures to a parquet table).
+    // Full signature in ONE array expression (transform over a literal
+    // permutation array): n_perms separate column expressions would
+    // exceed the codegen method limit, drop to interpreted eval, and
+    // re-walk the hash array per permutation expression.
+    val hExpr = array_distinct(transform(shingles(text),
+      t => pmod(xxhash64(t), lit(P31))))
+    val permArr = array(perms(bands * rowsPerBand, seed).map { case (a, b) =>
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    def sigArr(h: Column) = transform(permArr, p =>
+      array_min(transform(h,
+        x => pmod(x * p.getField("a") + p.getField("b"), lit(P31)))))
+    // One persisted stage holds (h, sig); the band keys and the join
+    // both read it from storage instead of re-deriving signatures (the
+    // 100 TB equivalent is staging signatures to a parquet table).
+    val sigs = df
+      .select(id.as("id"), hExpr.as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("id"), col("h"), sigArr(col("h")).as("sig"))
+      .persist()
     val bandCols = (0 until bands).map { b =>
       val bandSig = concat_ws("_",
-        sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).map(_.cast("string")): _*)
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
       struct(lit(b).as("band"), xxhash64(bandSig).as("bkey"))
     }
-    val buckets = df
-      .select(id.as("id"), lower(trim(text)).as("__txt"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("__txt"), col("bk.band"), col("bk.bkey"))
+    val buckets = sigs
+      .select(col("id"), col("h"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.__txt").as("ta"), col("b.__txt").as("tb"))
-      .distinct()
-    // verify candidates with exact token-set Jaccard (row-local on the
-    // candidate pair — candidates are few by construction)
-    val setA = shingles(col("ta"))
-    val setB = shingles(col("tb"))
+              col("a.h").as("ha"), col("b.h").as("hb"))
+      .dropDuplicates("id_a", "id_b")
+    // verify candidates exactly on the hashed shingle sets (row-local;
+    // candidates are few by construction)
     cand
-      .withColumn("inter", size(array_intersect(setA, setB)).cast("long"))
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(setA) + size(setB) - col("inter")))
+        (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
   }
@@ -126,14 +158,18 @@ object Dedup {
   /** 64-bit SimHash over word tokens: for each bit, sum +1/-1 votes of
     * xxhash64(token) bits; sign → fingerprint bit. Row-local,
     * codegen-friendly (aggregate over token array). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(shingles(text), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(shingles(text), t => xxhash64(t)))
+
+  /** SimHash given pre-computed shingle hashes (stage the hash array
+    * once per row — see [[minhashLshPairs]] — so the 64 per-bit votes
+    * are long arithmetic over an in-memory array). */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { bit =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, using the
     * pigeonhole trick: split the 64-bit fingerprint into (maxDist+1)
@@ -143,7 +179,14 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     val nSeg = maxDist + 1
     val segBits = 64 / nSeg
-    val withFp = df.select(id.as("id"), simhash(text).as("fp"))
+    // persist the hash stage BEFORE deriving fp: Catalyst collapses
+    // adjacent projections, which would re-inline the tokenizer into
+    // all 64 per-bit vote expressions.
+    val hashed = df
+      .select(id.as("id"),
+        transform(shingles(text), t => xxhash64(t)).as("hs"))
+      .persist()
+    val withFp = hashed.select(col("id"), simhashFromHashes(col("hs")).as("fp"))
     val segs = withFp.select(col("id"), col("fp"),
       explode(array((0 until nSeg).map(sg => struct(lit(sg).as("seg"),
         shiftright(col("fp"), sg * segBits)
