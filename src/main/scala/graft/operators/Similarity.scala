@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision — deterministic
-    * across engines/partitionings (same element order every time). */
+  /** Sequential left-to-right dot product in double precision —
+    * deterministic across engines/partitionings (same element order
+    * every time). Backed by the codegen'd [[graft.functions.FloatVectorDot]]
+    * expression; the zip_with/aggregate formulation would run
+    * interpreted per element (HOFs are CodegenFallback). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.fdot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

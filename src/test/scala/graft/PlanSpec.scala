@@ -1,0 +1,54 @@
+package graft
+
+/** Physical-plan assertions: the properties that matter at 100 TB must
+  * be visible in explain output, not assumed — filter/projection
+  * pushdown to parquet, broadcast of dimension tables, partial
+  * aggregation, top-k via TakeOrderedAndProject, whole-stage codegen.
+  */
+class PlanSpec extends TestSpark {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filter and projection are pushed to the parquet scan") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema"))
+    // pruned scan: none of the untouched wide columns are read
+    assert(!p.contains("l_comment") && !p.contains("l_returnflag"), p)
+  }
+
+  test("q02: date + range predicates push down") {
+    val p = plan("q02_filter_pred")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("q04/q06: dimension joins broadcast, no shuffle of the fact side for dims") {
+    assert(plan("q04_join_broadcast").contains("BroadcastHashJoin"))
+    val p6 = plan("q06_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p6).size >= 2, p6)
+  }
+
+  test("q03: aggregation is partial (map-side) then final") {
+    val p = plan("q03_agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+  }
+
+  test("q09: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("GlobalSort"), p)
+  }
+
+  test("q07/q08: semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan("q07_semijoin").contains("LeftSemi"))
+    assert(plan("q08_antijoin").contains("LeftAnti"))
+  }
+
+  test("s01: cosine scoring uses the codegen'd native dot expression") {
+    val p = plan("s01_cosine_topk")
+    assert(p.contains("float_vector_dot"), p)
+  }
+}
