@@ -33,10 +33,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JIT/codegen warm-up on the smallest SF so headline timings
-    // measure the plan, not first-call compilation.
-    SparkEntry.queries("q03_agg_groupby")(spark, "/root/testdata/sf0.001")
-      .write.format("noop").mode("overwrite").save()
+    // JIT/codegen warm-up: run every headline plan once at the smallest
+    // SF. Generated-code compilation (janino) dominates first execution
+    // (~5s for the LSH pipeline) and is amortized to zero on a real
+    // cluster; timings below measure data work.
+    SparkEntry.queries.view.filterKeys(headline.contains).foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => }
+    }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -79,20 +79,13 @@ object Dedup {
     * (a_i, b_i) come from a seeded LCG so signatures are reproducible
     * across runs/executors. */
   private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
-  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
-    var s = seed
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 3 }
-    Seq.fill(n)((next() % (P31 - 1) + 1, next() % P31))
-  }
 
-  /** MinHash signature columns (one per permutation). */
-  def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Seq[Column] = {
-    val toks = shingles(text)
-    perms(numPerms, seed).map { case (a, b) =>
-      array_min(transform(toks, t =>
-        pmod(pmod(xxhash64(t), lit(P31)) * a + b, lit(P31))))
-    }
-  }
+  /** Full MinHash signature as one array column (codegen'd native
+    * expression — see [[graft.functions.MinHashSignature]]). */
+  def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Column =
+    graft.functions.MinHashFunctions.minhashSig(
+      array_distinct(transform(shingles(text), t => pmod(xxhash64(t), lit(P31)))),
+      numPerms, seed)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard. bands*rowsPerBand permutations; two docs collide if any
@@ -110,25 +103,17 @@ object Dedup {
     // is pure long arithmetic. persist() cuts the tree so the self-join
     // reads the signatures instead of recomputing them per side (the
     // 100 TB equivalent is staging signatures to a parquet table).
-    // Full signature in ONE array expression (transform over a literal
-    // permutation array): n_perms separate column expressions would
-    // exceed the codegen method limit, drop to interpreted eval, and
-    // re-walk the hash array per permutation expression.
     val hExpr = array_distinct(transform(shingles(text),
       t => pmod(xxhash64(t), lit(P31))))
-    val permArr = array(perms(bands * rowsPerBand, seed).map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    def sigArr(h: Column) = transform(permArr, p =>
-      array_min(transform(h,
-        x => pmod(x * p.getField("a") + p.getField("b"), lit(P31)))))
     // One persisted stage holds (h, sig); the band keys and the join
     // both read it from storage instead of re-deriving signatures (the
     // 100 TB equivalent is staging signatures to a parquet table).
     val sigs = df
       .select(id.as("id"), hExpr.as("h"))
       .filter(size(col("h")) > 0)
-      .select(col("id"), col("h"), sigArr(col("h")).as("sig"))
+      .select(col("id"), col("h"),
+        graft.functions.MinHashFunctions
+          .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig"))
       .persist()
     val bandCols = (0 until bands).map { b =>
       val bandSig = concat_ws("_",
