@@ -13,6 +13,7 @@ object GraftSession {
   /** Apply graft defaults to an arbitrary builder (keeps master/mem choices
     * with the caller — Verify/Bench/tests pick their own parallelism). */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

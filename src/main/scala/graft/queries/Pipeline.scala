@@ -41,6 +41,75 @@ object Pipeline {
                 ON user_id = o.o_custkey AND date_trunc('second', ts) >= o.o_orderdate
               ORDER BY event_id""")),
 
+    // -- range join (q27) --------------------------------------------------
+    Q("q27_range_join",
+      (s, d) => {
+        val e = t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("tsec"))
+        RangeJoin(
+            e.select(col("event_id").as("id_a"), col("user_id"), col("tsec")),
+            col("user_id"), col("tsec"),
+            e.select(col("event_id").as("id_b"), col("user_id").as("u2"), col("tsec").as("t2")),
+            col("u2"), col("t2"),
+            window = 21600L)
+          .filter(col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+                                date_trunc('second', ts) AS ts_s FROM events)
+              SELECT a.event_id AS id_a, b.event_id AS id_b
+              FROM e a JOIN e b ON a.user_id = b.user_id
+               AND b.ts_s >= a.ts_s AND b.ts_s < a.ts_s + INTERVAL 6 HOUR
+               AND a.event_id <> b.event_id
+              ORDER BY id_a, id_b""")),
+
+    // -- approx distinct (q28), cube (q29), set ops (q30/q31) -------------
+    Q("q28_approx_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+             countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy("o_orderpriority"),
+      None), // HLL sketch values are engine-specific; spec bounds the error
+
+    Q("q29_cube",
+      (s, d) => t(s, d, "customer")
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment").asc_nulls_first,
+                 col("c_nationkey").asc_nulls_first),
+      Some("""SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+              FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+              ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
+
+    Q("q30_intersect",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("k"))
+        .intersect(t(s, d, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+              INTERSECT
+              SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+              ORDER BY k""")),
+
+    Q("q31_except",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("k"))
+        .except(t(s, d, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+              EXCEPT
+              SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+              ORDER BY k""")),
+
     // -- deduplication -----------------------------------------------------
     Q("d01_dedup_exact",
       (s, d) => t(s, d, "documents")
