@@ -56,8 +56,20 @@ object Dedup {
     * join key is the token, so only docs SHARING a token ever meet.
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        minJaccard: Double): DataFrame = {
-    val toks = tokenSet(df, id, text).cache()
+                        minJaccard: Double,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val raw = tokenSet(df, id, text)
+    // Optional document-frequency cap: a shingle shared by k docs emits
+    // k² candidate pairs, so boilerplate shared by a large fraction of
+    // a 100 TB corpus makes exact mining quadratic. Dropping those
+    // shingles bounds per-key join fan-out (slightly lowering measured
+    // J for the affected pairs). Default off: exact semantics.
+    val capped = maxDocFreq.fold(raw) { cap =>
+      val w = Window.partitionBy("tok")
+      raw.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    val toks = capped.cache()
     val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))

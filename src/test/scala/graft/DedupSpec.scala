@@ -35,6 +35,16 @@ class DedupSpec extends TestSpark {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("doc-frequency cap drops boilerplate shingles but keeps exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 0.5,
+        maxDocFreq = Some(2L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // shingles shared by docs 1,2,3 have df=3 and are dropped; docs 1,2
+    // still match on their df=2 "tonight" shingles, doc 3 no longer does
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
   test("minhash-LSH candidates match brute-force jaccard pairs at high threshold") {
     val brute = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
