@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param rightPayload right-side columns to carry onto left rows;
-    *                     right rows must be unique per (key, time) —
-    *                     pre-aggregate otherwise. */
+  /** @param rightPayload right-side columns to carry onto left rows
+    * @param rightTieBreak orders right rows that share (key, time); the
+    *                      LAST row in this order wins — duplicate right
+    *                      timestamps resolve inside the same single
+    *                      window pass instead of needing a separate
+    *                      dedup shuffle upstream. */
   def apply(
       left: DataFrame, leftKey: Column, leftTime: Column,
       right: DataFrame, rightKey: Column, rightTime: Column,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String],
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val lTagged = left
@@ -40,8 +44,13 @@ object AsofJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(col): _*)
 
-    // Right rows sort before left rows at equal time → `<=` semantics.
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__is_left"))
+    // Right rows sort before left rows at equal time → `<=` semantics;
+    // among right rows at equal time the tie-break ASC puts the winner
+    // last (left rows carry nulls there — asc_nulls_first keeps them
+    // from interleaving into the right-row order).
+    val w = Window.partitionBy("__k")
+      .orderBy(Seq(col("__t"), col("__is_left")) ++
+        rightTieBreak.map(_.asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightPayload.foldLeft(lTagged.unionByName(rTagged)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

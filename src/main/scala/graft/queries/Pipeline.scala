@@ -17,17 +17,18 @@ object Pipeline {
     // -- as-of join (q26) --------------------------------------------------
     Q("q26_asof_join",
       (s, d) => {
-        // right side unique per (key, time): keep max orderkey per day
-        val o = Dedup.exact(t(s, d, "orders"),
-            concat_ws("_", col("o_custkey"), col("o_orderdate")),
-            -col("o_orderkey"))
+        // duplicate (custkey, orderdate) rows resolve to max orderkey
+        // via the tie-break INSIDE the single asof window pass — no
+        // separate dedup shuffle
+        val o = t(s, d, "orders")
           .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
         val e = t(s, d, "events")
           .select(col("event_id"), col("user_id"),
             date_trunc("second", col("ts")).as("ts_s"))
         AsofJoin(e, col("user_id"), col("ts_s"),
             o, col("o_custkey"), col("o_orderdate"),
-            Seq("o_orderkey", "o_totalprice"))
+            Seq("o_orderkey", "o_totalprice"),
+            rightTieBreak = Seq(col("o_orderkey")))
           .select("event_id", "user_id", "o_orderkey", "o_totalprice")
           .orderBy("event_id")
       },

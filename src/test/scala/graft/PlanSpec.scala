@@ -47,6 +47,18 @@ class PlanSpec extends TestSpark {
     assert(plan("q08_antijoin").contains("LeftAnti"))
   }
 
+  test("q11: rank filter runs as WindowGroupLimit (per-partition top-k, no full sort spill)") {
+    val p = plan("q11_window_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q26: asof join is a single shuffle — one Exchange feeding the window") {
+    val p = plan("q26_asof_join")
+    // exchanges: union→window shuffle + final orderBy range partition;
+    // no third shuffle for right-side dedup
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
   test("s01: cosine scoring uses the codegen'd native dot expression") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
