@@ -6,7 +6,8 @@ package graft
 class InventorySmokeSpec extends TestSpark {
 
   private val mayBeEmpty =
-    Set("d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash")
+    Set("d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+        "q31_except") // at sf0.001 every AUTOMOBILE customer has a >300k order
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
