@@ -276,6 +276,30 @@ object Pipeline {
                GROUP BY tok HAVING COUNT(*) >= 50
                ORDER BY cnt DESC, tok""")),
 
+    Q("t06_subword_stats",
+      (s, d) => t(s, d, "documents")
+        .withColumn("n_sub", TextAnalysis.subwordCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_sub")).as("sum_subwords"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_subwords
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // -- deterministic sampling (q32) --------------------------------------
+    // Content-hash sampling: reproducible across engines/runs/cluster
+    // sizes (unlike rand()), stable under re-partitioning — the right
+    // primitive for subsampling a 100 TB training corpus.
+    Q("q32_hash_sample",
+      (s, d) => t(s, d, "documents")
+        .filter(substring(md5(col("text")), 1, 1).isin("0", "1"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+              WHERE substring(md5(text), 1, 1) IN ('0', '1')
+              ORDER BY doc_id""")),
+
     // -- multimodal --------------------------------------------------------
     Q("m01_binary_meta",
       (s, d) => {
