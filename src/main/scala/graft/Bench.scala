@@ -21,8 +21,11 @@ object Bench {
     "q01_scan_project", "q03_agg_groupby", "q04_join_broadcast",
     "q06_multijoin", "q09_topk", "q11_window_rank", "q12_window_running",
     "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
-    "d01_dedup_exact", "d03_minhash_lsh", "s01_cosine_topk",
-    "t01_token_count", "t03_quality_score", "m01_binary_meta")
+    "q27_range_join", "q29_cube",
+    "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
+    "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
+    "t01_token_count", "t03_quality_score", "t05_ngram_stats",
+    "t06_subword_stats", "q32_hash_sample", "m01_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -158,15 +158,10 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(shingles(text), t => xxhash64(t)))
 
-  /** SimHash given pre-computed shingle hashes (stage the hash array
-    * once per row — see [[minhashLshPairs]] — so the 64 per-bit votes
-    * are long arithmetic over an in-memory array). */
+  /** SimHash given pre-computed shingle hashes — one codegen'd n×64
+    * vote loop (see [[graft.functions.SimHash64]]). */
   def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { bit =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.SimHashFunctions.simhash64(hashes)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, using the
     * pigeonhole trick: split the 64-bit fingerprint into (maxDist+1)
