@@ -186,8 +186,12 @@ object Relational {
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .cast("double"))
           .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .withColumn("moving_avg_3",
+            (sum(col("o_totalprice").cast(D4)).over(
+              w.rowsBetween(-2, Window.currentRow)).cast("double") /
+              count(lit(1)).over(w.rowsBetween(-2, Window.currentRow))))
           .select("o_custkey", "o_orderkey", "o_totalprice",
-                  "running_total", "prev_price")
+                  "running_total", "prev_price", "moving_avg_3")
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
@@ -197,7 +201,14 @@ object Relational {
                        AS running_total,
                      lag(o_totalprice, 1) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-                       AS prev_price
+                       AS prev_price,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       / COUNT(*) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS moving_avg_3
               FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // -- having / conditional / set ops -----------------------------------
