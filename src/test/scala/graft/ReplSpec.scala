@@ -20,6 +20,22 @@ class ReplSpec extends TestSpark {
       ("select * from t;", Some("/tmp/x.csv")))
   }
 
+  test("loop: renders results, survives bad SQL, honors quit and EOF") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+    def run(input: String): String = {
+      val bos = new ByteArrayOutputStream()
+      new SqlRepl(spark, new PrintStream(bos, true, "UTF-8"))
+        .loop(new BufferedReader(new StringReader(input)))
+      bos.toString("UTF-8")
+    }
+    val out = run("SELECT 1 AS x\nSELECT * FROM bogus_t\nSELECT 2 AS y\nquit\n")
+    assert(out.contains("| x |") && out.contains("| 1 |"))
+    assert(out.contains("Error:"))
+    assert(out.contains("| y |"))        // loop survived the error
+    val eof = run("SELECT 3 AS z\n")     // EOF without quit
+    assert(eof.contains("| 3 |"))
+  }
+
   test("runLine renders a query and exports comma-stripped csv") {
     Tables.registerAll(spark, sfDir)
     val out = Files.createTempFile("repl", ".csv").toString
