@@ -35,6 +35,24 @@ object Multimodal {
     hist
   }
 
+  /** Fixed-size frame/chunk sampling of a binary payload: one output
+    * row per `chunkBytes` window (think video frame extraction or audio
+    * windowing — here over the opaque bytes; a real decoder would slot
+    * into the same (id, frame_idx, frame) row shape). Row-local explode;
+    * at scale the explode fans out BEFORE any shuffle so frames
+    * distribute across the cluster. */
+  def frameSample(df: DataFrame, id: Column, bin: Column,
+                  chunkBytes: Int = 256): DataFrame = {
+    val nChunks = greatest(
+      floor((length(bin) + (chunkBytes - 1)) / chunkBytes).cast("int"), lit(1))
+    df.select(id.as("id"), bin.as("b"), nChunks.as("nch"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), col("nch") - 1),
+          i => substring(col("b"), i * chunkBytes + 1, lit(chunkBytes)))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+  }
+
   /** Batch feature extraction over (id, payload) rows. mapPartitions so
     * a real decoder could amortize per-batch model/codec init exactly
     * like mapInPandas would — one init per partition, streamed rows. */

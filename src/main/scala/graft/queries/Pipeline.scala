@@ -314,6 +314,23 @@ object Pipeline {
                      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
               FROM documents GROUP BY source ORDER BY source""")),
 
+    Q("m03_frame_sample",
+      (s, d) => Multimodal.frameSample(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"), chunkBytes = 256)
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH f AS (
+                SELECT doc_id, b, unnest(range(0, nch)) AS fi FROM (
+                  SELECT doc_id, encode(text) AS b,
+                         GREATEST((octet_length(encode(text)) + 255) // 256, 1) AS nch
+                  FROM documents))
+              SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+                     CAST(GREATEST(LEAST(256, octet_length(b) - fi*256), 0) AS INT)
+                       AS frame_bytes
+              FROM f ORDER BY doc_id, frame_idx""")),
+
     Q("m02_feature_stub",
       (s, d) => {
         val bin = t(s, d, "documents")
