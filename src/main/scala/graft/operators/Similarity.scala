@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector similarity search over an `Array[Float]` embedding column.
   *
@@ -86,18 +87,43 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
-  /** IVF-style ANN: assign every vector to its nearest of `nCells`
-    * deterministic seed centroids (corpus vectors with vec_id % step ==
-    * 0), probe the `nProbe` nearest cells per query, exact re-rank
-    * within probed cells. One broadcast of the (small) centroid table;
-    * corpus scanned once for assignment. */
+  /** IVF-style ANN: seed `nCells` centroids from the corpus, refine
+    * them with `lloydIters` k-means steps, assign every vector to its
+    * nearest cell, probe the `nProbe` nearest cells per query, exact
+    * re-rank within probed cells. One broadcast of the (small) centroid
+    * table per iteration; each Lloyd step is one corpus scan + one
+    * (cell, dim)-keyed shuffle of exploded components — no pairwise
+    * work. Centroid means use decimal-exact sums so cell boundaries
+    * are identical across runs/partitionings. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 1): DataFrame = {
     val n = corpus.count()
     val step = math.max(1L, n / nCells)
-    val centroids = corpus.filter(col("vec_id") % step === 0)
+    val seeds = corpus.filter(col("vec_id") % step === 0)
       .limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+
+    def assignTo(cent: DataFrame): DataFrame = {
+      val scored = corpus.as("v").join(broadcast(cent))
+        .select(col("v.vec_id"), col("v.embedding"), col("cell_id"),
+          cosine(col("v.embedding"), col("centroid")).as("ccos"))
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .select(col("vec_id"), col("embedding"), col("cell_id"))
+    }
+    // one Lloyd step: element-wise decimal-exact mean per cell
+    def step1(cent: DataFrame): DataFrame = assignTo(cent)
+      .select(col("cell_id"), posexplode(col("embedding")))
+      .groupBy("cell_id", "pos")
+      .agg((sum(col("col").cast(DecimalType(27, 8))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cell_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("centroid"))
+
+    val centroids = (0 until lloydIters).foldLeft(seeds)((c, _) => step1(c))
     val bcCent = broadcast(centroids)
 
     def assign(df: DataFrame, idc: String, keep: Int): DataFrame = {
