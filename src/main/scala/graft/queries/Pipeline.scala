@@ -287,6 +287,18 @@ object Pipeline {
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_subwords
               FROM documents GROUP BY source ORDER BY source""")),
 
+    Q("t07_length_histogram",
+      (s, d) => t(s, d, "documents")
+        .groupBy(width_bucket(col("n_chars"), lit(0), lit(600), lit(12)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+                               WHEN n_chars >= 600 THEN 13
+                               ELSE 1 + (n_chars * 12) // 600 END AS BIGINT) AS bucket,
+                     COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY 1 ORDER BY bucket""")),
+
     // -- deterministic sampling (q32) --------------------------------------
     // Content-hash sampling: reproducible across engines/runs/cluster
     // sizes (unlike rand()), stable under re-partitioning — the right

@@ -25,6 +25,15 @@ object Streams {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup on a key with bounded state: watermark on
+    * the event time lets Spark drop per-key state once the key can no
+    * longer recur within the lateness bound — the streaming counterpart
+    * of Dedup.exact. Works identically on a batch DataFrame. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int,

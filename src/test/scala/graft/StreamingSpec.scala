@@ -35,6 +35,21 @@ class StreamingSpec extends TestSpark {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val stageDir = Files.createTempDirectory("stream-dedup").toString
+    val events = Tables(spark, sfDir, "events")
+    // duplicate the whole table → every event_id appears twice
+    events.unionAll(events).write.mode("overwrite").parquet(stageDir)
+    val streamed = spark.readStream.schema(events.schema).parquet(stageDir)
+    val q = Streams.dedupStream(streamed, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedupst")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedupst").count() === events.count())
+  }
+
   test("sessionize groups events by inactivity gap") {
     def ts(m: Long) = new java.sql.Timestamp(m * 60000)
     val events = Seq(
