@@ -53,6 +53,28 @@ object Multimodal {
       .withColumnRenamed("col", "frame")
   }
 
+  /** Stride "resize": keep every `stride`-th byte of the payload — the
+    * byte-level stand-in for image downscaling; a real resampler slots
+    * into the same binary→binary batch shape (mapPartitions, one codec
+    * init per partition). */
+  final case class Resized(doc_id: Long, n_in: Int, payload: Array[Byte])
+
+  def resizeStride(df: DataFrame, id: Column, bin: Column,
+                   stride: Int): Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), bin.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * stride); i += 1 }
+          Resized(docId, bytes.length, out)
+        }
+      }
+  }
+
   /** Batch feature extraction over (id, payload) rows. mapPartitions so
     * a real decoder could amortize per-batch model/codec init exactly
     * like mapInPandas would — one init per partition, streamed rows. */

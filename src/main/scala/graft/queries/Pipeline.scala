@@ -343,6 +343,18 @@ object Pipeline {
                        AS frame_bytes
               FROM f ORDER BY doc_id, frame_idx""")),
 
+    Q("m04_resize_stride",
+      (s, d) => Multimodal.resizeStride(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"), stride = 4)
+        .toDF()
+        .select(col("doc_id"), col("n_in"),
+          length(col("payload")).as("n_out"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_in,
+                     CAST((octet_length(encode(text)) + 3) // 4 AS INT) AS n_out
+              FROM documents ORDER BY doc_id""")),
+
     Q("m02_feature_stub",
       (s, d) => {
         val bin = t(s, d, "documents")
