@@ -55,6 +55,9 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $dt%8.2fs")
+      // staged operators (LSH signatures etc.) persist() intermediates;
+      // drop them so caches don't accumulate across the suite
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

@@ -5,8 +5,8 @@ import org.apache.spark.sql.GraftInternal
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for `Array[Float]` dot product.
   *
@@ -62,9 +62,120 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`k` nearest centroid POSITIONS for a vector, by cosine (desc,
+  * ties → lower position): `vec` is `array<float>`, `cents` is the full
+  * centroid table collapsed to ONE `array<array<float>>` row and
+  * broadcast — so cell assignment is row-local with ZERO shuffle of the
+  * corpus (the alternative — explode corpus×nCells through a
+  * window-argmax — shuffles every embedding nCells times).
+  *
+  * Ordering uses dot(v,c)/|c|, which ranks identically to cosine (|v|
+  * is constant across cells for a row) and avoids NaN for zero vectors;
+  * |c| = 0 scores -MAX. One tight nCells×dims codegen loop per row.
+  */
+case class NearestCells(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells needs (array<float>, array<array<float>>), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val n = cs.numElements()
+    val kk = math.min(k, n)
+    val ti = new Array[Int](kk)
+    val ts = new Array[Double](kk)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      val c = cs.getArray(i)
+      val m = math.min(v.numElements(), c.numElements())
+      var dot = 0.0; var nrm = 0.0
+      var d = 0
+      while (d < m) {
+        val cv = c.getFloat(d).toDouble
+        dot += v.getFloat(d).toDouble * cv
+        nrm += cv * cv
+        d += 1
+      }
+      val s = if (nrm > 0) dot / math.sqrt(nrm) else -Double.MaxValue
+      var pos = filled
+      while (pos > 0 && s > ts(pos - 1)) pos -= 1
+      if (pos < kk) {
+        val last = math.min(filled, kk - 1)
+        var q = last
+        while (q > pos) { ts(q) = ts(q - 1); ti(q) = ti(q - 1); q -= 1 }
+        ts(pos) = s; ti(pos) = i
+        if (filled < kk) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(ti, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cs) => {
+      val n = ctx.freshName("n"); val kk = ctx.freshName("kk")
+      val ti = ctx.freshName("ti"); val ts = ctx.freshName("ts")
+      val filled = ctx.freshName("filled"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot"); val nrm = ctx.freshName("nrm")
+      val d = ctx.freshName("d"); val cv = ctx.freshName("cv")
+      val s = ctx.freshName("s"); val pos = ctx.freshName("pos")
+      val last = ctx.freshName("last"); val q = ctx.freshName("q")
+      val arrData = classOf[ArrayData].getName
+      val genArr = classOf[GenericArrayData].getName
+      s"""
+         |int $n = $cs.numElements();
+         |int $kk = Math.min($k, $n);
+         |int[] $ti = new int[$kk];
+         |double[] $ts = new double[$kk];
+         |int $filled = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arrData $c = $cs.getArray($i);
+         |  int $m = Math.min($v.numElements(), $c.numElements());
+         |  double $dot = 0.0, $nrm = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) {
+         |    double $cv = (double) $c.getFloat($d);
+         |    $dot += (double) $v.getFloat($d) * $cv;
+         |    $nrm += $cv * $cv;
+         |  }
+         |  double $s = ($nrm > 0) ? $dot / Math.sqrt($nrm) : -Double.MAX_VALUE;
+         |  int $pos = $filled;
+         |  while ($pos > 0 && $s > $ts[$pos - 1]) $pos--;
+         |  if ($pos < $kk) {
+         |    int $last = Math.min($filled, $kk - 1);
+         |    for (int $q = $last; $q > $pos; $q--) { $ts[$q] = $ts[$q - 1]; $ti[$q] = $ti[$q - 1]; }
+         |    $ts[$pos] = $s; $ti[$pos] = $i;
+         |    if ($filled < $kk) $filled++;
+         |  }
+         |}
+         |${ev.value} = new $genArr(java.util.Arrays.copyOf($ti, $filled));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API over [[FloatVectorDot]]. */
   def fdot(a: Column, b: Column): Column =
     GraftInternal.column(FloatVectorDot(
       GraftInternal.expression(a), GraftInternal.expression(b)))
+
+  /** Column API over [[NearestCells]]. */
+  def nearestCells(vec: Column, cents: Column, k: Int): Column =
+    GraftInternal.column(NearestCells(
+      GraftInternal.expression(vec), GraftInternal.expression(cents), k))
 }

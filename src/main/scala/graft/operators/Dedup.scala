@@ -14,9 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** A lazily-built result plus the persisted intermediate stages it
+    * reads. Stages stay cached until [[cleanup]] so the result can be
+    * materialized (even repeatedly) first; long-lived sessions should
+    * call `cleanup()` once done or `spark.catalog.clearCache()` between
+    * pipelines — otherwise cached signature tables accumulate. The
+    * convenience overloads returning a bare DataFrame leave the stages
+    * cached for the session (Spark evicts LRU under memory pressure). */
+  final case class Staged(result: DataFrame, stages: Seq[DataFrame]) {
+    def cleanup(): Unit = stages.foreach(_.unpersist(blocking = false))
+  }
+
   /** Exact dedup: keep one representative row per distinct key (min of
     * `tieBreak` wins, so results are deterministic). Single hash shuffle
-    * on the content hash; no sort of the full data. */
+    * on the content hash; the per-key `row_number` sort is bounded by
+    * the WindowGroupLimit pushdown (rank-limit filter), not a full sort
+    * of the data. */
   def exact(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
     val w = Window.partitionBy(key).orderBy(tieBreak)
     df.withColumn("__rn", row_number().over(w))
@@ -57,7 +70,14 @@ object Dedup {
     * Output: (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         minJaccard: Double,
-                        maxDocFreq: Option[Long] = None): DataFrame = {
+                        maxDocFreq: Option[Long] = None): DataFrame =
+    ngramJaccardPairsStaged(df, id, text, minJaccard, maxDocFreq).result
+
+  /** [[ngramJaccardPairs]] with the persisted token stage exposed for
+    * caller-owned cache cleanup. */
+  def ngramJaccardPairsStaged(df: DataFrame, id: Column, text: Column,
+                              minJaccard: Double,
+                              maxDocFreq: Option[Long] = None): Staged = {
     val raw = tokenSet(df, id, text)
     // Optional document-frequency cap: a shingle shared by k docs emits
     // k² candidate pairs, so boilerplate shared by a large fraction of
@@ -75,7 +95,7 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val result = pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
       .withColumn("jaccard",
@@ -83,6 +103,7 @@ object Dedup {
           (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    Staged(result, Seq(toks))
   }
 
   /** Deterministic per-permutation MinHash: h_i(tok) = min over tokens of
@@ -107,7 +128,14 @@ object Dedup {
     * filtered to verified >= minJaccard. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.7, seed: Long = 42L): DataFrame = {
+                      minJaccard: Double = 0.7, seed: Long = 42L): DataFrame =
+    minhashLshPairsStaged(df, id, text, bands, rowsPerBand, minJaccard, seed).result
+
+  /** [[minhashLshPairs]] with the persisted signature stage exposed for
+    * caller-owned cache cleanup. */
+  def minhashLshPairsStaged(df: DataFrame, id: Column, text: Column,
+                      bands: Int = 16, rowsPerBand: Int = 4,
+                      minJaccard: Double = 0.7, seed: Long = 42L): Staged = {
     // Stage 1: hash each shingle ONCE per document into a long array.
     // Computing string shingles inside all 64 permutation expressions
     // would re-evaluate the tokenizer 64×/row once the giant tree falls
@@ -133,23 +161,33 @@ object Dedup {
           element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
       struct(lit(b).as("band"), xxhash64(bandSig).as("bkey"))
     }
+    // Candidate generation shuffles IDS ONLY: the band explode, the
+    // self-join and the pair-dedup all carry (id, band, bkey) — never
+    // the shingle-hash arrays (hundreds of longs/doc; dragging them
+    // through the explode ×bands and the dedup shuffle dominated the
+    // whole pipeline's shuffle volume). The arrays are fetched exactly
+    // once per surviving pair by joining back to the persisted sigs
+    // stage (at 100 TB: a parquet stage table keyed by id).
     val buckets = sigs
-      .select(col("id"), col("h"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("h"), col("bk.band"), col("bk.bkey"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    val candIds = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-              col("a.h").as("ha"), col("b.h").as("hb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val hTab = sigs.select(col("id"), col("h"))
     // verify candidates exactly on the hashed shingle sets (row-local;
     // candidates are few by construction)
-    cand
+    val result = candIds
+      .join(hTab.toDF("id_a", "ha"), "id_a")
+      .join(hTab.toDF("id_b", "hb"), "id_b")
       .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("ha")) + size(col("hb")) - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
+    Staged(result, Seq(sigs))
   }
 
   /** 64-bit SimHash over word tokens: for each bit, sum +1/-1 votes of
@@ -168,7 +206,13 @@ object Dedup {
     * segments — any pair within maxDist agrees exactly on >= 1 segment,
     * so a hash-join per segment finds all candidates without O(n²). */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    simhashPairsStaged(df, id, text, maxDist).result
+
+  /** [[simhashPairs]] with the persisted hash stage exposed for
+    * caller-owned cache cleanup. */
+  def simhashPairsStaged(df: DataFrame, id: Column, text: Column,
+                   maxDist: Int = 3): Staged = {
     val nSeg = maxDist + 1
     val segBits = 64 / nSeg
     // persist the hash stage BEFORE deriving fp: Catalyst collapses
@@ -185,12 +229,13 @@ object Dedup {
           .bitwiseAND((1L << segBits) - 1).as("skey"))): _*)).as("s"))
       .select(col("id"), col("fp"), col("s.seg"), col("s.skey"))
     val popcnt = (x: Column) => bit_count(x).cast("int")
-    segs.as("a").join(segs.as("b"),
+    val result = segs.as("a").join(segs.as("b"),
         col("a.seg") === col("b.seg") && col("a.skey") === col("b.skey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         popcnt(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+    Staged(result, Seq(hashed))
   }
 }

@@ -40,21 +40,12 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 of the two indices mapped to ±1. No RNG state to ship. */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
   /** nBits-bit random-hyperplane signature: bit j = sign(dot(plane_j, v)).
     * Row-local; collisions preserve cosine similarity (SimHash for
-    * angles). */
+    * angles). One codegen'd nBits×dims loop — see
+    * [[graft.functions.HyperplaneSignature]]. */
   def hyperplaneSignature(vec: Column, nBits: Int = 16): Column =
-    (0 until nBits).map { j =>
-      val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeSign(j, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.HyperplaneFunctions.hyperplaneSig(vec, nBits)
 
   /** ANN top-k: candidates = corpus vectors whose signature agrees with
     * the query on >= one of `bands` signature bands (multi-probe), then
@@ -87,35 +78,53 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** The centroid table collapsed to ONE row holding
+    * `array<array<float>>` ordered by cell id — the broadcastable shape
+    * [[graft.functions.NearestCells]] consumes. Cell id = position. */
+  private def centsArray(cent: DataFrame): DataFrame =
+    cent.agg(transform(
+      array_sort(collect_list(struct(col("cell_id"), col("centroid")))),
+      s => s.getField("centroid")).as("cents"))
+
+  /** Row-local cell assignment: broadcast the one-row centroid array,
+    * pick the top-`keep` cells per vector with a single codegen'd
+    * argmax pass — ZERO shuffle of `df` (the window-argmax alternative
+    * shuffles every embedding nCells times). */
+  private def assignCells(df: DataFrame, cent: DataFrame, keep: Int): DataFrame =
+    df.crossJoin(broadcast(centsArray(cent)))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions
+          .nearestCells(col("embedding"), col("cents"), keep).as("cells"))
+
   /** IVF-style ANN: seed `nCells` centroids from the corpus, refine
     * them with `lloydIters` k-means steps, assign every vector to its
     * nearest cell, probe the `nProbe` nearest cells per query, exact
-    * re-rank within probed cells. One broadcast of the (small) centroid
-    * table per iteration; each Lloyd step is one corpus scan + one
-    * (cell, dim)-keyed shuffle of exploded components — no pairwise
-    * work. Centroid means use decimal-exact sums so cell boundaries
-    * are identical across runs/partitionings. */
+    * re-rank within probed cells.
+    *
+    * Scale shape: centroids are tiny and travel by broadcast; cell
+    * assignment is row-local (no corpus shuffle, see [[assignCells]]).
+    * Seeding is a deterministic hash-ordered top-k
+    * (TakeOrderedAndProject) — no eager `count()`, no dense-id
+    * assumption, and no arbitrary-subset `limit`. Each Lloyd step is
+    * one corpus scan whose exploded (cell, dim) partial sums shrink
+    * map-side to nCells×dims rows. Centroid means use decimal-exact
+    * sums so cell boundaries are identical across runs/partitionings. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 1): DataFrame = {
-    val n = corpus.count()
-    val step = math.max(1L, n / nCells)
-    val seeds = corpus.filter(col("vec_id") % step === 0)
+    // deterministic pseudo-random seeds: top-nCells by hashed id
+    val seeds = corpus
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+      .withColumn("cell_id",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("int") - 1)
+      .select(col("cell_id"), col("embedding").as("centroid"))
 
-    def assignTo(cent: DataFrame): DataFrame = {
-      val scored = corpus.as("v").join(broadcast(cent))
-        .select(col("v.vec_id"), col("v.embedding"), col("cell_id"),
-          cosine(col("v.embedding"), col("centroid")).as("ccos"))
-      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .select(col("vec_id"), col("embedding"), col("cell_id"))
-    }
-    // one Lloyd step: element-wise decimal-exact mean per cell
-    def step1(cent: DataFrame): DataFrame = assignTo(cent)
-      .select(col("cell_id"), posexplode(col("embedding")))
+    // one Lloyd step: element-wise decimal-exact mean per cell; cells
+    // are renumbered by position each step (empty cells drop out)
+    def step1(cent: DataFrame): DataFrame = assignCells(corpus, cent, 1)
+      .select(element_at(col("cells"), 1).as("cell_id"),
+        posexplode(col("embedding")))
       .groupBy("cell_id", "pos")
       .agg((sum(col("col").cast(DecimalType(27, 8))).cast("double") /
         count(lit(1))).as("m"))
@@ -123,27 +132,22 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m").cast("float")).as("centroid"))
 
-    val centroids = (0 until lloydIters).foldLeft(seeds)((c, _) => step1(c))
-    val bcCent = broadcast(centroids)
+    val centroids = (0 until lloydIters).foldLeft(seeds: DataFrame)((c, _) => step1(c))
 
-    def assign(df: DataFrame, idc: String, keep: Int): DataFrame = {
-      val scored = df.as("v").join(bcCent)
-        .select(col("v.vec_id").as(idc), col("v.embedding"), col("cell_id"),
-          cosine(col("v.embedding"), col("centroid")).as("ccos"))
-      val w = Window.partitionBy(idc).orderBy(col("ccos").desc, col("cell_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(idc), col("embedding"), col("cell_id"))
-    }
-    val corpusCells = assign(corpus, "vec_id", 1)
-    val queryCells = assign(queries, "query_id", nProbe)
+    val corpusCells = assignCells(corpus, centroids, 1)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cells"), 1).as("cell_id"))
+    val queryCells = assignCells(queries, centroids, nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding"),
+        explode(col("cells")).as("cell_id"))
+    // each corpus vector lives in exactly one cell, so a (query, vec)
+    // pair meets at most once — no dedup shuffle needed
     val cand = corpusCells.as("c")
       .join(broadcast(queryCells).as("q"),
         col("c.cell_id") === col("q.cell_id") &&
         col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("c.vec_id"),
         cosine(col("q.embedding"), col("c.embedding")).as("cos"))
-      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

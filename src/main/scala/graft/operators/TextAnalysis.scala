@@ -93,16 +93,13 @@ object TextAnalysis {
 
   /** 62-bit polynomial rolling-hash fingerprint of the normalized text
     * (lowercase, collapsed whitespace): two independent 31-bit rolling
-    * hashes h = Σ c_i·B^(n-1-i) mod (2^31-1), packed into one long.
-    * Modular form keeps every intermediate < 2^39 — ANSI mode forbids
-    * silent 64-bit wrap-around. aggregate() over the char codes stays
-    * inside whole-stage codegen — no UDF. */
-  def fingerprint(text: Column): Column = {
-    val P = 2147483647L // 2^31 - 1
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val codes = transform(split(norm, ""), ch => ascii(ch).cast("long"))
-    def roll(base: Long) =
-      aggregate(codes, lit(0L), (acc, c) => pmod(acc * base + c, lit(P)))
-    shiftleft(roll(131L), 31).bitwiseOR(roll(257L))
-  }
+    * hashes over the code points, h = Σ cp_i·B^(n-1-i) mod (2^31-1),
+    * packed into one long. Backed by the codegen'd
+    * [[graft.functions.RollingFingerprint]] expression (the HOF
+    * formulation was interpreted — CodegenFallback — and `ascii`
+    * mangles non-ASCII code points). DuckDB computes the identical
+    * value via `string_split(s, '')` + `unicode` + `list_reduce`. */
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingHashFunctions.fingerprint(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
 }

@@ -232,7 +232,32 @@ object Pipeline {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id"),
-      None),
+      // profile hit-counts + argmax (earlier profile wins ties) spelled
+      // in DuckDB, generated from the SAME langProfiles table
+      Some {
+        val hits = TextAnalysis.langProfiles.map { case (l, ws) =>
+          s"len(list_filter(tk, w -> w IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS $l"
+        }.mkString(",\n                 ")
+        val names = TextAnalysis.langProfiles.map(_._1)
+        // first profile reaching the max wins: profile i wins iff its
+        // count >= every LATER profile's count (an earlier one would
+        // have matched already)
+        val arms = names.init.zipWithIndex.map { case (l, i) =>
+          val rest = names.drop(i + 1)
+          val bound = if (rest.size == 1) rest.head
+                      else s"GREATEST(${rest.mkString(", ")})"
+          s"WHEN $l >= $bound THEN '$l'"
+        }.mkString("\n                      ")
+        s"""WITH h AS (
+               SELECT doc_id, lang,
+                 $hits
+               FROM (SELECT doc_id, lang, $tok AS tk FROM documents))
+             SELECT doc_id, lang,
+               CASE WHEN GREATEST(${names.mkString(", ")}) = 0 THEN 'und'
+                      $arms
+                      ELSE '${names.last}' END AS lang_pred
+             FROM h ORDER BY doc_id"""
+      }),
 
     Q("t03_quality_score",
       (s, d) => t(s, d, "documents")
@@ -255,13 +280,32 @@ object Pipeline {
                      FROM documents)
                ORDER BY doc_id""")),
 
+    // fingerprint is over Unicode code points, so DuckDB reproduces it
+    // bit-for-bit: string_split(s,'') enumerates the same code points,
+    // list_reduce folds the same modular polynomial (its first element
+    // doubles as the fold seed — identical to folding from 0 because
+    // cp mod P = cp). (h1 << 31) | h2 == h1·2^31 + h2 since h2 < 2^31.
+    // (simhash lives in d04 — xxhash64 isn't DuckDB-expressible.)
     Q("t04_fingerprint",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"),
-          Dedup.simhash(col("text")).as("simhash"))
+          TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN norm = '' THEN CAST([] AS BIGINT[])
+                            ELSE list_transform(string_split(norm, ''),
+                                   ch -> CAST(unicode(ch) AS BIGINT)) END AS codes
+                FROM (SELECT doc_id,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                      FROM documents))
+              SELECT doc_id,
+                     CASE WHEN len(codes) = 0 THEN 0
+                          ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+                                 * 2147483648
+                               + list_reduce(codes, (a, b) -> (a * 257 + b) % 2147483647)
+                          END AS fp
+              FROM c ORDER BY doc_id""")),
 
     Q("t05_ngram_stats",
       (s, d) => t(s, d, "documents")

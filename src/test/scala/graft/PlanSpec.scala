@@ -63,4 +63,50 @@ class PlanSpec extends TestSpark {
     val p = plan("s01_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
   }
+
+  test("s02/d05: LSH bucketing uses the codegen'd native hyperplane signature") {
+    assert(plan("s02_ann_lsh").contains("hyperplane_signature"))
+    assert(plan("d05_embed_neardup").contains("hyperplane_signature"))
+  }
+
+  test("t04: fingerprint uses the codegen'd native rolling hash") {
+    assert(plan("t04_fingerprint").contains("rolling_fingerprint"))
+  }
+
+  test("d03: LSH candidate generation shuffles ids only — no hash arrays " +
+       "through the band-bucket self-join") {
+    // the band-bucket self-join must carry (id, band, bkey) only; the
+    // shingle-hash array column `h` is fetched after pair dedup by
+    // joining back to the persisted signature stage
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = SparkEntry.queries("d03_minhash_lsh")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val bandJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bkey")) => j
+    }
+    assert(bandJoins.nonEmpty, opt.toString)
+    bandJoins.foreach { j =>
+      assert(!j.output.exists(a => Set("h", "ha", "hb")(a.name)),
+        s"band join must not carry hash arrays: ${j.output.mkString(", ")}")
+    }
+  }
+
+  test("s03: IVF cell assignment is row-local — no Exchange between the " +
+       "corpus scan and nearest_cells") {
+    val p = SparkEntry.queries("s03_ivf_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("nearest_cells"), p)
+    // every nearest_cells projection sits directly over a scan/broadcast
+    // cross-join subtree with no shuffle in between: walk up from each
+    // occurrence — the nearest enclosing Exchange must come AFTER (above)
+    // the projection, which in explain text means no hashpartitioning
+    // Exchange line appears between the Project(nearest_cells) line and
+    // its FileScan below it.
+    val lines = p.linesIterator.toVector
+    val projIdx = lines.indexWhere(_.contains("nearest_cells"))
+    val scanIdx = lines.indexWhere(_.contains("FileScan parquet"), projIdx)
+    assert(projIdx >= 0 && scanIdx > projIdx, p)
+    val between = lines.slice(projIdx + 1, scanIdx)
+    assert(!between.exists(_.contains("Exchange hashpartitioning")), p)
+  }
 }
