@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (nearest-past) join — an operator Spark SQL lacks natively.
   *
@@ -31,18 +32,34 @@ object AsofJoin {
       rightTieBreak: Seq[Column] = Nil): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // ALL payload columns travel as ONE struct: `last(struct, ignoreNulls)`
+    // fills from a single matched right row, so (a) every payload column
+    // comes from the SAME right row, and (b) a matched row's genuine
+    // NULL payload values are preserved (per-column last-non-null would
+    // carry forward stale values from older right rows independently).
+    // One window pass regardless of payload width.
+    val pType = StructType(rightPayload.map(c => right.schema(c)))
+    // tie-break expressions are right-side-only: materialize them as
+    // hidden columns (null on left rows) so the window can sort on them
+    // after the union
+    val tbNames = rightTieBreak.indices.map(i => s"__tb$i")
+    val rWithTb = rightTieBreak.zip(tbNames).foldLeft(right) {
+      case (df, (c, n)) => df.withColumn(n, c)
+    }
     val lTagged = left
       .withColumn("__k", leftKey).withColumn("__t", leftTime)
       .withColumn("__is_left", lit(1))
       .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
         leftCols.map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rTagged = right
+        tbNames.map(n => lit(null).cast(rWithTb.schema(n).dataType).as(n)) :+
+        lit(null).cast(pType).as("__p"): _*)
+    val rTagged = rWithTb
       .withColumn("__k", rightKey).withColumn("__t", rightTime)
       .withColumn("__is_left", lit(0))
       .select(Seq(col("__k"), col("__t"), col("__is_left")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+        tbNames.map(col) :+
+        struct(rightPayload.map(col): _*).as("__p"): _*)
 
     // Right rows sort before left rows at equal time → `<=` semantics;
     // among right rows at equal time the tie-break ASC puts the winner
@@ -50,12 +67,12 @@ object AsofJoin {
     // from interleaving into the right-row order).
     val w = Window.partitionBy("__k")
       .orderBy(Seq(col("__t"), col("__is_left")) ++
-        rightTieBreak.map(_.asc_nulls_first): _*)
+        tbNames.map(col(_).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(lTagged.unionByName(rTagged)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ rightPayload.map(col): _*)
+    lTagged.unionByName(rTagged)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

@@ -356,6 +356,30 @@ object Pipeline {
               WHERE substring(md5(text), 1, 1) IN ('0', '1')
               ORDER BY doc_id""")),
 
+    // -- gap sessionization (batch face of the streaming operator) ---------
+    // session_window boundary: an event at exactly last+gap starts a NEW
+    // session (windows are [start, last+gap)), hence `<` in the oracle.
+    Q("q33_sessionize",
+      (s, d) => graft.streaming.Streams.sessionizeNative(
+          t(s, d, "events")
+            .select(col("user_id"), date_trunc("second", col("ts")).as("ts")),
+          gap = "1 hour")
+        .orderBy("user_id", "s_start"),
+      Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS t FROM events),
+                   m AS (SELECT user_id, t,
+                           CASE WHEN t < lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                      + INTERVAL 1 HOUR
+                                THEN 0 ELSE 1 END AS is_new
+                         FROM e),
+                   g AS (SELECT user_id, t,
+                           SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                         FROM m)
+              SELECT user_id, MIN(t) AS s_start, MAX(t) AS s_end,
+                     COUNT(*) AS n_events
+              FROM g GROUP BY user_id, sid
+              ORDER BY user_id, s_start""")),
+
     // -- multimodal --------------------------------------------------------
     Q("m01_binary_meta",
       (s, d) => {

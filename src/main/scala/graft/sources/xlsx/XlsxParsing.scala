@@ -135,8 +135,12 @@ object XlsxParsing {
                 if (idx >= 0) {
                   val cell = cellType match {
                     case "s" =>
-                      val i = raw.trim.toInt
-                      Cell(if (i < shared.length) shared(i) else "", numeric = false)
+                      // tolerate a malformed/empty shared-string index —
+                      // one bad cell must not fail the whole partition
+                      val v = raw.trim.toIntOption
+                        .filter(i => i >= 0 && i < shared.length)
+                        .map(shared).getOrElse("")
+                      Cell(v, numeric = false)
                     case "str" | "inlineStr" => Cell(raw, numeric = false)
                     case "b" => Cell(if (raw.trim == "1") "true" else "false", numeric = false)
                     case _ => Cell(raw.trim, numeric = true)

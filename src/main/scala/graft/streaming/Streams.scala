@@ -5,6 +5,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Open-session accumulator for [[Streams.sessionize]] — top-level and
+  * public because the streaming state store compiles an encoder for it
+  * on executors (count + boundaries only: O(1) per key). */
+final case class SessionState(n: Int, start: Long, last: Long)
+
 /** Structured Streaming operators over the events schema
   * (event_id, ts, user_id, event_type, value).
   *
@@ -38,38 +43,86 @@ object Streams {
                          event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int,
                            start: Timestamp, end: Timestamp)
-  private final case class SessionState(n: Int, start: Long, last: Long)
+
+  /** Merge interval fragments that are within `gapMs` of each other.
+    * Input size is one microbatch's events for ONE key (plus the open
+    * session from state) — bounded by the trigger, never the corpus. */
+  private def mergeFragments(ss: List[SessionState], gapMs: Long): List[SessionState] =
+    ss.sortBy(_.start).foldLeft(List.empty[SessionState]) {
+      case (h :: t, s) if s.start - h.last <= gapMs =>
+        SessionState(h.n + s.n, math.min(h.start, s.start),
+          math.max(h.last, s.last)) :: t
+      case (acc, s) => s :: acc
+    }.reverse
 
   /** Gap-based sessionization with explicit state: a session closes
-    * after `gapMs` of inactivity (processing-time timeout on streams).
-    * State per key is O(1) — counts and boundaries only. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 5 * 60 * 1000): Dataset[Session] = {
+    * after `gapMs` of event-time inactivity.
+    *
+    * Streaming semantics are real: the open session survives across
+    * microbatches in O(1) state (count + boundaries only) and is
+    * emitted ONLY when the event-time timeout fires — i.e. when the
+    * watermark (driven by `lateness`) passes `last + gapMs`. Within a
+    * batch the per-key sort is bounded by that microbatch's events for
+    * the key, not by history. Closed-by-gap sessions are emitted as
+    * soon as a later event proves the gap; a late event that lands
+    * before the open session (within the watermark) merges or emits as
+    * its own fragment.
+    *
+    * On a batch Dataset the same fold runs once per key and end-of-data
+    * closes every session — identical output to streaming the same
+    * events and letting the final timeout fire (see StreamingSpec).
+    * For a pure-SQL alternative see [[sessionizeNative]]. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 5 * 60 * 1000,
+                 lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch mode: all events for the key arrive at once, sorted here
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var cur: Option[SessionState] = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(n = s.n + 1, last = t))
-              case Some(s) =>
-                out += Session(uid, s.n, new Timestamp(s.start), new Timestamp(s.last))
-                cur = Some(SessionState(1, t, t))
-              case None =>
-                cur = Some(SessionState(1, t, t))
+          def emit(s: SessionState) =
+            Session(uid, s.n, new Timestamp(s.start), new Timestamp(s.last))
+          if (streaming && state.hasTimedOut) {
+            // gap expired with no new events: close the open session
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            val frags = it.map { e =>
+              val t = e.ts.getTime; SessionState(1, t, t)
+            }.toList
+            val all = mergeFragments(state.getOption.toList ::: frags, gapMs)
+            if (all.isEmpty) Iterator.empty
+            else if (streaming) {
+              // keep the newest (still-growable) session in state; emit
+              // everything older — later events already proved the gap
+              val open = all.last
+              state.update(open)
+              state.setTimeoutTimestamp(
+                math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              all.init.iterator.map(emit)
+            } else {
+              state.remove()
+              all.iterator.map(emit)
             }
           }
-          // close the trailing session in batch mode; a stream would
-          // keep it in state until the timeout fires
-          cur.foreach(s => out += Session(uid, s.n, new Timestamp(s.start), new Timestamp(s.last)))
-          state.remove()
-          out.iterator
       }
   }
+
+  /** Spark-native gap sessionization via `session_window` — the
+    * declarative path: state-store-backed on streams (add a watermark
+    * upstream), a plain shuffle-and-merge aggregation in batch, and the
+    * planner handles merging/expiry. Output: one row per (user,
+    * session) with the session's true event span (`s_end` = last event
+    * time, not last+gap). */
+  def sessionizeNative(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("s_end"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("s_end"), col("n_events"))
 }

@@ -31,6 +31,23 @@ class AsofJoinSpec extends TestSpark {
       ("A", 99L, Some(3.0)), ("B", 14L, None), ("C", 50L, None)))
   }
 
+  test("asof join: matched row's NULL payload is preserved and all payload " +
+       "columns come from the same right row") {
+    val right = Seq( // (key, time, a, b)
+      ("A", 10L, Some(1.0), Some("x")),
+      ("A", 20L, None, Some("y")),      // latest at t>=20: a is GENUINELY null
+      ("A", 30L, Some(3.0), None)       // latest at t>=30: b is GENUINELY null
+    ).toDF("k", "rt", "a", "b")
+    val left = Seq(("A", 25L), ("A", 35L)).toDF("k", "lt")
+    val out = AsofJoin(left, col("k"), col("lt"), right, col("k"), col("rt"),
+        Seq("a", "b"))
+      .orderBy("lt").select("lt", "a", "b")
+      .as[(Long, Option[Double], Option[String])].collect().toSeq
+    // per-column last-non-null would wrongly return (25, 1.0, "y") and
+    // (35, 3.0, "y") — values stitched from different right rows
+    assert(out === Seq((25L, None, Some("y")), (35L, Some(3.0), None)))
+  }
+
   test("asof join matches a naive per-row computation on real tables") {
     val o = Tables(spark, sfDir, "orders")
       .groupBy("o_custkey").agg(max("o_orderdate").as("last_date"))

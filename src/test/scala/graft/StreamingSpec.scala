@@ -64,6 +64,71 @@ class StreamingSpec extends TestSpark {
       Seq((1L, 3), (1L, 1), (2L, 1)))
   }
 
+  test("sessionize: sessions spanning microbatches are NOT split — " +
+       "multi-batch streaming == single-batch streaming == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // offset from epoch 0: the stream's initial watermark is 0, and a
+    // row at exactly the watermark is treated as late and dropped
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    val evs = Seq(
+      Streams.Event(1, ts(0), 1, "view", 0), Streams.Event(2, ts(2), 1, "view", 0),
+      Streams.Event(3, ts(4), 1, "click", 0),
+      Streams.Event(4, ts(30), 1, "view", 0),  // new session (gap 26m)
+      Streams.Event(5, ts(0), 2, "view", 0))
+    // sentinels advance the watermark so event-time timeouts fire
+    // (watermark updates at end of batch N, timeouts fire in N+1);
+    // user 999 is excluded from the assertions
+    val sent1 = Seq(Streams.Event(100, ts(10000), 999, "w", 0))
+    val sent2 = Seq(Streams.Event(101, ts(20000), 999, "w", 0))
+
+    def run(name: String, batches: Seq[Seq[Streams.Event]]): Seq[(Long, Int, Long, Long)] = {
+      val ms = MemoryStream[Streams.Event](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.Event](),
+        spark.sqlContext)
+      val q = Streams.sessionize(ms.toDS(), gapMs = 5 * 60 * 1000)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[Streams.Session].collect().toSeq
+        .filter(_.user_id != 999)
+        .map(s => (s.user_id, s.n_events, s.start.getTime, s.end.getTime))
+        .sortBy(x => (x._1, x._3))
+    }
+
+    // split mid-session: events 1-3 in batch 1, 4-5 in batch 2
+    val multi = run("sess_multi", Seq(evs.take(3), evs.drop(3), sent1, sent2))
+    val single = run("sess_single", Seq(evs, sent1, sent2))
+    val batch = Streams.sessionize(evs.toDS(), gapMs = 5 * 60 * 1000)
+      .collect().toSeq
+      .map(s => (s.user_id, s.n_events, s.start.getTime, s.end.getTime))
+      .sortBy(x => (x._1, x._3))
+
+    val want = Seq(
+      (1L, 3, ts(0).getTime, ts(4).getTime),
+      (1L, 1, ts(30).getTime, ts(30).getTime),
+      (2L, 1, ts(0).getTime, ts(0).getTime))
+    assert(multi === want)
+    assert(single === want)
+    assert(batch === want)
+  }
+
+  test("sessionizeNative (session_window) equals explicit-state sessionize " +
+       "on the real events table") {
+    val base = Tables(spark, sfDir, "events")
+      .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val gapMs = 60 * 60 * 1000L
+    val custom = Streams.sessionize(base.as[Streams.Event], gapMs).collect().toSeq
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events.toLong))
+      .sortBy(x => (x._1, x._2))
+    val native = Streams.sessionizeNative(base, gap = "1 hour").collect().toSeq
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(custom === native)
+    assert(custom.nonEmpty)
+  }
+
   test("sessionize on the real events table produces bounded sane sessions") {
     val events = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
