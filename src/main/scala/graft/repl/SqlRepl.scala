@@ -1,8 +1,11 @@
 package graft.repl
 
 import java.io.{BufferedReader, InputStreamReader, PrintStream}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
 import graft.sinks.CsvExport
+import graft.sources.Ingest
 import graft.{GraftSession, Tables}
 
 /** The reference's interactive surface (/root/reference/src/main.rs:
@@ -11,12 +14,43 @@ import graft.{GraftSession, Tables}
   * export suffix (commas stripped from displayed values, like
   * main.rs:273-276).
   *
+  * Line history mirrors rustyline's optional file history
+  * (main.rs:137-141, 175-176): every executed line is recorded, an
+  * existing history file is loaded on start, and `\history` / `!N` /
+  * `!!` list and recall entries (a plain stdin loop has no terminal to
+  * do arrow-key editing in).
+  *
   * Library-first: `runLine` is pure-ish (returns the rendered table) so
   * the REPL loop is a thin stdin/stdout shell and tests drive runLine
   * directly.
   */
 final class SqlRepl(spark: SparkSession, out: PrintStream = System.out,
-                    maxRows: Int = 1000) {
+                    maxRows: Int = 1000,
+                    historyFile: Option[Path] = None) {
+
+  private val history = scala.collection.mutable.ArrayBuffer[String]()
+  historyFile.filter(Files.exists(_)).foreach { p =>
+    history ++= Files.readAllLines(p).asScala
+  }
+
+  private def record(cmd: String): Unit = {
+    history += cmd
+    historyFile.foreach(p => Files.writeString(p, cmd + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+  }
+
+  /** Resolve `!N` (1-based) / `!!` recall; None = nothing to run. */
+  private def resolve(line: String): Option[String] = line match {
+    case "!!" =>
+      val r = history.lastOption
+      if (r.isEmpty) out.println("Error: history is empty")
+      r
+    case s if s.length > 1 && s.head == '!' && s.tail.forall(_.isDigit) =>
+      val i = s.tail.toInt
+      if (i >= 1 && i <= history.size) Some(history(i - 1))
+      else { out.println(s"Error: no history entry $i"); None }
+    case s => Some(s)
+  }
 
   /** Execute one REPL line; returns the rendered table text. */
   def runLine(line: String): String = {
@@ -34,11 +68,14 @@ final class SqlRepl(spark: SparkSession, out: PrintStream = System.out,
     var line = ""
     while ({ out.print("[SQL] >> "); out.flush(); line = in.readLine(); line != null }) {
       val trimmed = line.trim
-      if (trimmed.nonEmpty && trimmed != "exit" && trimmed != "quit") {
-        try out.println(runLine(trimmed))
+      if (trimmed == "exit" || trimmed == "quit") return
+      if (trimmed == "\\history")
+        history.zipWithIndex.foreach { case (h, i) => out.println(s"${i + 1}  $h") }
+      else if (trimmed.nonEmpty) resolve(trimmed).foreach { cmd =>
+        record(cmd)
+        try out.println(runLine(cmd))
         catch { case e: Exception => out.println(s"Error: ${e.getMessage}") }
       }
-      if (trimmed == "exit" || trimmed == "quit") return
     }
   }
 }
@@ -51,13 +88,66 @@ object SqlRepl {
       case _                => (line.trim, None)
     }
 
-  /** Entry point: `runMain graft.repl.SqlRepl <dataDir>` registers the
-    * standard tables as views and starts the prompt. */
+  private[repl] final case class CliConf(
+      file: Option[String] = None, sheet: Option[String] = None,
+      coerceZero: Boolean = false, unique: Option[Seq[String]] = Some(Nil),
+      history: Option[Path] = None, dataDir: Option[String] = None)
+
+  private[repl] def parseArgs(args: Seq[String]): CliConf = {
+    def walk(rest: List[String], c: CliConf): CliConf = rest match {
+      case "-f" :: v :: t       => walk(t, c.copy(file = Some(v)))
+      case "-s" :: v :: t       => walk(t, c.copy(sheet = Some(v)))
+      case "--coerce=zero" :: t => walk(t, c.copy(coerceZero = true))
+      case "--no-unique" :: t   => walk(t, c.copy(unique = None))
+      case "--unique" :: v :: t =>
+        walk(t, c.copy(unique = Some(v.split(",").toSeq)))
+      case "--history" :: v :: t =>
+        walk(t, c.copy(history = Some(Paths.get(v))))
+      case d :: t               => walk(t, c.copy(dataDir = Some(d)))
+      case Nil                  => c
+    }
+    walk(args.toList, CliConf())
+  }
+
+  /** The reference's one workflow in one command
+    * (main.rs:25-34, 130-177): `-f file.xlsx -s Sheet1` loads the sheet
+    * as table `excel_rows` (the reference's table name, main.rs:181),
+    * enforces key uniqueness on the first column (its
+    * `idx_service_name` unique index; `--unique c1,c2` overrides,
+    * `--no-unique` disables), then drops into the SQL REPL. Without
+    * `-f`, the positional arg is a parquet data dir (graft's native
+    * mode). Separated from `main` so tests can drive it end-to-end. */
+  def runCli(args: Array[String], spark: SparkSession,
+             in: BufferedReader, out: PrintStream): Unit = {
+    val c = parseArgs(args.toIndexedSeq)
+    c.file match {
+      case Some(f) =>
+        val reader = spark.read.format("graft.sources.xlsx.XlsxDataSource")
+          .option("path", f)
+        c.sheet.foreach(s => reader.option("sheet", s))
+        if (c.coerceZero) reader.option("coerce", "zero")
+        val df = reader.load()
+        val keyCols = c.unique.map {
+          case Nil  => Seq(df.columns.head)
+          case cols => cols
+        }
+        val checked = keyCols.fold(df)(ks => Ingest.assertUnique(df, ks))
+        checked.createOrReplaceTempView("excel_rows")
+        out.println(s"Loaded $f${c.sheet.fold("")(s => s" sheet $s")} " +
+          s"as table excel_rows (${df.columns.mkString(", ")})")
+      case None =>
+        Tables.registerAll(spark, c.dataDir.getOrElse("/root/testdata/sf0.001"))
+    }
+    new SqlRepl(spark, out, historyFile = c.history).loop(in)
+  }
+
+  /** Entry point. `runMain graft.repl.SqlRepl <dataDir>` (parquet mode)
+    * or `runMain graft.repl.SqlRepl -f file.xlsx -s Sheet1` (reference
+    * parity mode). */
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local()
-    Tables.registerAll(spark, dir)
-    new SqlRepl(spark).loop(new BufferedReader(new InputStreamReader(System.in)))
+    runCli(args, spark,
+      new BufferedReader(new InputStreamReader(System.in)), System.out)
     spark.stop()
   }
 }

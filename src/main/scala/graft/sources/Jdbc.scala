@@ -10,9 +10,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Scale defaults: partitioned reads (numPartitions + bound column)
   * so a 100 TB-adjacent dimension extract doesn't serialize through
   * one connection, and batched writes (`batchsize`) instead of
-  * row-at-a-time statements. No JDBC driver jar ships in this
-  * environment, so this wrapper is exercised for plan construction
-  * only; on a real cluster it is Spark's stock JDBC path.
+  * row-at-a-time statements. Exercised at runtime against embedded
+  * Derby (on the Spark classpath) in SourceSinkSpec; any other driver
+  * jar just needs to be on the executor classpath.
   */
 object Jdbc {
 

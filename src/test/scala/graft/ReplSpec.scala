@@ -50,6 +50,75 @@ class ReplSpec extends TestSpark {
     assert(csv.length === 6) // header + 5 regions
   }
 
+  test("CLI parity: -f xlsx -s sheet loads excel_rows and serves SQL + |out= " +
+       "end-to-end (reference demo workflow in one command)") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+    import graft.sources.xlsx.XlsxWriter
+    val dir = Files.createTempDirectory("cli-xlsx").toFile
+    val p = new java.io.File(dir, "perf.xlsx").getAbsolutePath
+    XlsxWriter.write(p, "Sheet1", Seq(
+      Seq("service_name", "average_response_time_95_ms", "count",
+          "max_response_time_95_ms", "min_response_time_95_ms"),
+      Seq("checkout", 12.5, 1000, 99.9, 1.25),
+      Seq("search", 8.25, 250000, 50.0, 0.5)))
+    val csvOut = Files.createTempFile("cli", ".csv").toString
+    val bos = new ByteArrayOutputStream()
+    SqlRepl.runCli(Array("-f", p, "-s", "Sheet1"), spark,
+      new BufferedReader(new StringReader(
+        "SELECT service_name, count FROM excel_rows ORDER BY service_name " +
+          s"|out=$csvOut\nquit\n")),
+      new PrintStream(bos, true, "UTF-8"))
+    val out = bos.toString("UTF-8")
+    assert(out.contains("as table excel_rows"))
+    assert(out.contains("checkout") && out.contains("250,000"))
+    val csv = Files.readString(java.nio.file.Paths.get(csvOut)).trim.split("\n")
+    // numeric xlsx columns infer as double (reference loads them as REAL too)
+    assert(csv.toSeq === Seq("service_name,count", "checkout,1000.0", "search,250000.0"))
+  }
+
+  test("CLI parity: duplicate keys fail the load like the reference's " +
+       "unique index; --no-unique admits them") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+    import graft.sources.xlsx.XlsxWriter
+    val dir = Files.createTempDirectory("cli-dup").toFile
+    val p = new java.io.File(dir, "dup.xlsx").getAbsolutePath
+    XlsxWriter.write(p, "Sheet1", Seq(
+      Seq("service_name", "count"),
+      Seq("checkout", 1), Seq("checkout", 2), Seq("search", 3)))
+    def run(flags: Array[String]): String = {
+      val bos = new ByteArrayOutputStream()
+      SqlRepl.runCli(flags ++ Array("-f", p, "-s", "Sheet1"), spark,
+        new BufferedReader(new StringReader("quit\n")),
+        new PrintStream(bos, true, "UTF-8"))
+      bos.toString("UTF-8")
+    }
+    val e = intercept[graft.sources.Ingest.DuplicateKeysException](run(Array()))
+    assert(e.nKeys === 1 && e.sample === Seq("checkout"))
+    assert(run(Array("--no-unique")).contains("as table excel_rows"))
+  }
+
+  test("history: \\history lists, !N and !! recall, and the file persists " +
+       "across REPL instances") {
+    import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
+    val hist = Files.createTempFile("repl-history", ".txt")
+    Files.delete(hist) // start with no history file
+    def run(input: String): String = {
+      val bos = new ByteArrayOutputStream()
+      new SqlRepl(spark, new PrintStream(bos, true, "UTF-8"),
+          historyFile = Some(hist))
+        .loop(new BufferedReader(new StringReader(input)))
+      bos.toString("UTF-8")
+    }
+    val out1 = run("SELECT 41 AS a\n!1\n!!\n\\history\nquit\n")
+    // !1 and !! both re-executed the first line
+    assert("\\| 41 \\|".r.findAllIn(out1).size === 3, out1)
+    assert(out1.contains("1  SELECT 41 AS a"))
+    // new instance: history reloaded from the file, !1 still resolves
+    val out2 = run("!1\nquit\n")
+    assert(out2.contains("| 41 |"), out2)
+    assert(Files.readAllLines(hist).size === 4) // 3 executions + 1 recall
+  }
+
   test("thousands separators render in the table and strip in the export") {
     Tables.registerAll(spark, sfDir)
     val out = Files.createTempFile("repl2", ".csv").toString

@@ -34,6 +34,32 @@ class SourceSinkSpec extends TestSpark {
     assert(plan.contains("PartitionFilters"), plan)
   }
 
+  test("jdbc: round-trips a table through embedded Derby " +
+       "(batched write, partitioned read)") {
+    import org.apache.spark.sql.SaveMode
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val src = Tables(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    Jdbc.write(src, url, "nation_rt", mode = SaveMode.Overwrite)
+    val back = Jdbc.read(spark, url, "nation_rt",
+      partitionColumn = Some("n_nationkey"),
+      lowerBound = 0L, upperBound = 25L, numPartitions = 4)
+    assert(back.rdd.getNumPartitions === 4) // bounded read really partitions
+    assert(back.count() === src.count())
+    assert(back.agg(sum("n_nationkey")).as[Long].head() ===
+      src.agg(sum("n_nationkey")).as[Long].head())
+  }
+
+  test("ingest: uniqueOrDedup keeps a deterministic winner and reports drops") {
+    import graft.sources.Ingest
+    val df = Seq(("checkout", 2L), ("checkout", 1L), ("search", 3L))
+      .toDF("service_name", "cnt")
+    val (deduped, dropped) = Ingest.uniqueOrDedup(df, Seq("service_name"), col("cnt"))
+    assert(dropped === 1L)
+    assert(deduped.orderBy("service_name").as[(String, Long)].collect().toSeq ===
+      Seq(("checkout", 1L), ("search", 3L))) // min tie-break wins
+  }
+
   test("jdbc wrapper: plan construction reaches the driver lookup (no driver jar here)") {
     val e = intercept[Exception] {
       Jdbc.read(spark, "jdbc:sqlite:/tmp/x.db", "t",
