@@ -190,6 +190,44 @@ object Dedup {
     Staged(result, Seq(sigs))
   }
 
+  /** Connected components over a near-dup pair list — the clustering
+    * step of a dedup pipeline (pairs alone don't say which docs form
+    * one duplicate group; transitive closure does). Iterative
+    * min-label propagation: each round every node takes the smallest
+    * label among itself and its neighbours (one join + one min-agg
+    * shuffle per round), until a fixpoint. Rounds needed = component
+    * diameter; near-dup clusters are clique-ish (diameter 2-3). For
+    * billion-edge graphs swap in large-star/small-star contraction —
+    * the driver loop shape stays the same.
+    *
+    * Output: (id, cluster_id) for every id in `pairs`, cluster_id =
+    * min id reachable — deterministic. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").unionAll(viaNbr)
+        .groupBy("id").agg(min("lbl").as("lbl")).persist()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") < col("p.lbl")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash over word tokens: for each bit, sum +1/-1 votes of
     * xxhash64(token) bits; sign → fingerprint bit. Row-local,
     * codegen-friendly (aggregate over token array). */

@@ -152,6 +152,42 @@ object Pipeline {
         .orderBy("id_a", "id_b"),
       None),
 
+    // -- dedup clustering (transitive closure of near-dup pairs) -----------
+    // Spark: iterative min-label propagation; DuckDB: recursive CTE
+    // reachability — both converge to cluster_id = min reachable id.
+    Q("d06_dedup_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(
+            t(s, d, "documents"), col("doc_id"), col("text"), 0.6))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE
+                 toks AS (
+                   SELECT DISTINCT id, tok FROM (
+                     SELECT doc_id AS id,
+                            unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                     FROM (SELECT doc_id, $tok AS tk FROM documents))
+                   WHERE tok <> ''),
+                 sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+                 cpairs AS (
+                   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                   FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+                   GROUP BY 1, 2),
+                 fpairs AS (
+                   SELECT id_a, id_b FROM cpairs
+                   JOIN sizes sa ON id_a = sa.id
+                   JOIN sizes sb ON id_b = sb.id
+                   WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6),
+                 edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+                           UNION SELECT id_b AS src, id_a AS dst FROM fpairs),
+                 r(id, reach) AS (
+                   SELECT src, src FROM edges
+                   UNION
+                   SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach)
+               SELECT id AS doc_id, MIN(reach) AS cluster_id
+               FROM r GROUP BY id ORDER BY doc_id""")),
+
     Q("d04_simhash",
       (s, d) => Dedup.simhashPairs(
           t(s, d, "documents"), col("doc_id"), col("text"), maxDist = 3)
@@ -307,6 +343,51 @@ object Pipeline {
                           END AS fp
               FROM c ORDER BY doc_id""")),
 
+    // -- tf-idf top terms (integer-deterministic relevance) ----------------
+    // score_milli = tf * 1000 * N / df, floored: pure integer signal,
+    // bit-identical across engines (log-based idf differs in the last
+    // ulp between libm implementations — no cross-engine hash match).
+    Q("t08_tfidf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val terms = docs
+          .select(col("doc_id"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score_milli").desc, col("term").asc)
+        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+          .withColumn("score_milli",
+            floor(col("tf") * 1000L * col("n_docs") / col("df")).cast("long"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "score_milli")
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH terms AS (
+                 SELECT doc_id, unnest($tok) AS term FROM documents),
+               t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+               tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                      FROM t2 GROUP BY doc_id, term),
+               dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                         FROM t2 GROUP BY term),
+               n AS (SELECT COUNT(*) AS n_docs FROM documents),
+               scored AS (
+                 SELECT doc_id, term, tf, df,
+                        (tf * 1000 * n_docs) // df AS score_milli
+                 FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+               ranked AS (
+                 SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_milli DESC, term ASC) AS INT) AS rank
+                 FROM scored)
+              SELECT doc_id, rank, term, tf, df, score_milli
+              FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
     Q("t05_ngram_stats",
       (s, d) => t(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
@@ -355,6 +436,26 @@ object Pipeline {
       Some("""SELECT doc_id, lang, n_chars FROM documents
               WHERE substring(md5(text), 1, 1) IN ('0', '1')
               ORDER BY doc_id""")),
+
+    // -- stratified deterministic sampling ---------------------------------
+    // balanced per-stratum subsample, reproducible across engines/runs/
+    // partitionings: rank within stratum by content hash, keep top-20
+    Q("q34_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(md5(col("text")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .select("lang", "rk", "doc_id", "n_chars")
+          .orderBy("lang", "rk")
+      },
+      Some("""SELECT lang, rk, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(text), doc_id) AS INT) AS rk
+                FROM documents)
+              WHERE rk <= 20 ORDER BY lang, rk""")),
 
     // -- gap sessionization (batch face of the streaming operator) ---------
     // session_window boundary: an event at exactly last+gap starts a NEW

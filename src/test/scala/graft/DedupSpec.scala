@@ -80,4 +80,15 @@ class DedupSpec extends TestSpark {
     // banding catches >= 80% of J>=0.8 pairs in expectation
     assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.8)
   }
+
+  test("connected components: chains propagate the min label transitively") {
+    // 1-2, 2-3, 3-4 is a diameter-3 path (needs >1 propagation round);
+    // 10-11 is a separate component; 7-5 checks min via the larger id
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
+  }
 }
