@@ -25,14 +25,8 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
   private val P = 2147483647L // 2^31 - 1
 
   // (a, b) per permutation from a seeded LCG — reproducible everywhere.
-  @transient private lazy val (as: Array[Long], bs: Array[Long]) = {
-    var s = seed
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 3 }
-    val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)
-    var i = 0
-    while (i < numPerms) { a(i) = next() % (P - 1) + 1; b(i) = next() % P; i += 1 }
-    (a, b)
-  }
+  @transient private lazy val (as: Array[Long], bs: Array[Long]) =
+    MinHashSignature.perms(numPerms, seed)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -89,6 +83,22 @@ case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val P = 2147483647L
+
+  /** The permutation constants (a_i, b_i) from the seeded LCG — public
+    * so oracle-SQL generation can embed the exact same values as
+    * literals (DuckDB then reproduces every signature bit-for-bit). */
+  def perms(numPerms: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 3 }
+    val a = new Array[Long](numPerms); val b = new Array[Long](numPerms)
+    var i = 0
+    while (i < numPerms) { a(i) = next() % (P - 1) + 1; b(i) = next() % P; i += 1 }
+    (a, b)
+  }
 }
 
 object MinHashFunctions {

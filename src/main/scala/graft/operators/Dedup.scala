@@ -107,17 +107,27 @@ object Dedup {
   }
 
   /** Deterministic per-permutation MinHash: h_i(tok) = min over tokens of
-    * ((a_i * (xxhash64(tok) mod p) + b_i) mod p) with p = 2^31-1, so the
+    * ((a_i * shingleHash(tok) + b_i) mod p) with p = 2^31-1, so the
     * product stays < 2^62 (ANSI mode forbids silent long wrap-around).
     * (a_i, b_i) come from a seeded LCG so signatures are reproducible
     * across runs/executors. */
   private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
 
+  /** Per-shingle base hash: the codegen'd rolling code-point fingerprint
+    * mod p. Chosen over xxhash64 because DuckDB can reproduce it
+    * (string_split('') + unicode + list_reduce), which makes the WHOLE
+    * MinHash-LSH pipeline oracle-checkable — signatures, banding and
+    * verification included. One static call per shingle; cost is
+    * indistinguishable from xxhash64 at any scale (the hashing pass is
+    * one scan of (docs × shingles); the heavy stages are downstream). */
+  private def shingleHash(t: Column): Column =
+    pmod(graft.functions.RollingHashFunctions.fingerprint(t), lit(P31))
+
   /** Full MinHash signature as one array column (codegen'd native
     * expression — see [[graft.functions.MinHashSignature]]). */
   def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Column =
     graft.functions.MinHashFunctions.minhashSig(
-      array_distinct(transform(shingles(text), t => pmod(xxhash64(t), lit(P31)))),
+      array_distinct(transform(shingles(text), shingleHash(_))),
       numPerms, seed)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
@@ -143,8 +153,7 @@ object Dedup {
     // is pure long arithmetic. persist() cuts the tree so the self-join
     // reads the signatures instead of recomputing them per side (the
     // 100 TB equivalent is staging signatures to a parquet table).
-    val hExpr = array_distinct(transform(shingles(text),
-      t => pmod(xxhash64(t), lit(P31))))
+    val hExpr = array_distinct(transform(shingles(text), shingleHash(_)))
     // One persisted stage holds (h, sig); the band keys and the join
     // both read it from storage instead of re-deriving signatures (the
     // 100 TB equivalent is staging signatures to a parquet table).

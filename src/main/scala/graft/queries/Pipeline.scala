@@ -12,6 +12,63 @@ object Pipeline {
 
   private val tok = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** DuckDB replica of the ENTIRE MinHash-LSH pipeline — possible
+    * because the shingle hash is the rolling code-point fingerprint
+    * (DuckDB-computable) and the permutation constants come from the
+    * same LCG ([[graft.functions.MinHashSignature.perms]]) embedded
+    * here as literals. Banding joins on the raw signature-band string
+    * (Spark joins on xxhash64 of it — identical equality classes). */
+  private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String = {
+    val n = bands * rpb
+    val (as, bs) = graft.functions.MinHashSignature.perms(n, seed)
+    val P = 2147483647L
+    val sigCols = (0 until n).map(i =>
+      s"list_min(list_transform(hs, h -> (h * ${as(i)} + ${bs(i)}) % $P)) AS s$i")
+      .mkString(",\n                 ")
+    val bandSel = (0 until bands).map { b =>
+      val parts = (0 until rpb).map(r => s"s${b * rpb + r}").mkString(", '_', ")
+      s"SELECT id, $b AS band, CONCAT($parts) AS bkey FROM sigs"
+    }.mkString("\n               UNION ALL ")
+    s"""WITH toks AS (
+            SELECT DISTINCT id, tok FROM (
+              SELECT doc_id AS id,
+                     unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+              FROM (SELECT doc_id, $tok AS tk FROM documents))
+            WHERE tok <> ''),
+          thash AS (
+            SELECT id,
+                   (list_reduce(list_transform(string_split(tok, ''),
+                      ch -> CAST(unicode(ch) AS BIGINT)),
+                      (a, b) -> (a * 131 + b) % $P) * 2147483648
+                    + list_reduce(list_transform(string_split(tok, ''),
+                        ch -> CAST(unicode(ch) AS BIGINT)),
+                        (a, b) -> (a * 257 + b) % $P)) % $P AS h
+            FROM toks),
+          hsets AS (SELECT id, list(DISTINCT h) AS hs FROM thash GROUP BY id),
+          sigs AS (SELECT id,
+                 $sigCols
+            FROM hsets WHERE len(hs) > 0),
+          bnd AS ($bandSel),
+          cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bnd a JOIN bnd b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+          verified AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(ha.hs, hb.hs)) AS inter,
+                   CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) /
+                     (len(ha.hs) + len(hb.hs)
+                      - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+            FROM cands
+            JOIN hsets ha ON ha.id = id_a
+            JOIN hsets hb ON hb.id = id_b)
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+               round(jaccard, 4) AS jaccard
+        FROM verified WHERE jaccard >= $minJ
+        ORDER BY id_a, id_b"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // -- as-of join (q26) --------------------------------------------------
@@ -150,7 +207,7 @@ object Pipeline {
           bands = 16, rowsPerBand = 4, minJaccard = 0.6)
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(d03Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
 
     // -- dedup clustering (transitive closure of near-dup pairs) -----------
     // Spark: iterative min-label propagation; DuckDB: recursive CTE
