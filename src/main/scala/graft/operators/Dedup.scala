@@ -237,11 +237,14 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
-  /** 64-bit SimHash over word tokens: for each bit, sum +1/-1 votes of
-    * xxhash64(token) bits; sign → fingerprint bit. Row-local,
-    * codegen-friendly (aggregate over token array). */
+  /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 votes
+    * of the shingle-hash bits; sign → fingerprint bit. Feature hashes
+    * are the 62-bit rolling fingerprints (not mod p — SimHash wants
+    * bit width), DuckDB-computable so simhashPairs is oracle-checkable.
+    * Row-local, one codegen'd n×64 vote loop. */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(shingles(text), t => xxhash64(t)))
+    simhashFromHashes(transform(shingles(text),
+      t => graft.functions.RollingHashFunctions.fingerprint(t)))
 
   /** SimHash given pre-computed shingle hashes — one codegen'd n×64
     * vote loop (see [[graft.functions.SimHash64]]). */
@@ -267,7 +270,8 @@ object Dedup {
     // all 64 per-bit vote expressions.
     val hashed = df
       .select(id.as("id"),
-        transform(shingles(text), t => xxhash64(t)).as("hs"))
+        transform(shingles(text),
+          t => graft.functions.RollingHashFunctions.fingerprint(t)).as("hs"))
       .persist()
     val withFp = hashed.select(col("id"), simhashFromHashes(col("hs")).as("fp"))
     val segs = withFp.select(col("id"), col("fp"),

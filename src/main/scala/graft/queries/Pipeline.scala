@@ -12,6 +12,57 @@ object Pipeline {
 
   private val tok = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** DuckDB replica of the SimHash pipeline: 62-bit rolling-fingerprint
+    * feature hashes, per-bit ±1 votes with the same strict `> 0` sign
+    * rule as the native SimHash64 expression, pigeonhole segment join,
+    * hamming via bit_count(xor). Docs with no shingles get fp = 0 (the
+    * expression's empty-array value), hence the LEFT JOIN. */
+  private def d04Oracle(maxDist: Int): String = {
+    val P = 2147483647L
+    val nSeg = maxDist + 1
+    val segBits = 64 / nSeg
+    val fpTerms = (0 until 62).map { b =>
+      s"CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> $b) & 1)) " +
+        s"> len(hs) THEN ${1L << b} ELSE 0 END"
+    }.mkString("\n                 + ")
+    val segSel = (0 until nSeg).map { sg =>
+      s"SELECT id, fp, $sg AS seg, (fp >> ${sg * segBits}) & ${(1L << segBits) - 1} AS skey FROM sims"
+    }.mkString("\n               UNION ALL ")
+    s"""WITH toks AS (
+            SELECT DISTINCT id, tok FROM (
+              SELECT doc_id AS id,
+                     unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+              FROM (SELECT doc_id, $tok AS tk FROM documents))
+            WHERE tok <> ''),
+          thash AS (
+            SELECT id,
+                   list_reduce(list_transform(string_split(tok, ''),
+                      ch -> CAST(unicode(ch) AS BIGINT)),
+                      (a, b) -> (a * 131 + b) % $P) * 2147483648
+                    + list_reduce(list_transform(string_split(tok, ''),
+                        ch -> CAST(unicode(ch) AS BIGINT)),
+                        (a, b) -> (a * 257 + b) % $P) AS h
+            FROM toks),
+          hsets AS (
+            SELECT d.doc_id AS id, coalesce(t.hs, CAST([] AS BIGINT[])) AS hs
+            FROM documents d
+            LEFT JOIN (SELECT id, list(h) AS hs FROM thash GROUP BY id) t
+              ON t.id = d.doc_id),
+          sims AS (
+            SELECT id,
+                 $fpTerms AS fp
+            FROM hsets),
+          segs AS ($segSel),
+          cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+            FROM segs a JOIN segs b
+              ON a.seg = b.seg AND a.skey = b.skey AND a.id < b.id)
+        SELECT id_a, id_b, hamming FROM cands
+        WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
+  }
+
   /** DuckDB replica of the ENTIRE MinHash-LSH pipeline — possible
     * because the shingle hash is the rolling code-point fingerprint
     * (DuckDB-computable) and the permutation constants come from the
@@ -249,7 +300,7 @@ object Pipeline {
       (s, d) => Dedup.simhashPairs(
           t(s, d, "documents"), col("doc_id"), col("text"), maxDist = 3)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(d04Oracle(maxDist = 3))),
 
     Q("d05_embed_neardup",
       (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), minCos = 0.4)
