@@ -10,8 +10,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** nBits-bit random-hyperplane LSH signature of an `Array[Float]`
   * vector: bit j = sign(dot(plane_j, v)), where plane_j's component for
-  * dimension d is ±1 derived from a splitmix64-style mix of
-  * (seed, j, d) — deterministic everywhere, no RNG state to ship.
+  * dimension d is ±1 — the parity of ((a_j·(d+1) + b_j) mod p)² mod p
+  * with p = 2^31-1 and (a_j, b_j) from the shared seeded LCG
+  * ([[MinHashSignature.perms]]). Deterministic everywhere, no RNG
+  * state to ship, and — unlike a 64-bit avalanche mix — expressible in
+  * DuckDB's wraparound-free BIGINT arithmetic, so the whole LSH
+  * pipeline is oracle-checkable. (The quadratic scramble matters: the
+  * parity of a bare linear congruence along d is constant between
+  * mod-wraps; squaring varies the increment so parities mix. Recall
+  * specs hold at the same thresholds as the avalanche version.)
   *
   * As a native expression the whole signature is ONE tight
   * nBits × dims fused multiply-add loop inside whole-stage codegen. The
@@ -22,6 +29,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   */
 case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression {
+
+  @transient private lazy val (as: Array[Long], bs: Array[Long]) =
+    MinHashSignature.perms(nBits, seed)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_signature"
@@ -38,11 +48,11 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
     var sig = 0L
     var j = 0
     while (j < nBits) {
+      val a = as(j); val b = bs(j)
       var s = 0.0
       var d = 0
       while (d < n) {
-        s += v.getFloat(d).toDouble *
-          HyperplaneSignature.sign(seed, j, d)
+        s += v.getFloat(d).toDouble * HyperplaneSignature.sign(a, b, d)
         d += 1
       }
       if (s > 0) sig |= (1L << j)
@@ -51,43 +61,44 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
     sig
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("hyperA", as, "long[]")
+    val bRef = ctx.addReferenceObj("hyperB", bs, "long[]")
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
       val j = ctx.freshName("j"); val d = ctx.freshName("d")
-      val s = ctx.freshName("s"); val z = ctx.freshName("z")
+      val s = ctx.freshName("s"); val u = ctx.freshName("u")
       s"""
          |int $n = $v.numElements();
          |long $sig = 0L;
          |for (int $j = 0; $j < $nBits; $j++) {
          |  double $s = 0.0;
          |  for (int $d = 0; $d < $n; $d++) {
-         |    long $z = ${seed}L ^ ($j * 0x9E3779B97F4A7C15L) ^ (((long) $d) * 0xC2B2AE3D27D4EB4FL);
-         |    $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
-         |    $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
-         |    $z = $z ^ ($z >>> 31);
-         |    $s += (double) $v.getFloat($d) * ((($z & 1L) == 0L) ? 1.0 : -1.0);
+         |    long $u = ($aRef[$j] * ($d + 1L) + $bRef[$j]) % ${HyperplaneSignature.P}L;
+         |    $u = ($u * $u) % ${HyperplaneSignature.P}L;
+         |    $s += (double) $v.getFloat($d) * ((($u & 1L) == 0L) ? 1.0 : -1.0);
          |  }
          |  if ($s > 0) $sig |= (1L << $j);
          |}
          |${ev.value} = $sig;
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object HyperplaneSignature {
-  /** ±1 hyperplane component for (plane j, dim d) — splitmix64 finalizer
-    * over the mixed indices; MUST stay identical to the inlined codegen
-    * above. */
-  def sign(seed: Long, j: Int, d: Int): Double = {
-    var z = seed ^ (j * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xC2B2AE3D27D4EB4FL)
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) 1.0 else -1.0
+  val P = 2147483647L // 2^31 - 1; keeps a·(d+1)+b < 2^62 and u² < 2^62
+
+  /** ±1 hyperplane component for (plane (a,b), dim d) — parity of the
+    * quadratically-scrambled congruence; MUST stay identical to the
+    * inlined codegen above and to the oracle-SQL generation. */
+  def sign(a: Long, b: Long, d: Int): Double = {
+    var u = (a * (d + 1L) + b) % P
+    u = (u * u) % P
+    if ((u & 1L) == 0L) 1.0 else -1.0
   }
 }
 

@@ -112,9 +112,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 1): DataFrame = {
-    // deterministic pseudo-random seeds: top-nCells by hashed id
+    // deterministic pseudo-random seeds: top-nCells by hashed id (md5
+    // of the decimal id string — same hex, and so the same order, in
+    // any engine, which keeps the whole pipeline oracle-checkable)
     val seeds = corpus
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+        col("vec_id").asc)
       .limit(nCells)
       .withColumn("cell_id",
         row_number().over(Window.orderBy(col("vec_id"))).cast("int") - 1)

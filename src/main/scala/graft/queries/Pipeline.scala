@@ -12,6 +12,124 @@ object Pipeline {
 
   private val tok = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** Shared DuckDB CTEs (`sigs`, `bnd`) replicating the hyperplane-LSH
+    * signature + banding: per plane j, the ±1 component for dim d is
+    * the parity of ((a_j·(d+1)+b_j) mod p)² mod p with the same LCG
+    * constants as the native expression; the dot-product fold runs
+    * left-to-right (list_reduce) exactly like the codegen'd loop, so
+    * sign decisions — and therefore buckets — are bit-identical. */
+  private def hyperBandCtes(nBits: Int, bands: Int, seed: Long): String = {
+    val (as, bs) = graft.functions.MinHashSignature.perms(nBits, seed)
+    val P = graft.functions.HyperplaneSignature.P
+    val bits = nBits / bands
+    val sigTerms = (0 until nBits).map { j =>
+      val u = s"((${as(j)} * i + ${bs(j)}) % $P)"
+      val sgn = s"CASE WHEN ((($u * $u) % $P) & 1) = 0 THEN 1.0 ELSE -1.0 END"
+      val fold = s"list_reduce(list_transform(embedding, " +
+        s"(x, i) -> CAST(x AS DOUBLE) * ($sgn)), (p, q) -> p + q)"
+      s"CASE WHEN $fold > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n                 + ")
+    val bandSel = (0 until bands).map { b =>
+      s"SELECT vec_id, e, $b AS band, (sig >> ${b * bits}) & ${(1L << bits) - 1} AS bkey FROM sigs"
+    }.mkString("\n               UNION ALL ")
+    s"""sigs AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 $sigTerms AS sig
+            FROM embeddings),
+          bnd AS ($bandSel)"""
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))"
+
+  /** DuckDB replica of LSH ANN top-k (s02). */
+  private def s02Oracle(k: Int, nBits: Int, bands: Int, seed: Long): String =
+    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+          cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${cosSql("q.e", "c.e")} AS cos
+            FROM bnd c JOIN bnd q
+              ON c.band = q.band AND c.bkey = q.bkey
+             AND q.vec_id < 5 AND c.vec_id <> q.vec_id),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM cand)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB replica of embedding near-dup pairs (d05). */
+  private def d05Oracle(minCos: Double, nBits: Int, bands: Int, seed: Long): String =
+    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+          pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${cosSql("a.e", "b.e")} AS cos
+            FROM bnd a JOIN bnd b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cos, 6) AS cos
+        FROM pairs WHERE cos >= $minCos ORDER BY id_a, id_b"""
+
+  /** DuckDB replica of the IVF ANN pipeline (s03), valid for
+    * lloydIters = 1: md5-ordered seeding, one Lloyd step with
+    * decimal-exact means rounded through FLOAT exactly like the Spark
+    * centroids, assignment by the same dot/|c| score with the same
+    * lower-cell tie rule, probe + exact cosine re-rank. Assumes no
+    * zero-norm centroid (true for real embeddings). */
+  private def s03Oracle(k: Int, nCells: Int, nProbe: Int): String = {
+    val score = "list_dot_product(v.e, s.ce) / sqrt(list_dot_product(s.ce, s.ce))"
+    s"""WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          seeds AS (
+            SELECT vec_id AS cell, e AS ce FROM emb
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
+          a1 AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $score DESC, s.cell ASC) AS rn
+              FROM emb v CROSS JOIN seeds s)
+            WHERE rn = 1),
+          comp AS (
+            SELECT a1.cell, unnest(v.e) AS x,
+                   unnest(range(1, len(v.e) + 1)) AS pos
+            FROM a1 JOIN emb v USING (vec_id)),
+          cent AS (
+            SELECT cell, list(cd ORDER BY pos) AS ce FROM (
+              SELECT cell, pos,
+                     CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(*) AS FLOAT) AS DOUBLE) AS cd
+              FROM comp GROUP BY cell, pos)
+            GROUP BY cell),
+          a2 AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $score DESC, s.cell ASC) AS rn
+              FROM emb v CROSS JOIN cent s)
+            WHERE rn = 1),
+          qp AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $score DESC, s.cell ASC) AS rn
+              FROM emb v CROSS JOIN cent s WHERE v.vec_id < 5)
+            WHERE rn <= $nProbe),
+          cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   ${cosSql("qe.e", "ce.e")} AS cos
+            FROM a2 c
+            JOIN qp q ON c.cell = q.cell AND c.vec_id <> q.vec_id
+            JOIN emb ce ON ce.vec_id = c.vec_id
+            JOIN emb qe ON qe.vec_id = q.vec_id),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM cand)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** DuckDB replica of the SimHash pipeline: 62-bit rolling-fingerprint
     * feature hashes, per-bit ±1 votes with the same strict `> 0` sign
     * rule as the native SimHash64 expression, pigeonhole segment join,
@@ -306,7 +424,7 @@ object Pipeline {
       (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), minCos = 0.4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(d05Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L))),
 
     // -- similarity search -------------------------------------------------
     Q("s01_cosine_topk",
@@ -342,7 +460,7 @@ object Pipeline {
           .withColumn("cos", round(col("cos"), 6))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s02Oracle(k = 10, nBits = 16, bands = 4, seed = 42L))),
 
     Q("s03_ivf_ann",
       (s, d) => {
@@ -351,7 +469,7 @@ object Pipeline {
           .withColumn("cos", round(col("cos"), 6))
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s03Oracle(k = 10, nCells = 16, nProbe = 4))),
 
     // -- text analysis -----------------------------------------------------
     Q("t01_token_count",
