@@ -3,16 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVectorDot, MinHashSignature}
+import graft.functions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
+  NearestCells, RollingFingerprint, SimHash64}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * SQL: `spark.sql.extensions=graft.GraftExtensions` →
-  * `SELECT float_vector_dot(a, b)`, `SELECT minhash_signature(h, 64, 42)`.
+  * `SELECT float_vector_dot(a, b)`, `SELECT minhash_signature(h, 64, 42)`,
+  * `simhash64(hs)`, `hyperplane_signature(v, 16, 42)`,
+  * `rolling_fingerprint(s)`, `nearest_cells(v, cents, 1)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
+
+  private def intArg(fn: String, args: Seq[Expression], i: Int, default: Long): Long =
+    args.lift(i) match {
+      case Some(Literal(v: Int, _))  => v.toLong
+      case Some(Literal(v: Long, _)) => v
+      case None                      => default
+      case other => throw new IllegalArgumentException(
+        s"$fn: literal expected, got $other")
+    }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -24,15 +36,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_signature"),
       info("minhash_signature",
         "_FUNC_(hashes[, numPerms[, seed]]) - minhash signature of a bigint array"),
-      (args: Seq[Expression]) => {
-        def intArg(i: Int, default: Long): Long = args.lift(i) match {
-          case Some(Literal(v: Int, _))  => v.toLong
-          case Some(Literal(v: Long, _)) => v
-          case None                      => default
-          case other => throw new IllegalArgumentException(
-            s"minhash_signature: literal expected, got $other")
-        }
-        MinHashSignature(args.head, intArg(1, 64L).toInt, intArg(2, 42L))
-      }))
+      (args: Seq[Expression]) => MinHashSignature(args.head,
+        intArg("minhash_signature", args, 1, 64L).toInt,
+        intArg("minhash_signature", args, 2, 42L))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "_FUNC_(hashes) - 64-bit simhash of a bigint feature-hash array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_signature"),
+      info("hyperplane_signature",
+        "_FUNC_(vec[, nBits[, seed]]) - random-hyperplane LSH signature of a float array"),
+      (args: Seq[Expression]) => HyperplaneSignature(args.head,
+        intArg("hyperplane_signature", args, 1, 16L).toInt,
+        intArg("hyperplane_signature", args, 2, 42L))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "_FUNC_(s) - 62-bit rolling polynomial hash over the code points of s"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_cells"),
+      info("nearest_cells",
+        "_FUNC_(vec, cents, k) - top-k nearest centroid positions by cosine"),
+      (args: Seq[Expression]) => NearestCells(args(0), args(1),
+        intArg("nearest_cells", args, 2, 1L).toInt)))
   }
 }

@@ -663,6 +663,36 @@ object Pipeline {
               WHERE substring(md5(text), 1, 1) IN ('0', '1')
               ORDER BY doc_id""")),
 
+    // -- window frames (ntile / first / last / nth over a full frame) ------
+    Q("q35_window_frames",
+      (s, d) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wAll = wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            ntile(4).over(wOrd).as("quartile"),
+            first(col("o_orderkey")).over(wAll).as("first_key"),
+            last(col("o_orderkey")).over(wAll).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(wAll).as("second_key"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(ntile(4) OVER w AS INT) AS quartile,
+                     first_value(o_orderkey) OVER wf AS first_key,
+                     last_value(o_orderkey) OVER wf AS last_key,
+                     nth_value(o_orderkey, 2) OVER wf AS second_key
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                     wf AS (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING)
+              ORDER BY o_custkey, o_orderkey""")),
+
     // -- stratified deterministic sampling ---------------------------------
     // balanced per-stratum subsample, reproducible across engines/runs/
     // partitionings: rank within stratum by content hash, keep top-20

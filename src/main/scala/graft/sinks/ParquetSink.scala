@@ -19,4 +19,21 @@ object ParquetSink {
     val w = shaped.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(dir)
   }
+
+  /** Bucketed external table: rows are hash-clustered (and sorted) by
+    * the join key INTO FILES, so every later equi-join or aggregation
+    * on that key is co-located — zero shuffle of the fact table at
+    * read time. The 100 TB play: bucket the big fact tables once on
+    * their join keys; every downstream join against another table
+    * bucketed the same way skips both Exchanges (proven in
+    * BucketSpec). Requires a table name (bucket metadata lives in the
+    * catalog, not the parquet footer). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, bucketBy: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
+      .sortBy(bucketBy.head, bucketBy.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

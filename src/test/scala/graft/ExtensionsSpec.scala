@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL surface of the native expressions: everything registered by
+  * GraftExtensions must be callable from `spark.sql` and agree with the
+  * library column API. */
+class ExtensionsSpec extends TestSpark {
+
+  test("native expressions are callable from SQL and agree with the library") {
+    val r = spark.sql(
+      """SELECT
+        |  float_vector_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                   array(cast(3.0 as float), cast(4.0 as float))) AS dot,
+        |  rolling_fingerprint('abc') AS fp,
+        |  simhash64(array(1L, 3L)) AS sh,
+        |  hyperplane_signature(array(cast(1.0 as float), cast(-2.0 as float)), 8, 7) AS hp,
+        |  element_at(minhash_signature(array(5L, 9L), 4, 42), 1) AS mh0,
+        |  element_at(nearest_cells(array(cast(1.0 as float)),
+        |    array(array(cast(-1.0 as float)), array(cast(1.0 as float))), 1), 1) AS nc
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getLong(1) ===
+      graft.functions.RollingFingerprintUtil.compute(UTF8String.fromString("abc")))
+    // hashes {1, 3}: bit0 votes +2 (set), bit1 votes 0 (strict > 0: unset)
+    assert(r.getLong(2) === 1L)
+    // deterministic: same value on every call/engine
+    assert(r.getLong(3) === spark.sql(
+      "SELECT hyperplane_signature(array(cast(1.0 as float), cast(-2.0 as float)), 8, 7)")
+      .head().getLong(0))
+    // minhash of a fixed set is in [0, 2^31-1)
+    assert(r.getLong(4) >= 0L && r.getLong(4) < 2147483647L)
+    // vec (1.0) is nearest to centroid (1.0) at position 1 (0-based index 1)
+    assert(r.getInt(5) === 1)
+  }
+}
