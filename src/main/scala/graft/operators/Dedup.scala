@@ -113,22 +113,22 @@ object Dedup {
     * across runs/executors. */
   private val P31 = 2147483647L // 2^31 - 1 (Mersenne prime)
 
-  /** Per-shingle base hash: the codegen'd rolling code-point fingerprint
-    * mod p. Chosen over xxhash64 because DuckDB can reproduce it
-    * (string_split('') + unicode + list_reduce), which makes the WHOLE
-    * MinHash-LSH pipeline oracle-checkable — signatures, banding and
-    * verification included. One static call per shingle; cost is
-    * indistinguishable from xxhash64 at any scale (the hashing pass is
-    * one scan of (docs × shingles); the heavy stages are downstream). */
-  private def shingleHash(t: Column): Column =
-    pmod(graft.functions.RollingHashFunctions.fingerprint(t), lit(P31))
+  /** Sorted-distinct shingle fingerprints, fused end-to-end (no shingle
+    * strings materialized — see [[graft.functions.HashedShingles]]).
+    * The per-shingle hash is the rolling code-point fingerprint
+    * (optionally mod p), chosen over xxhash64 because DuckDB can
+    * reproduce it (string_split('') + unicode + list_reduce), which
+    * makes the WHOLE MinHash/SimHash pipeline oracle-checkable —
+    * signatures, banding and verification included. */
+  private def hashedShingles(text: Column, modP: Boolean = true): Column =
+    graft.functions.ShingleFunctions.hashedShingles(
+      split(trim(lower(text)), "\\s+"), n = 3, modP = modP)
 
   /** Full MinHash signature as one array column (codegen'd native
     * expression — see [[graft.functions.MinHashSignature]]). */
   def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Column =
     graft.functions.MinHashFunctions.minhashSig(
-      array_distinct(transform(shingles(text), shingleHash(_))),
-      numPerms, seed)
+      hashedShingles(text), numPerms, seed)
 
   /** MinHash + LSH banding near-dup candidates, verified with exact
     * Jaccard. bands*rowsPerBand permutations; two docs collide if any
@@ -153,7 +153,7 @@ object Dedup {
     // is pure long arithmetic. persist() cuts the tree so the self-join
     // reads the signatures instead of recomputing them per side (the
     // 100 TB equivalent is staging signatures to a parquet table).
-    val hExpr = array_distinct(transform(shingles(text), shingleHash(_)))
+    val hExpr = hashedShingles(text)
     // One persisted stage holds (h, sig); the band keys and the join
     // both read it from storage instead of re-deriving signatures (the
     // 100 TB equivalent is staging signatures to a parquet table).
@@ -243,8 +243,7 @@ object Dedup {
     * bit width), DuckDB-computable so simhashPairs is oracle-checkable.
     * Row-local, one codegen'd n×64 vote loop. */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(shingles(text),
-      t => graft.functions.RollingHashFunctions.fingerprint(t)))
+    simhashFromHashes(hashedShingles(text, modP = false))
 
   /** SimHash given pre-computed shingle hashes — one codegen'd n×64
     * vote loop (see [[graft.functions.SimHash64]]). */
@@ -269,9 +268,7 @@ object Dedup {
     // adjacent projections, which would re-inline the tokenizer into
     // all 64 per-bit vote expressions.
     val hashed = df
-      .select(id.as("id"),
-        transform(shingles(text),
-          t => graft.functions.RollingHashFunctions.fingerprint(t)).as("hs"))
+      .select(id.as("id"), hashedShingles(text, modP = false).as("hs"))
       .persist()
     val withFp = hashed.select(col("id"), simhashFromHashes(col("hs")).as("fp"))
     val segs = withFp.select(col("id"), col("fp"),
