@@ -713,6 +713,23 @@ object Pipeline {
                 FROM documents)
               WHERE rk <= 20 ORDER BY lang, rk""")),
 
+    // -- bidirectional interval pairing (batch face of st04) ---------------
+    Q("q36_interval_pairs",
+      (s, d) => graft.streaming.Streams.intervalJoin(
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"),
+              date_trunc("second", col("ts")).as("ts")),
+          windowSec = 3600)
+        .select("user_id", "id_a", "id_b")
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT event_id, user_id,
+                                date_trunc('second', ts) AS t FROM events)
+              SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+              FROM e a JOIN e b ON a.user_id = b.user_id
+               AND a.event_id < b.event_id
+               AND b.t BETWEEN a.t - INTERVAL 1 HOUR AND a.t + INTERVAL 1 HOUR
+              ORDER BY id_a, id_b""")),
+
     // -- gap sessionization (batch face of the streaming operator) ---------
     // session_window boundary: an event at exactly last+gap starts a NEW
     // session (windows are [start, last+gap)), hence `<` in the oracle.

@@ -113,6 +113,29 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval self-join: pair events of the same user
+    * whose event times fall within `windowSec` of each other
+    * (`id_a < id_b` orients each pair once). Both sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, so Spark can expire per-key state — without the time
+    * bound a stream-stream join buffers forever. Works identically on
+    * batch DataFrames (the watermark is a no-op there), which is what
+    * the spec checks the streaming result against. */
+  def intervalJoin(events: DataFrame, windowSec: Long,
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = events.select(col("event_id").as("id_a"),
+      col("user_id"), col("ts").as("ts_a")).withWatermark("ts_a", lateness)
+    val r = events.select(col("event_id").as("id_b"),
+      col("user_id").as("user_b"), col("ts").as("ts_b"))
+      .withWatermark("ts_b", lateness)
+    l.join(r,
+      col("user_id") === col("user_b") &&
+        col("id_a") < col("id_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
+  }
+
   /** Spark-native gap sessionization via `session_window` — the
     * declarative path: state-store-backed on streams (add a watermark
     * upstream), a plain shuffle-and-merge aggregation in batch, and the

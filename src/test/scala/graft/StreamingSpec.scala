@@ -129,6 +129,38 @@ class StreamingSpec extends TestSpark {
     assert(custom.nonEmpty)
   }
 
+  test("stream-stream interval join over microbatches equals the batch join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    val evs = Seq(
+      Streams.Event(1, ts(0), 1, "a", 0), Streams.Event(2, ts(3), 1, "b", 0),
+      Streams.Event(3, ts(20), 1, "c", 0), // outside the 5-min window of 1/2
+      Streams.Event(4, ts(1), 2, "d", 0), Streams.Event(5, ts(2), 2, "e", 0))
+    val sentinel = Seq(Streams.Event(100, ts(10000), 999, "w", 0))
+
+    val ms = MemoryStream[Streams.Event](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.Event](),
+      spark.sqlContext)
+    val q = Streams.intervalJoin(ms.toDF(), windowSec = 300)
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append")
+      .start()
+    // split so pairs span microbatches (events 1,4 then 2,3,5)
+    Seq(evs.take(1) ++ evs.slice(3, 4), evs.slice(1, 3) ++ evs.slice(4, 5),
+      sentinel, sentinel.map(e => e.copy(event_id = 101)))
+      .foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    def canon(rows: Seq[(Long, Long, Long)]) = rows.sorted
+    val got = canon(spark.table("ssjoin").filter(col("user_id") =!= 999)
+      .select("user_id", "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq)
+    val want = canon(Streams.intervalJoin(evs.toDF(), windowSec = 300)
+      .select("user_id", "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq)
+    assert(got === want)
+    assert(got === Seq((1L, 1L, 2L), (2L, 4L, 5L))) // event 3 out of window
+  }
+
   test("sessionize on the real events table produces bounded sane sessions") {
     val events = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
