@@ -335,6 +335,57 @@ object Relational {
                      round(quantile_cont(c_acctbal, 0.9), 2) AS p90
               FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    Q("q37_grouping_sets",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        // explicit GROUPING SETS ((seg), (nation), ()) + grouping_id to
+        // tell the levels apart — the shape rollup/cube can't express
+        c.createOrReplaceTempView("customer_gs")
+        s.sql(
+          """SELECT c_mktsegment, c_nationkey,
+            |       CAST(grouping_id(c_mktsegment, c_nationkey) AS INT) AS gid,
+            |       count(1) AS cnt
+            |FROM customer_gs
+            |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+            |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+            |""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, c_nationkey,
+                     CAST(grouping(c_mktsegment, c_nationkey) AS INT) AS gid,
+                     COUNT(*) AS cnt
+              FROM customer
+              GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+              ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""")),
+
+    Q("q38_distribution_windows",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cume
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_mktsegment, c_custkey""")),
+
+    Q("q39_string_agg",
+      (s, d) => t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
     Q("q22_count_distinct",
       (s, d) => t(s, d, "orders")
         .groupBy("o_orderstatus")
