@@ -138,14 +138,25 @@ object Dedup {
     * filtered to verified >= minJaccard. */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.7, seed: Long = 42L): DataFrame =
-    minhashLshPairsStaged(df, id, text, bands, rowsPerBand, minJaccard, seed).result
+                      minJaccard: Double = 0.7, seed: Long = 42L,
+                      maxBucketSize: Option[Long] = None): DataFrame =
+    minhashLshPairsStaged(df, id, text, bands, rowsPerBand, minJaccard,
+      seed, maxBucketSize).result
 
   /** [[minhashLshPairs]] with the persisted signature stage exposed for
-    * caller-owned cache cleanup. */
+    * caller-owned cache cleanup.
+    *
+    * `maxBucketSize`: an LSH bucket holding k docs emits k² candidate
+    * pairs, so one boilerplate bucket (empty docs, licence headers)
+    * can go quadratic on a 100 TB corpus. The cap drops buckets larger
+    * than k — docs in them still pair through their other (more
+    * selective) bands, so recall degrades only for near-dup GROUPS
+    * bigger than k, which a dedup pipeline handles via d06 clustering
+    * anyway. Off by default; at real scale it must be on. */
   def minhashLshPairsStaged(df: DataFrame, id: Column, text: Column,
                       bands: Int = 16, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.7, seed: Long = 42L): Staged = {
+                      minJaccard: Double = 0.7, seed: Long = 42L,
+                      maxBucketSize: Option[Long] = None): Staged = {
     // Stage 1: hash each shingle ONCE per document into a long array.
     // Computing string shingles inside all 64 permutation expressions
     // would re-evaluate the tokenizer 64×/row once the giant tree falls
@@ -177,9 +188,17 @@ object Dedup {
     // whole pipeline's shuffle volume). The arrays are fetched exactly
     // once per surviving pair by joining back to the persisted sigs
     // stage (at 100 TB: a parquet stage table keyed by id).
-    val buckets = sigs
+    val buckets0 = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bkey"))
+    // mega-bucket cap: count per bucket (map-side partial agg), drop
+    // the few oversized ones via a broadcastable anti-join
+    val buckets = maxBucketSize.fold(buckets0) { cap =>
+      val hot = buckets0.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "bkey")
+      buckets0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    }
     val candIds = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))

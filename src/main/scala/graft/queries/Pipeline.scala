@@ -614,6 +614,41 @@ object Pipeline {
               SELECT doc_id, rank, term, tf, df, score_milli
               FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // -- corpus curation: best-k docs per stratum by quality ---------------
+    // rank filter gets the WindowGroupLimit pushdown — per-partition
+    // top-k, no full sort of the corpus
+    Q("q40_topk_per_group",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("quality_bp").desc, col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("quality_bp",
+            TextAnalysis.qualityScoreBp(col("text")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select("lang", "rk", "doc_id", "quality_bp")
+          .orderBy("lang", "rk")
+      },
+      Some(s"""WITH q AS (
+                 SELECT doc_id, lang,
+                        LEAST(ntok, 50) * 80
+                        + LEAST((nstop * 15000) // GREATEST(ntok, 1), 3000)
+                        + 3000 - LEAST((npunct * 30000) // GREATEST(nchar, 1), 3000)
+                          AS quality_bp
+                 FROM (SELECT doc_id, lang,
+                         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok,
+                         CAST(len(list_filter($tok,
+                           w -> w IN ('the','a','an','of','and','to','in','is','it','for'))) AS BIGINT) AS nstop,
+                         CAST(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g')) AS BIGINT) AS npunct,
+                         CAST(length(text) AS BIGINT) AS nchar
+                       FROM documents)),
+               r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                       ORDER BY quality_bp DESC, doc_id) AS INT) AS rk FROM q)
+              SELECT lang, rk, doc_id, quality_bp
+              FROM r WHERE rk <= 10 ORDER BY lang, rk""")),
+
     Q("t05_ngram_stats",
       (s, d) => t(s, d, "documents")
         .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))

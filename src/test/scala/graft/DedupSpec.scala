@@ -81,6 +81,22 @@ class DedupSpec extends TestSpark {
     assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.8)
   }
 
+  test("LSH bucket cap drops mega-buckets but small near-dup groups still pair") {
+    // 30 identical boilerplate docs (one mega-group) + one small
+    // near-dup pair of distinct text
+    val docs = (0 until 30).map(i => (i.toLong, base)) ++
+      Seq((100L, base + " extra tail"), (101L, base + " extra tail"))
+    val df = docs.toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(df, col("doc_id"), col("text"),
+      minJaccard = 0.8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = Dedup.minhashLshPairs(df, col("doc_id"), col("text"),
+      minJaccard = 0.8, maxBucketSize = Some(10L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.size >= 30 * 29 / 2) // the mega-group went quadratic
+    assert(capped === Set((100L, 101L))) // cap kills it; small pair survives
+  }
+
   test("connected components: chains propagate the min label transitively") {
     // 1-2, 2-3, 3-4 is a diameter-3 path (needs >1 propagation round);
     // 10-11 is a separate component; 7-5 checks min via the larger id
