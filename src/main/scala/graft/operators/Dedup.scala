@@ -191,13 +191,16 @@ object Dedup {
     val buckets0 = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bkey"))
-    // mega-bucket cap: count per bucket (map-side partial agg), drop
-    // the few oversized ones via a broadcastable anti-join
+    // mega-bucket cap: count per bucket (map-side partial agg), then
+    // anti-join the oversized ones away. No broadcast hint: the hot
+    // list is usually tiny (AQE broadcasts it), but on a pathological
+    // corpus it can be nDocs·bands/cap rows — let the planner decide
+    // rather than force a driver collect.
     val buckets = maxBucketSize.fold(buckets0) { cap =>
       val hot = buckets0.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
-      buckets0.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      buckets0.join(hot, Seq("band", "bkey"), "left_anti")
     }
     val candIds = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -253,6 +256,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "a component's diameter exceeds maxIters; raise it (labels would " +
+          "silently split one component into several)")
+    // the returned frame reads the persisted labels; caller drops it via
+    // spark.catalog.clearCache() (or lets LRU evict) when done
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

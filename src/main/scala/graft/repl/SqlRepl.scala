@@ -33,10 +33,19 @@ final class SqlRepl(spark: SparkSession, out: PrintStream = System.out,
     history ++= Files.readAllLines(p).asScala
   }
 
+  private var historyWritable = true
+
   private def record(cmd: String): Unit = {
     history += cmd
-    historyFile.foreach(p => Files.writeString(p, cmd + "\n",
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND))
+    if (historyWritable) historyFile.foreach { p =>
+      try Files.writeString(p, cmd + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      catch { case e: java.io.IOException =>
+        // degrade to in-memory history rather than killing the session
+        historyWritable = false
+        out.println(s"Warning: cannot write history file $p: ${e.getMessage}")
+      }
+    }
   }
 
   /** Resolve `!N` (1-based) / `!!` recall; None = nothing to run. */
@@ -46,9 +55,10 @@ final class SqlRepl(spark: SparkSession, out: PrintStream = System.out,
       if (r.isEmpty) out.println("Error: history is empty")
       r
     case s if s.length > 1 && s.head == '!' && s.tail.forall(_.isDigit) =>
-      val i = s.tail.toInt
-      if (i >= 1 && i <= history.size) Some(history(i - 1))
-      else { out.println(s"Error: no history entry $i"); None }
+      s.tail.toIntOption.filter(i => i >= 1 && i <= history.size) match {
+        case Some(i) => Some(history(i - 1))
+        case None => out.println(s"Error: no history entry ${s.tail}"); None
+      }
     case s => Some(s)
   }
 

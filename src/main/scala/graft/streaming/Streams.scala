@@ -10,6 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * on executors (count + boundaries only: O(1) per key). */
 final case class SessionState(n: Int, start: Long, last: Long)
 
+/** Per-key state for [[Streams.sessionize]]: the still-bridgeable
+  * session fragments, oldest first. Bounded: a fragment leaves state as
+  * soon as the watermark passes `last + gap` (no accepted event can
+  * bridge it anymore), so at most ~lateness/gap fragments live per key. */
+final case class SessionFrags(frags: Seq[SessionState])
+
 /** Structured Streaming operators over the events schema
   * (event_id, ts, user_id, event_type, value).
   *
@@ -44,29 +50,31 @@ object Streams {
   final case class Session(user_id: Long, n_events: Int,
                            start: Timestamp, end: Timestamp)
 
-  /** Merge interval fragments that are within `gapMs` of each other.
-    * Input size is one microbatch's events for ONE key (plus the open
-    * session from state) — bounded by the trigger, never the corpus. */
+  /** Merge interval fragments that are strictly within `gapMs` of each
+    * other (an event at exactly `last + gap` starts a NEW session —
+    * the same boundary as `session_window`'s [start, last+gap)).
+    * Input size is one microbatch's events for ONE key (plus the few
+    * fragments from state) — bounded by the trigger, never the corpus. */
   private def mergeFragments(ss: List[SessionState], gapMs: Long): List[SessionState] =
     ss.sortBy(_.start).foldLeft(List.empty[SessionState]) {
-      case (h :: t, s) if s.start - h.last <= gapMs =>
+      case (h :: t, s) if s.start - h.last < gapMs =>
         SessionState(h.n + s.n, math.min(h.start, s.start),
           math.max(h.last, s.last)) :: t
       case (acc, s) => s :: acc
     }.reverse
 
   /** Gap-based sessionization with explicit state: a session closes
-    * after `gapMs` of event-time inactivity.
+    * after `gapMs` of event-time inactivity (boundary identical to
+    * [[sessionizeNative]]: an event at exactly `last + gap` opens a
+    * new session).
     *
-    * Streaming semantics are real: the open session survives across
-    * microbatches in O(1) state (count + boundaries only) and is
-    * emitted ONLY when the event-time timeout fires — i.e. when the
-    * watermark (driven by `lateness`) passes `last + gapMs`. Within a
-    * batch the per-key sort is bounded by that microbatch's events for
-    * the key, not by history. Closed-by-gap sessions are emitted as
-    * soon as a later event proves the gap; a late event that lands
-    * before the open session (within the watermark) merges or emits as
-    * its own fragment.
+    * Streaming semantics are real AND late-data-correct: a fragment is
+    * emitted ONLY once the watermark (driven by `lateness`) passes its
+    * `last + gap` — before that, a late in-watermark event could still
+    * bridge it to a later fragment, so it stays in state. State per key
+    * is a handful of fragments (count + boundaries each), bounded by
+    * ~lateness/gap; within a batch the per-key merge is bounded by that
+    * microbatch's events, not history.
     *
     * On a batch Dataset the same fold runs once per key and end-of-data
     * closes every session — identical output to streaming the same
@@ -81,34 +89,37 @@ object Streams {
       if (streaming) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionFrags, Session](
         OutputMode.Append(), timeoutConf) {
-        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionFrags]) =>
           def emit(s: SessionState) =
             Session(uid, s.n, new Timestamp(s.start), new Timestamp(s.last))
-          if (streaming && state.hasTimedOut) {
-            // gap expired with no new events: close the open session
-            val out = state.getOption.map(emit).iterator
-            state.remove()
-            out
-          } else {
-            val frags = it.map { e =>
+          val prev = state.getOption.map(_.frags.toList).getOrElse(Nil)
+          if (streaming) {
+            val batch = it.map { e =>
               val t = e.ts.getTime; SessionState(1, t, t)
             }.toList
-            val all = mergeFragments(state.getOption.toList ::: frags, gapMs)
-            if (all.isEmpty) Iterator.empty
-            else if (streaming) {
-              // keep the newest (still-growable) session in state; emit
-              // everything older — later events already proved the gap
-              val open = all.last
-              state.update(open)
+            val merged = mergeFragments(prev ::: batch, gapMs)
+            // close only fragments no accepted event can ever bridge:
+            // accepted events have t > watermark, bridging needs
+            // t < last + gap, so last + gap <= watermark is final
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, open) = merged.partition(_.last + gapMs <= wm)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(SessionFrags(open))
               state.setTimeoutTimestamp(
-                math.max(open.last + gapMs, state.getCurrentWatermarkMs() + 1))
-              all.init.iterator.map(emit)
-            } else {
-              state.remove()
-              all.iterator.map(emit)
+                math.max(open.map(_.last + gapMs).min, wm + 1))
             }
+            closed.iterator.map(emit)
+          } else {
+            // batch: end of input closes every session
+            val merged = mergeFragments(
+              prev ::: it.map { e =>
+                val t = e.ts.getTime; SessionState(1, t, t)
+              }.toList, gapMs)
+            state.remove()
+            merged.iterator.map(emit)
           }
       }
   }

@@ -129,6 +129,31 @@ class StreamingSpec extends TestSpark {
     assert(custom.nonEmpty)
   }
 
+  test("sessionize: a late in-watermark event BRIDGES two gap-separated " +
+       "fragments — nothing is emitted prematurely") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    // gap 5m, lateness 10m: t0 and t6 don't merge; the late t3 (within
+    // the watermark) arrives in batch 2 and joins them into ONE session
+    val b1 = Seq(Streams.Event(1, ts(0), 1, "a", 0), Streams.Event(2, ts(6), 1, "b", 0))
+    val b2 = Seq(Streams.Event(3, ts(3), 1, "late", 0))
+    val sent1 = Seq(Streams.Event(100, ts(10000), 999, "w", 0))
+    val sent2 = Seq(Streams.Event(101, ts(20000), 999, "w", 0))
+
+    val ms = MemoryStream[Streams.Event](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.Event](),
+      spark.sqlContext)
+    val q = Streams.sessionize(ms.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessbridge").outputMode("append")
+      .start()
+    Seq(b1, b2, sent1, sent2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("sessbridge").as[Streams.Session].collect().toSeq
+      .filter(_.user_id != 999)
+      .map(s => (s.user_id, s.n_events, s.start.getTime, s.end.getTime))
+    assert(got === Seq((1L, 3, ts(0).getTime, ts(6).getTime)))
+  }
+
   test("stream-stream interval join over microbatches equals the batch join") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
