@@ -13,19 +13,22 @@ object Bench {
 
   /** Representative, scale-meaningful subset of SURVEY §2: scans,
     * broadcast + shuffle joins, window, top-k, asof, dedup, ANN, text.
-    * (d02 exact-Jaccard pair mining is deliberately absent: on the
-    * benchmark corpus every doc shares the tiny vocabulary, so exact
-    * all-pairs is quadratic by construction — d03 MinHash-LSH is the
-    * scale path for that workload.) */
+    * (d02 exact-Jaccard pair mining — and d06 clustering, which mines
+    * pairs the same way — are deliberately absent: on the benchmark
+    * corpus every doc shares the tiny vocabulary, so exact all-pairs is
+    * quadratic by construction — d03 MinHash-LSH is the scale path for
+    * that workload.) */
   val headline: Seq[String] = Seq(
     "q01_scan_project", "q03_agg_groupby", "q04_join_broadcast",
     "q06_multijoin", "q09_topk", "q11_window_rank", "q12_window_running",
     "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
-    "q27_range_join", "q29_cube",
+    "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
+    "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
+    "q41_doc_embedding_join",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
-    "t06_subword_stats", "q32_hash_sample", "m01_binary_meta")
+    "t06_subword_stats", "t08_tfidf", "q32_hash_sample", "m01_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -832,6 +832,25 @@ object Pipeline {
                      CAST((octet_length(encode(text)) + 3) // 4 AS INT) AS n_out
               FROM documents ORDER BY doc_id""")),
 
+    // modality linking: text table ⋈ embedding table on shared id —
+    // the join every multimodal pipeline runs before filtering one
+    // modality by properties of another
+    Q("q41_doc_embedding_join",
+      (s, d) => t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .withColumn("norm",
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(davg(col("norm")), 4).as("avg_norm"))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+                      round(${sqlAvg("sqrt(list_dot_product(" +
+                        "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")}, 4)
+                        AS avg_norm
+               FROM documents JOIN embeddings ON doc_id = vec_id
+               GROUP BY lang ORDER BY lang""")),
+
     Q("m02_feature_stub",
       (s, d) => {
         val bin = t(s, d, "documents")
