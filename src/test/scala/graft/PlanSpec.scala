@@ -91,6 +91,23 @@ class PlanSpec extends TestSpark {
     }
   }
 
+  test("q40: per-stratum top-k runs as WindowGroupLimit, not a full sort") {
+    assert(plan("q40_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("t08: the corpus-size scalar is broadcast, not recomputed per row") {
+    val p = plan("t08_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q36: interval pairing is an equi-join on the key, never a " +
+       "BroadcastNestedLoopJoin over time") {
+    val p = plan("q36_interval_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("s03: IVF cell assignment is row-local — no Exchange between the " +
        "corpus scan and nearest_cells") {
     val p = SparkEntry.queries("s03_ivf_ann")(spark, sfDir)
