@@ -7,6 +7,7 @@ class InventorySmokeSpec extends TestSpark {
 
   private val mayBeEmpty =
     Set("d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+        "d06_dedup_clusters", // clusters exist only if near-dup pairs do
         "q31_except") // at sf0.001 every AUTOMOBILE customer has a >300k order
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
