@@ -266,6 +266,27 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** End-to-end corpus deduplication — the one-call pipeline a
+    * training-data user runs: (1) exact dedup on the content hash
+    * (min-id representative), (2) MinHash-LSH near-dup pair mining on
+    * the survivors, (3) connected-components clustering of the pairs,
+    * (4) keep only each cluster's min-id representative. Returns the
+    * deduplicated corpus with the original schema. Every stage is
+    * hash-bucketed — nothing is ever compared all-pairs. */
+  def dedupCorpus(df: DataFrame, id: Column, text: Column,
+                  minJaccard: Double = 0.7,
+                  bands: Int = 16, rowsPerBand: Int = 4,
+                  seed: Long = 42L,
+                  maxBucketSize: Option[Long] = None): DataFrame = {
+    val survivors = exact(df, md5(text), id)
+    val pairs = minhashLshPairs(survivors, id, text,
+      bands, rowsPerBand, minJaccard, seed, maxBucketSize)
+    val dupes = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id")) // non-representatives
+      .select(col("id").as("__dup_id"))
+    survivors.join(dupes, id === col("__dup_id"), "left_anti")
+  }
+
   /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 votes
     * of the shingle-hash bits; sign → fingerprint bit. Feature hashes
     * are the 62-bit rolling fingerprints (not mod p — SimHash wants

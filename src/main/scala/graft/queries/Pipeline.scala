@@ -181,13 +181,15 @@ object Pipeline {
         WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
   }
 
-  /** DuckDB replica of the ENTIRE MinHash-LSH pipeline — possible
-    * because the shingle hash is the rolling code-point fingerprint
+  /** DuckDB CTE chain replicating the ENTIRE MinHash-LSH pipeline over
+    * `src` (any relation with doc_id + text) — possible because the
+    * shingle hash is the rolling code-point fingerprint
     * (DuckDB-computable) and the permutation constants come from the
     * same LCG ([[graft.functions.MinHashSignature.perms]]) embedded
     * here as literals. Banding joins on the raw signature-band string
-    * (Spark joins on xxhash64 of it — identical equality classes). */
-  private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String = {
+    * (Spark joins on xxhash64 of it — identical equality classes).
+    * Ends with `verified(id_a, id_b, inter, jaccard)`. */
+  private def minhashCtes(src: String, bands: Int, rpb: Int, seed: Long): String = {
     val n = bands * rpb
     val (as, bs) = graft.functions.MinHashSignature.perms(n, seed)
     val P = 2147483647L
@@ -198,12 +200,12 @@ object Pipeline {
       val parts = (0 until rpb).map(r => s"s${b * rpb + r}").mkString(", '_', ")
       s"SELECT id, $b AS band, CONCAT($parts) AS bkey FROM sigs"
     }.mkString("\n               UNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
             SELECT DISTINCT id, tok FROM (
               SELECT doc_id AS id,
                      unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
-              FROM (SELECT doc_id, $tok AS tk FROM documents))
+              FROM (SELECT doc_id, $tok AS tk FROM $src))
             WHERE tok <> ''),
           thash AS (
             SELECT id,
@@ -231,12 +233,40 @@ object Pipeline {
                       - len(list_intersect(ha.hs, hb.hs))) AS jaccard
             FROM cands
             JOIN hsets ha ON ha.id = id_a
-            JOIN hsets hb ON hb.id = id_b)
+            JOIN hsets hb ON hb.id = id_b)"""
+  }
+
+  private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String =
+    s"""WITH ${minhashCtes("documents", bands, rpb, seed)}
         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
                round(jaccard, 4) AS jaccard
         FROM verified WHERE jaccard >= $minJ
         ORDER BY id_a, id_b"""
-  }
+
+  /** DuckDB replica of the WHOLE dedupCorpus pipeline: exact dedup
+    * (min-id per content hash) → MinHash-LSH pairs over survivors →
+    * recursive-CTE connected components → drop non-representatives. */
+  private def d07Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String =
+    s"""WITH RECURSIVE
+          survivors AS (
+            SELECT * FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1),
+          ${minhashCtes("survivors", bands, rpb, seed)},
+          fpairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= $minJ),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+                    UNION SELECT id_b AS src, id_a AS dst FROM fpairs),
+          r(id, reach) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach),
+          dupes AS (
+            SELECT id FROM (SELECT id, MIN(reach) AS cluster_id
+                            FROM r GROUP BY id)
+            WHERE id <> cluster_id)
+        SELECT doc_id, lang, n_chars FROM survivors
+        WHERE doc_id NOT IN (SELECT id FROM dupes)
+        ORDER BY doc_id"""
 
   val all: Seq[Q] = Seq(
 
@@ -413,6 +443,14 @@ object Pipeline {
                    SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach)
                SELECT id AS doc_id, MIN(reach) AS cluster_id
                FROM r GROUP BY id ORDER BY doc_id""")),
+
+    // -- end-to-end corpus dedup (exact → LSH pairs → clusters → keep reps)
+    Q("d07_dedup_corpus",
+      (s, d) => Dedup.dedupCorpus(
+          t(s, d, "documents"), col("doc_id"), col("text"), minJaccard = 0.6)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some(d07Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
 
     Q("d04_simhash",
       (s, d) => Dedup.simhashPairs(

@@ -97,6 +97,24 @@ class DedupSpec extends TestSpark {
     assert(capped === Set((100L, 101L))) // cap kills it; small pair survives
   }
 
+  test("dedupCorpus: no near-dup pair survives and representatives are kept") {
+    val real = Tables(spark, sfDir, "documents")
+    val deduped = Dedup.dedupCorpus(real, col("doc_id"), col("text"),
+      minJaccard = 0.6)
+    // two surviving docs from different clusters can have no pair
+    // between them (a pair would have merged their components)
+    val residual = Dedup.minhashLshPairs(deduped, col("doc_id"), col("text"),
+      minJaccard = 0.6)
+    assert(residual.isEmpty)
+    // every original doc is either a survivor or a non-representative
+    val exactDeduped = Dedup.exact(real, md5(col("text")), col("doc_id"))
+    val pairs = Dedup.minhashLshPairs(exactDeduped, col("doc_id"), col("text"),
+      minJaccard = 0.6)
+    val nonReps = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id")).count()
+    assert(deduped.count() + nonReps === exactDeduped.count())
+  }
+
   test("connected components: chains propagate the min label transitively") {
     // 1-2, 2-3, 3-4 is a diameter-3 path (needs >1 propagation round);
     // 10-11 is a separate component; 7-5 checks min via the larger id
