@@ -35,6 +35,46 @@ object Multimodal {
     hist
   }
 
+  /** Format-dispatched decode: uncompressed 24-bit BMP is decodable
+    * with zero codec libraries, so it gets a REAL decoder —
+    * `[width, height, meanBlue, meanGreen, meanRed]` — and everything
+    * else falls back to [[decodeStub]]. The magic-byte dispatch is
+    * exactly where jpeg/png/h264 decoders slot in on a cluster that
+    * ships codec libs. */
+  def decode(bytes: Array[Byte]): Array[Float] =
+    if (bytes.length > 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      decodeBmp24(bytes).getOrElse(decodeStub(bytes))
+    else decodeStub(bytes)
+
+  /** Hand-rolled uncompressed 24bpp bottom-up/top-down BMP parse. */
+  private def decodeBmp24(b: Array[Byte]): Option[Array[Float]] = {
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def i16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val dataOff = i32(10); val w = i32(18); val h = i32(22)
+    if (i16(28) != 24 || i32(30) != 0 || w <= 0 || h == 0) return None
+    val height = math.abs(h)
+    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * height > b.length)
+      return None
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var r = 0
+    while (r < height) {
+      val base = dataOff + r * rowSize
+      var c = 0
+      while (c < w) {
+        val p = base + c * 3
+        sb += b(p) & 0xff; sg += b(p + 1) & 0xff; sr += b(p + 2) & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    val n = w.toLong * height
+    Some(Array(w.toFloat, height.toFloat,
+      (sb.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+      (sr.toDouble / n).toFloat))
+  }
+
   /** Fixed-size frame/chunk sampling of a binary payload: one output
     * row per `chunkBytes` window (think video frame extraction or audio
     * windowing — here over the opaque bytes; a real decoder would slot
@@ -86,7 +126,7 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition init would go here (codec/model handle)
         it.map { case (docId, bytes) =>
-          Feature(docId, bytes.length, decodeStub(bytes))
+          Feature(docId, bytes.length, decode(bytes))
         }
       }
   }

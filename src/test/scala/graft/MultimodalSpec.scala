@@ -34,4 +34,24 @@ class MultimodalSpec extends TestSpark {
     val again = Multimodal.extractFeatures(docs, col("doc_id"), col("payload")).collect()
     assert(rows.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
   }
+
+  test("decode really parses a 24-bit BMP (magic dispatch; stub for the rest)") {
+    // hand-built 2x2 24bpp BMP, bottom-up, rows padded to 4 bytes:
+    // bottom row pixels (B,G,R): (255,0,0), (0,255,0)
+    // top row pixels:            (0,0,255), (255,255,255)
+    val header = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0, // DIB: 2x2, 24bpp
+      0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    val pixels = Array[Int](
+      255, 0, 0, 0, 255, 0, 0, 0, // bottom row + 2 pad bytes
+      0, 0, 255, 255, 255, 255, 0, 0) // top row + 2 pad bytes
+    val bmp = (header ++ pixels).map(_.toByte)
+    val f = Multimodal.decode(bmp)
+    assert(f.toSeq === Seq(2f, 2f,
+      (255 + 0 + 0 + 255) / 4f, (0 + 255 + 0 + 255) / 4f, (0 + 0 + 255 + 255) / 4f))
+    // non-BMP bytes fall back to the histogram stub
+    assert(Multimodal.decode("plain text".getBytes("UTF-8")).length === 16)
+  }
 }
