@@ -25,7 +25,12 @@ object Bench {
     "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
     "q41_doc_embedding_join",
+    // d07 is the whole dedup pipeline — exact dedup + d03's mining +
+    // 2-3 label-propagation ROUNDS (each a blocking Spark job) + an
+    // anti-join — so its wall time is a multi-job sum, not one query;
+    // iteration overhead amortizes at real scale
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
+    "d07_dedup_corpus",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "q32_hash_sample", "m01_binary_meta")

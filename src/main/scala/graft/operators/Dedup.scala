@@ -278,7 +278,10 @@ object Dedup {
                   bands: Int = 16, rowsPerBand: Int = 4,
                   seed: Long = 42L,
                   maxBucketSize: Option[Long] = None): DataFrame = {
-    val survivors = exact(df, md5(text), id)
+    // persisted: read by the signature stage AND the final anti-join
+    // (at 100 TB: a parquet stage table). Session-lifetime cache like
+    // the other staged miners — clearCache()/LRU reclaims it.
+    val survivors = exact(df, md5(text), id).persist()
     val pairs = minhashLshPairs(survivors, id, text,
       bands, rowsPerBand, minJaccard, seed, maxBucketSize)
     val dupes = connectedComponents(pairs)
