@@ -243,24 +243,31 @@ object Dedup {
       .withColumn("lbl", col("id")).persist()
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      val viaNbr = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("lbl"))
-      val next = labels.select("id", "lbl").unionAll(viaNbr)
-        .groupBy("id").agg(min("lbl").as("lbl")).persist()
-      converged = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") < col("p.lbl")).isEmpty
-      labels.unpersist(blocking = false)
-      labels = next
-      i += 1
+    try {
+      while (!converged && i < maxIters) {
+        val viaNbr = edges.join(labels, edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("lbl"))
+        val next = labels.select("id", "lbl").unionAll(viaNbr)
+          .groupBy("id").agg(min("lbl").as("lbl")).persist()
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.lbl") < col("p.lbl")).isEmpty
+        labels.unpersist(blocking = false)
+        labels = next
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters iterations — " +
+            "a component's diameter exceeds maxIters; raise it (labels would " +
+            "silently split one component into several)")
+    } catch {
+      case e: Throwable =>
+        labels.unpersist(blocking = false) // don't leak cache on failure
+        edges.unpersist(blocking = false)
+        throw e
     }
     edges.unpersist(blocking = false)
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations — " +
-          "a component's diameter exceeds maxIters; raise it (labels would " +
-          "silently split one component into several)")
     // the returned frame reads the persisted labels; caller drops it via
     // spark.catalog.clearCache() (or lets LRU evict) when done
     labels.select(col("id"), col("lbl").as("cluster_id"))
@@ -277,17 +284,28 @@ object Dedup {
                   minJaccard: Double = 0.7,
                   bands: Int = 16, rowsPerBand: Int = 4,
                   seed: Long = 42L,
-                  maxBucketSize: Option[Long] = None): DataFrame = {
+                  maxBucketSize: Option[Long] = None): DataFrame =
+    dedupCorpusStaged(df, id, text, minJaccard, bands, rowsPerBand,
+      seed, maxBucketSize).result
+
+  /** [[dedupCorpus]] with the persisted stages (survivors + LSH
+    * signatures) exposed for caller-owned cache cleanup, like the other
+    * staged miners. */
+  def dedupCorpusStaged(df: DataFrame, id: Column, text: Column,
+                  minJaccard: Double = 0.7,
+                  bands: Int = 16, rowsPerBand: Int = 4,
+                  seed: Long = 42L,
+                  maxBucketSize: Option[Long] = None): Staged = {
     // persisted: read by the signature stage AND the final anti-join
-    // (at 100 TB: a parquet stage table). Session-lifetime cache like
-    // the other staged miners — clearCache()/LRU reclaims it.
+    // (at 100 TB: a parquet stage table)
     val survivors = exact(df, md5(text), id).persist()
-    val pairs = minhashLshPairs(survivors, id, text,
+    val staged = minhashLshPairsStaged(survivors, id, text,
       bands, rowsPerBand, minJaccard, seed, maxBucketSize)
-    val dupes = connectedComponents(pairs)
+    val dupes = connectedComponents(staged.result)
       .filter(col("id") =!= col("cluster_id")) // non-representatives
       .select(col("id").as("__dup_id"))
-    survivors.join(dupes, id === col("__dup_id"), "left_anti")
+    Staged(survivors.join(dupes, id === col("__dup_id"), "left_anti"),
+      survivors +: staged.stages)
   }
 
   /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 votes

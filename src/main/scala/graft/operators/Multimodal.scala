@@ -52,15 +52,18 @@ object Multimodal {
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     def i16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     val dataOff = i32(10); val w = i32(18); val h = i32(22)
-    if (i16(28) != 24 || i32(30) != 0 || w <= 0 || h == 0) return None
+    if (i16(28) != 24 || i32(30) != 0 || w <= 0 || h == 0 ||
+        h == Int.MinValue) return None
     val height = math.abs(h)
-    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
-    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * height > b.length)
+    // Long arithmetic: a corrupt width must fail the bounds check, not
+    // overflow rowSize negative and walk past the array
+    val rowSize = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff < 0 || dataOff.toLong + rowSize * height > b.length)
       return None
     var sb = 0L; var sg = 0L; var sr = 0L
     var r = 0
     while (r < height) {
-      val base = dataOff + r * rowSize
+      val base = dataOff + r * rowSize.toInt
       var c = 0
       while (c < w) {
         val p = base + c * 3
