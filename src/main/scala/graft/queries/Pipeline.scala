@@ -700,6 +700,31 @@ object Pipeline {
                GROUP BY tok HAVING COUNT(*) >= 50
                ORDER BY cnt DESC, tok""")),
 
+    // char-3-gram corpus frequencies (what a char-ngram lang-id model
+    // trains on). norm is materialized in its own projection so the
+    // generator's lambda reads an attribute — the regexp never re-runs
+    // per element. Short docs emit one short gram; the length filter
+    // drops it identically in both engines.
+    Q("t09_char_ngrams",
+      (s, d) => t(s, d, "documents")
+        .select(regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+        .select(explode(expr(
+          "transform(sequence(1, greatest(length(norm) - 2, 1))," +
+            " i -> substring(norm, i, 3))")).as("gram"))
+        .filter(length(col("gram")) === 3)
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 100)
+        .orderBy(col("cnt").desc, col("gram")),
+      Some("""SELECT gram, COUNT(*) AS cnt FROM (
+                SELECT unnest(list_transform(
+                         range(1, greatest(length(norm) - 2, 1) + 1),
+                         i -> substr(norm, i, 3))) AS gram
+                FROM (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                        AS norm FROM documents))
+              WHERE length(gram) = 3
+              GROUP BY gram HAVING COUNT(*) >= 100
+              ORDER BY cnt DESC, gram""")),
+
     Q("t06_subword_stats",
       (s, d) => t(s, d, "documents")
         .withColumn("n_sub", TextAnalysis.subwordCount(col("text")))

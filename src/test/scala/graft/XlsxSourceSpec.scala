@@ -69,4 +69,22 @@ class XlsxSourceSpec extends TestSpark {
       "SELECT service_name FROM excel_rows WHERE count > 100").count()
     assert(n === 2)
   }
+
+  test("a directory of workbooks reads as one table with one partition per file") {
+    // xlsx isn't block-splittable, so parallelism = #files — the
+    // documented scale shape: many workbooks → many partitions
+    val dir = Files.createTempDirectory("xlsx-many").toFile
+    (1 to 3).foreach { i =>
+      XlsxWriter.write(new java.io.File(dir, s"part$i.xlsx").getAbsolutePath,
+        "Sheet1", Seq(
+          Seq("service_name", "count"),
+          Seq(s"svc${i}a", i * 10), Seq(s"svc${i}b", i * 10 + 1)))
+    }
+    val df = spark.read.format("graft.sources.xlsx.XlsxDataSource")
+      .option("sheet", "Sheet1").option("path", dir.getAbsolutePath).load()
+    assert(df.rdd.getNumPartitions === 3)
+    assert(df.count() === 6)
+    assert(df.select("service_name").as[String].collect().toSet ===
+      Set("svc1a", "svc1b", "svc2a", "svc2b", "svc3a", "svc3b"))
+  }
 }
