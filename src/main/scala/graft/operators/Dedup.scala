@@ -22,7 +22,15 @@ object Dedup {
     * convenience overloads returning a bare DataFrame leave the stages
     * cached for the session (Spark evicts LRU under memory pressure). */
   final case class Staged(result: DataFrame, stages: Seq[DataFrame]) {
-    def cleanup(): Unit = stages.foreach(_.unpersist(blocking = false))
+    def cleanup(): Unit = stages.foreach { s =>
+      s.unpersist(blocking = false)
+      // checkpoint-backed stages (connected components' labels) live in
+      // the block manager, not the CacheManager — free those too. Note
+      // that unlike persist()ed stages, a checkpoint-backed stage is NOT
+      // recomputable after cleanup (its lineage is truncated), so
+      // materialize/write `result` before calling cleanup().
+      org.apache.spark.sql.GraftInternal.unpersistBackingRdd(s)
+    }
   }
 
   /** Exact dedup: keep one representative row per distinct key (min of
@@ -235,24 +243,67 @@ object Dedup {
     * min id reachable — deterministic. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20): DataFrame =
+    connectedComponentsStaged(pairs, idA, idB, maxIters).result
+
+  /** [[connectedComponents]] with the final-labels frame exposed for
+    * caller-owned cleanup (it is checkpoint-backed — see below — so
+    * materialize the result before calling `cleanup()`).
+    *
+    * One blocking job per round: the self rows carry the previous label
+    * in an extra `old` column (neighbour rows carry null, which `min`
+    * ignores), so a single aggregation yields the new label AND the
+    * previous one per id — the convergence signal is a count over that
+    * same frame, and the action that computes it is also what
+    * materializes the round. No separate convergence join.
+    *
+    * Rounds are `localCheckpoint`ed, not `persist`ed: a persisted round
+    * stacks its whole lineage under the next round's plan, so analysis
+    * cost grows per round and every round generates STRUCTURALLY NEW
+    * code (janino recompiles, ~1s/round of driver stall at any scale).
+    * Checkpointing makes every round's plan a flat scan over the
+    * previous round's blocks — constant analysis cost, and the
+    * generated code is identical from round 2 on, so the codegen cache
+    * hits. Each round's blocks are freed as soon as the next round is
+    * materialized. At billion-edge scale, swap the localCheckpoint for
+    * a per-round stage table (same loop shape, executor-loss-safe).
+    *
+    * Duplicate input pairs are tolerated (min-agg is idempotent); they
+    * only widen the per-round join fan-out, so pre-`distinct` a pair
+    * list with heavy duplication. LSH/SimHash pair miners already emit
+    * unique pairs. */
+  def connectedComponentsStaged(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIters: Int = 20): Staged = {
+    // eager: materialized once, read every round as a flat LogicalRDD
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().persist()
+      .localCheckpoint(true)
+    val freeRdd = org.apache.spark.sql.GraftInternal.unpersistBackingRdd _
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id"))
+    val lblType = labels.schema("lbl").dataType
+    var prevRound: DataFrame = null
     var converged = false
     var i = 0
     try {
       while (!converged && i < maxIters) {
         val viaNbr = edges.join(labels, edges("dst") === labels("id"))
-          .select(edges("src").as("id"), col("lbl"))
-        val next = labels.select("id", "lbl").unionAll(viaNbr)
-          .groupBy("id").agg(min("lbl").as("lbl")).persist()
-        converged = next.as("n")
-          .join(labels.as("p"), col("n.id") === col("p.id"))
-          .filter(col("n.lbl") < col("p.lbl")).isEmpty
-        labels.unpersist(blocking = false)
+          .select(edges("src").as("id"), col("lbl"),
+            lit(null).cast(lblType).as("old"))
+        val next = labels
+          .select(col("id"), col("lbl"), col("lbl").as("old"))
+          .unionAll(viaNbr)
+          .groupBy("id").agg(min("lbl").as("lbl"), min("old").as("old"))
+          .localCheckpoint(false) // materialized by the count job below
+        // the ONE action of the round: materializes `next` and returns
+        // how many labels still shrank
+        val changed = next
+          .agg(count(when(col("lbl") < col("old"), lit(1))).as("c"))
+          .first().getLong(0)
+        converged = changed == 0L
+        if (prevRound != null) freeRdd(prevRound)
+        prevRound = next
         labels = next
         i += 1
       }
@@ -263,14 +314,12 @@ object Dedup {
             "silently split one component into several)")
     } catch {
       case e: Throwable =>
-        labels.unpersist(blocking = false) // don't leak cache on failure
-        edges.unpersist(blocking = false)
+        if (prevRound != null) freeRdd(prevRound) // don't leak blocks on failure
+        freeRdd(edges)
         throw e
     }
-    edges.unpersist(blocking = false)
-    // the returned frame reads the persisted labels; caller drops it via
-    // spark.catalog.clearCache() (or lets LRU evict) when done
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    freeRdd(edges)
+    Staged(labels.select(col("id"), col("lbl").as("cluster_id")), Seq(labels))
   }
 
   /** End-to-end corpus deduplication — the one-call pipeline a
@@ -301,11 +350,12 @@ object Dedup {
     val survivors = exact(df, md5(text), id).persist()
     val staged = minhashLshPairsStaged(survivors, id, text,
       bands, rowsPerBand, minJaccard, seed, maxBucketSize)
-    val dupes = connectedComponents(staged.result)
+    val cc = connectedComponentsStaged(staged.result)
+    val dupes = cc.result
       .filter(col("id") =!= col("cluster_id")) // non-representatives
       .select(col("id").as("__dup_id"))
     Staged(survivors.join(dupes, id === col("__dup_id"), "left_anti"),
-      survivors +: staged.stages)
+      (survivors +: staged.stages) ++ cc.stages)
   }
 
   /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 votes

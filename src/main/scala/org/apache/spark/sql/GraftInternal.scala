@@ -11,4 +11,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftInternal {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Free the block-manager storage behind a `localCheckpoint`ed
+    * Dataset. `Dataset.unpersist` only knows CacheManager entries, so
+    * checkpoint blocks otherwise live until the RDD is GC'd; iterative
+    * operators (connected components) call this to drop each round's
+    * blocks as soon as the next round is materialized. No-op for plans
+    * that aren't RDD-backed. */
+  def unpersistBackingRdd(df: Dataset[_]): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
