@@ -89,9 +89,10 @@ object Similarity {
   /** Row-local cell assignment: broadcast the one-row centroid array,
     * pick the top-`keep` cells per vector with a single codegen'd
     * argmax pass — ZERO shuffle of `df` (the window-argmax alternative
-    * shuffles every embedding nCells times). */
-  private def assignCells(df: DataFrame, cent: DataFrame, keep: Int): DataFrame =
-    df.crossJoin(broadcast(centsArray(cent)))
+    * shuffles every embedding nCells times). `centsArr` must already be
+    * the one-row [[centsArray]] shape. */
+  private def assignCells(df: DataFrame, centsArr: DataFrame, keep: Int): DataFrame =
+    df.crossJoin(broadcast(centsArr))
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions
           .nearestCells(col("embedding"), col("cents"), keep).as("cells"))
@@ -114,28 +115,34 @@ object Similarity {
               lloydIters: Int = 1): DataFrame = {
     // deterministic pseudo-random seeds: top-nCells by hashed id (md5
     // of the decimal id string — same hex, and so the same order, in
-    // any engine, which keeps the whole pipeline oracle-checkable)
+    // any engine, which keeps the whole pipeline oracle-checkable).
+    // Collapsed straight to the one-row positional array: cell_id =
+    // index in the vec_id-sorted seed array, so no global window runs
+    // anywhere in the pipeline (row_number over an unpartitioned
+    // Window drags every row to one partition and warns on every run,
+    // even for the 16 seed rows it was bounded to here).
     val seeds = corpus
       .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
         col("vec_id").asc)
       .limit(nCells)
-      .withColumn("cell_id",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("int") - 1)
-      .select(col("cell_id"), col("embedding").as("centroid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        s => s.getField("embedding")).as("cents"))
 
     // one Lloyd step: element-wise decimal-exact mean per cell; cells
     // are renumbered by position each step (empty cells drop out)
-    def step1(cent: DataFrame): DataFrame = assignCells(corpus, cent, 1)
-      .select(element_at(col("cells"), 1).as("cell_id"),
-        posexplode(col("embedding")))
-      .groupBy("cell_id", "pos")
-      .agg((sum(col("col").cast(DecimalType(27, 8))).cast("double") /
-        count(lit(1))).as("m"))
-      .groupBy("cell_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m").cast("float")).as("centroid"))
+    def step1(centsArr: DataFrame): DataFrame =
+      centsArray(assignCells(corpus, centsArr, 1)
+        .select(element_at(col("cells"), 1).as("cell_id"),
+          posexplode(col("embedding")))
+        .groupBy("cell_id", "pos")
+        .agg((sum(col("col").cast(DecimalType(27, 8))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid")))
 
-    val centroids = (0 until lloydIters).foldLeft(seeds: DataFrame)((c, _) => step1(c))
+    val centroids = (0 until lloydIters).foldLeft(seeds)((c, _) => step1(c))
 
     val corpusCells = assignCells(corpus, centroids, 1)
       .select(col("vec_id"), col("embedding"),

@@ -70,55 +70,68 @@ object Pipeline {
         SELECT id_a, id_b, round(cos, 6) AS cos
         FROM pairs WHERE cos >= $minCos ORDER BY id_a, id_b"""
 
-  /** DuckDB replica of the IVF ANN pipeline (s03), valid for
-    * lloydIters = 1: md5-ordered seeding, one Lloyd step with
-    * decimal-exact means rounded through FLOAT exactly like the Spark
-    * centroids, assignment by the same dot/|c| score with the same
-    * lower-cell tie rule, probe + exact cosine re-rank. Assumes no
-    * zero-norm centroid (true for real embeddings). */
-  private def s03Oracle(k: Int, nCells: Int, nProbe: Int): String = {
+  /** DuckDB replica of the IVF ANN pipeline (s03) for ANY number of
+    * Lloyd iterations: md5-ordered seeding, then per iteration one
+    * assign CTE + one centroid-mean CTE (decimal-exact means rounded
+    * through FLOAT exactly like the Spark centroids), assignment by
+    * the same dot/|c| score with the same lower-cell tie rule, probe +
+    * exact cosine re-rank. The Spark side renumbers cells positionally
+    * each step while this replica keeps seed ids — both orderings are
+    * monotone in the previous step's id, so the ASC tie rule picks the
+    * same winner. Assumes no zero-norm centroid (true for real
+    * embeddings). */
+  private def s03Oracle(k: Int, nCells: Int, nProbe: Int,
+                        lloydIters: Int = 1): String = {
     val score = "list_dot_product(v.e, s.ce) / sqrt(list_dot_product(s.ce, s.ce))"
+    val steps = (1 to lloydIters).map { i =>
+      val prev = if (i == 1) "seeds" else s"cent${i - 1}"
+      s"""a$i AS (
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, s.cell,
+                     row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY $score DESC, s.cell ASC) AS rn
+              FROM emb v CROSS JOIN $prev s)
+            WHERE rn = 1),
+          comp$i AS (
+            SELECT a$i.cell, unnest(v.e) AS x,
+                   unnest(range(1, len(v.e) + 1)) AS pos
+            FROM a$i JOIN emb v USING (vec_id)),
+          cent$i AS (
+            SELECT cell, list(cd ORDER BY pos) AS ce FROM (
+              SELECT cell, pos,
+                     CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(*) AS FLOAT) AS DOUBLE) AS cd
+              FROM comp$i GROUP BY cell, pos)
+            GROUP BY cell)"""
+    }.mkString(",\n          ") match {
+      case "" => "" // lloydIters = 0: probe the raw seeds
+      case s  => s + ","
+    }
+    val cent = if (lloydIters == 0) "seeds" else s"cent$lloydIters"
     s"""WITH emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           seeds AS (
             SELECT vec_id AS cell, e AS ce FROM emb
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
-          a1 AS (
+          $steps
+          afin AS (
             SELECT vec_id, cell FROM (
               SELECT v.vec_id, s.cell,
                      row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY $score DESC, s.cell ASC) AS rn
-              FROM emb v CROSS JOIN seeds s)
-            WHERE rn = 1),
-          comp AS (
-            SELECT a1.cell, unnest(v.e) AS x,
-                   unnest(range(1, len(v.e) + 1)) AS pos
-            FROM a1 JOIN emb v USING (vec_id)),
-          cent AS (
-            SELECT cell, list(cd ORDER BY pos) AS ce FROM (
-              SELECT cell, pos,
-                     CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(27,8))) AS DOUBLE)
-                       / COUNT(*) AS FLOAT) AS DOUBLE) AS cd
-              FROM comp GROUP BY cell, pos)
-            GROUP BY cell),
-          a2 AS (
-            SELECT vec_id, cell FROM (
-              SELECT v.vec_id, s.cell,
-                     row_number() OVER (PARTITION BY v.vec_id
-                       ORDER BY $score DESC, s.cell ASC) AS rn
-              FROM emb v CROSS JOIN cent s)
+              FROM emb v CROSS JOIN $cent s)
             WHERE rn = 1),
           qp AS (
             SELECT vec_id, cell FROM (
               SELECT v.vec_id, s.cell,
                      row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY $score DESC, s.cell ASC) AS rn
-              FROM emb v CROSS JOIN cent s WHERE v.vec_id < 5)
+              FROM emb v CROSS JOIN $cent s WHERE v.vec_id < 5)
             WHERE rn <= $nProbe),
           cand AS (
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    ${cosSql("qe.e", "ce.e")} AS cos
-            FROM a2 c
+            FROM afin c
             JOIN qp q ON c.cell = q.cell AND c.vec_id <> q.vec_id
             JOIN emb ce ON ce.vec_id = c.vec_id
             JOIN emb qe ON qe.vec_id = q.vec_id),
@@ -503,11 +516,12 @@ object Pipeline {
     Q("s03_ivf_ann",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+            lloydIters = 2)
           .withColumn("cos", round(col("cos"), 6))
           .orderBy("query_id", "rank")
       },
-      Some(s03Oracle(k = 10, nCells = 16, nProbe = 4))),
+      Some(s03Oracle(k = 10, nCells = 16, nProbe = 4, lloydIters = 2))),
 
     // -- text analysis -----------------------------------------------------
     Q("t01_token_count",

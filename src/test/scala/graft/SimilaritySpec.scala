@@ -60,6 +60,20 @@ class SimilaritySpec extends TestSpark {
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
 
+  test("IVF ANN with two Lloyd iterations keeps (or improves) recall") {
+    val corpus = clustered
+    val queries = clustered.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann2 = Similarity.ivfTopK(corpus, queries, 10, nCells = 6, nProbe = 3,
+        lloydIters = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann2).size.toDouble / exact.size
+    // after 2 k-means refinements the centroids sit on the true cluster
+    // centres, so the probed cells should cover the exact neighbours
+    assert(recall >= 0.8, s"IVF lloydIters=2 recall $recall too low")
+  }
+
   test("near-dup pairs finds intra-cluster pairs only") {
     val pairs = Similarity.nearDupPairs(clustered, minCos = 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect()
