@@ -36,11 +36,18 @@ case class HyperplaneSignature(child: Expression, nBits: Int, seed: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_signature"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_signature needs array<float>, got ${other.simpleString}")
-  }
+  // enforced here (not only in the SQL registration) so the Scala API
+  // fails at analysis too: nBits > 63 would silently wrap `1L << j`
+  // (bit 64 aliases bit 0) into a corrupt signature
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (nBits < 1 || nBits > 63)
+      TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_signature nBits must be in 1..63, got $nBits")
+    else child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_signature needs array<float>, got ${other.simpleString}")
+    }
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]

@@ -60,7 +60,12 @@ object ShingleUtil {
     val p1 = new Array[Long](m); val p2 = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val s = tokens.getUTF8String(i).toString
+      // null tokens hash like the empty string (the declared input type
+      // allows containsNull=true, and getUTF8String would NPE) — the
+      // window still contributes the separator, mirroring what the
+      // composed concat_ws-style formulation yields for empty tokens
+      val us = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
+      val s = if (us == null) "" else us.toString
       var a = 0L; var b = 0L; var q1 = 1L; var q2 = 1L
       var j = 0
       while (j < s.length) {

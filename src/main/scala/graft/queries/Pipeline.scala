@@ -639,8 +639,11 @@ object Pipeline {
           .partitionBy("doc_id")
           .orderBy(col("score_milli").desc, col("term").asc)
         tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-          .withColumn("score_milli",
-            floor(col("tf") * 1000L * col("n_docs") / col("df")).cast("long"))
+          // integer `div`, matching DuckDB's `//`: both engines stay in
+          // long arithmetic end to end (double-division + floor agrees
+          // only while tf*1000*n_docs < 2^53, and would round instead
+          // of failing loudly past 2^63)
+          .withColumn("score_milli", expr("(tf * 1000 * n_docs) div df"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("doc_id", "rank", "term", "tf", "df", "score_milli")

@@ -41,12 +41,16 @@ object Ingest {
   }
 
   /** Dedup-with-report alternative: keep the min-`tieBreak` row per key
-    * (deterministic winner) and return how many rows were dropped. */
+    * (deterministic winner) and return how many rows were dropped.
+    * The report costs ONE aggregation job — dropped = total rows minus
+    * distinct keys, since the dedup keeps exactly one row per key —
+    * and the returned frame stays lazy. */
   def uniqueOrDedup(df: DataFrame, keyCols: Seq[String],
                     tieBreak: Column): (DataFrame, Long) = {
-    val total = df.count()
-    val deduped = graft.operators.Dedup.exact(
-      df, struct(keyCols.map(col): _*), tieBreak)
-    (deduped, total - deduped.count())
+    val key = struct(keyCols.map(col): _*)
+    val counts = df.agg(
+      count(lit(1)).as("total"), count_distinct(key).as("keys")).head()
+    val deduped = graft.operators.Dedup.exact(df, key, tieBreak)
+    (deduped, counts.getLong(0) - counts.getLong(1))
   }
 }

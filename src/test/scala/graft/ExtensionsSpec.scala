@@ -33,4 +33,33 @@ class ExtensionsSpec extends TestSpark {
     // vec (1.0) is nearest to centroid (1.0) at position 1 (0-based index 1)
     assert(r.getInt(5) === 1)
   }
+
+  test("hyperplane_signature rejects nBits outside 1..63 from BOTH entry points") {
+    import org.apache.spark.sql.functions._
+    // SQL path
+    intercept[Exception] {
+      spark.sql("SELECT hyperplane_signature(array(cast(1.0 as float)), 64, 7)")
+        .head()
+    }
+    // Scala/Column path: nBits=64 would silently alias bit 64 to bit 0
+    intercept[Exception] {
+      spark.sql("SELECT array(cast(1.0 as float)) AS v")
+        .select(graft.functions.HyperplaneFunctions
+          .hyperplaneSig(col("v"), nBits = 64)).head()
+    }
+  }
+
+  test("hashed_shingles treats null tokens as empty strings (no NPE)") {
+    import org.apache.spark.sql.functions._
+    val withNull = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b') AS toks")
+      .select(graft.functions.ShingleFunctions
+        .hashedShingles(col("toks"), n = 3).as("h"))
+      .head().getSeq[Long](0)
+    val withEmpty = spark.sql("SELECT array('a', '', 'b') AS toks")
+      .select(graft.functions.ShingleFunctions
+        .hashedShingles(col("toks"), n = 3).as("h"))
+      .head().getSeq[Long](0)
+    assert(withNull === withEmpty)
+  }
 }
