@@ -6,6 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs. */
 trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
+  // test logging policy (incl. silencing StreamingJoinHelper's benign
+  // caught-exception WARN traces) lives in src/test/resources/
+  // log4j2.properties — Spark only installs its own defaults when no
+  // explicit config is on the classpath, so runtime Configurator calls
+  // made before session init get wiped
   lazy val spark: SparkSession =
     GraftSession.tune(SparkSession.builder()
       .master("local[4]")
