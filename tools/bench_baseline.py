@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-only local baseline: time each headline query's DuckDB oracle on
+the same parquet the Spark bench reads, so `BENCH_r{N}.json` has a
+concrete single-node engine to compare against (the reference itself is
+an in-memory SQLite REPL with no published numbers).
+
+Usage: tools/bench_baseline.py <verify_out_dir> <sf_dir> [samples]
+Reads <verify_out_dir>/oracle_sql.json (written by graft.Verify), runs
+each HEADLINE query's oracle `samples` times in DuckDB (all cores, same
+box as the Spark bench), reports the per-query median as one JSON line
+shaped like the Spark bench output.
+
+Not part of the shipped library.
+"""
+import sys, os, json, glob, time
+import duckdb
+
+# keep in sync with graft.Bench.headline
+HEADLINE = [
+    "q01_scan_project", "q03_agg_groupby", "q04_join_broadcast",
+    "q06_multijoin", "q09_topk", "q11_window_rank", "q12_window_running",
+    "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
+    "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
+    "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
+    "q41_doc_embedding_join",
+    "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
+    "d07_dedup_corpus",
+    "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
+    "t01_token_count", "t03_quality_score", "t05_ngram_stats",
+    "t06_subword_stats", "t08_tfidf", "q32_hash_sample", "m01_binary_meta",
+]
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    per_query = {}
+    for name in HEADLINE:
+        if name not in oracle:
+            print(f"[baseline] {name:22s} SKIP (no oracle)", file=sys.stderr)
+            continue
+        times = []
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            con.sql(oracle[name]).fetchall()  # materialize fully
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        per_query[name] = round(med, 3)
+        joined = ", ".join(f"{t:.2f}" for t in times)
+        print(f"[baseline] {name:22s} median {med:7.2f}s  ({joined})",
+              file=sys.stderr)
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({"metric": "duckdb_baseline_total", "value": total,
+                      "unit": "sec", "queries": per_query, "sf": sf_dir}))
+
+if __name__ == "__main__":
+    main()
