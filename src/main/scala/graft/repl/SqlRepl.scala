@@ -74,11 +74,11 @@ final class SqlRepl(spark: SparkSession, out: PrintStream = System.out,
     rendered
   }
 
-  def loop(in: BufferedReader): Unit = {
-    var line = ""
-    while ({ out.print("[SQL] >> "); out.flush(); line = in.readLine(); line != null }) {
-      val trimmed = line.trim
-      if (trimmed == "exit" || trimmed == "quit") return
+  /** Handle one input line; false = the REPL should exit. */
+  private def processLine(line: String): Boolean = {
+    val trimmed = line.trim
+    if (trimmed == "exit" || trimmed == "quit") false
+    else {
       if (trimmed == "\\history")
         history.zipWithIndex.foreach { case (h, i) => out.println(s"${i + 1}  $h") }
       else if (trimmed.nonEmpty) resolve(trimmed).foreach { cmd =>
@@ -86,7 +86,45 @@ final class SqlRepl(spark: SparkSession, out: PrintStream = System.out,
         try out.println(runLine(cmd))
         catch { case e: Exception => out.println(s"Error: ${e.getMessage}") }
       }
+      true
     }
+  }
+
+  def loop(in: BufferedReader): Unit = {
+    var go = true
+    var line = ""
+    while (go &&
+        { out.print("[SQL] >> "); out.flush(); line = in.readLine(); line != null })
+      go = processLine(line)
+  }
+
+  /** Interactive terminal loop on JLine3 — the reference's rustyline UX
+    * (/root/reference/src/main.rs:142-171): arrow-key editing and
+    * history recall, Ctrl-C clears the current line and continues,
+    * Ctrl-D exits. Command semantics are identical to [[loop]] (same
+    * [[processLine]]); the history FILE stays owned by [[record]] so
+    * `\\history` / `!N` indices agree between modes — JLine only holds
+    * the in-memory buffer that arrow keys browse, seeded from the
+    * loaded file history. Use only when stdin is a real terminal. */
+  def interactiveLoop(): Unit = {
+    val terminal = org.jline.terminal.TerminalBuilder.builder()
+      .system(true).build()
+    val jhist = new org.jline.reader.impl.history.DefaultHistory()
+    val reader = org.jline.reader.LineReaderBuilder.builder()
+      .terminal(terminal).history(jhist).build()
+    history.foreach(jhist.add)
+    try {
+      var go = true
+      while (go) {
+        val line =
+          try reader.readLine("[SQL] >> ")
+          catch {
+            case _: org.jline.reader.UserInterruptException => "" // Ctrl-C
+            case _: org.jline.reader.EndOfFileException     => null // Ctrl-D
+          }
+        go = line != null && processLine(line)
+      }
+    } finally terminal.close()
   }
 }
 
@@ -128,7 +166,8 @@ object SqlRepl {
     * `-f`, the positional arg is a parquet data dir (graft's native
     * mode). Separated from `main` so tests can drive it end-to-end. */
   def runCli(args: Array[String], spark: SparkSession,
-             in: BufferedReader, out: PrintStream): Unit = {
+             in: BufferedReader, out: PrintStream,
+             interactive: Boolean = false): Unit = {
     val c = parseArgs(args.toIndexedSeq)
     c.file match {
       case Some(f) =>
@@ -148,16 +187,20 @@ object SqlRepl {
       case None =>
         Tables.registerAll(spark, c.dataDir.getOrElse("/root/testdata/sf0.001"))
     }
-    new SqlRepl(spark, out, historyFile = c.history).loop(in)
+    val repl = new SqlRepl(spark, out, historyFile = c.history)
+    if (interactive) repl.interactiveLoop() else repl.loop(in)
   }
 
   /** Entry point. `runMain graft.repl.SqlRepl <dataDir>` (parquet mode)
     * or `runMain graft.repl.SqlRepl -f file.xlsx -s Sheet1` (reference
-    * parity mode). */
+    * parity mode). Uses the JLine editor when attached to a real
+    * terminal; piped/forked stdin (sbt run, tests, scripts) falls back
+    * to the plain line loop. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     runCli(args, spark,
-      new BufferedReader(new InputStreamReader(System.in)), System.out)
+      new BufferedReader(new InputStreamReader(System.in)), System.out,
+      interactive = System.console() != null)
     spark.stop()
   }
 }
