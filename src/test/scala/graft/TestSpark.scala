@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
+import org.scalatest.{BeforeAndAfterAll, BeforeAndAfterEach}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs. */
-trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
+trait TestSpark extends AnyFunSuite with BeforeAndAfterAll
+    with BeforeAndAfterEach {
   // test logging policy (incl. silencing StreamingJoinHelper's benign
   // caught-exception WARN traces) lives in src/test/resources/
   // log4j2.properties — Spark only installs its own defaults when no
@@ -18,6 +19,14 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
       .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
+
+  override def afterEach(): Unit = {
+    // staged operators persist() intermediates; consecutive tests (and
+    // queries sharing a stage plan, e.g. d03/d06/d07) would otherwise
+    // re-persist already-cached plans — clear like Verify/Bench do
+    spark.catalog.clearCache()
+    super.afterEach()
+  }
 
   override def afterAll(): Unit = {
     // session is shared across suites in one JVM; don't stop it here
