@@ -358,6 +358,54 @@ object Dedup {
       (survivors +: staged.stages) ++ cc.stages)
   }
 
+  /** Benchmark decontamination pairs — the training-data op that keeps
+    * evaluation sets out of the corpus: flag every corpus document
+    * whose distinct 3-token shingles overlap a benchmark document's by
+    * at least `minOverlapMilli` per-mille (of the CORPUS doc's shingle
+    * count — the conventional direction: a long document quoting one
+    * benchmark item is diluted, a short near-copy is caught).
+    *
+    * Scale shape: the benchmark side is small (an eval suite, not a
+    * corpus) and is BROADCAST as exploded distinct shingle hashes; the
+    * corpus is scanned once, row-local shingle hashing + explode, no
+    * full-width shuffle — only the (doc, bench) shingle MATCHES reach
+    * the counting aggregation. Integer per-mille via `div` keeps the
+    * ratio bit-identical across engines.
+    *
+    * Output: (doc_id, bench_id, inter, n_shingles, overlap_milli). */
+  def contaminationPairs(corpus: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchId: Column,
+                         benchText: Column,
+                         minOverlapMilli: Long = 800L): DataFrame = {
+    val corpusToks = corpus
+      .select(id.as("doc_id"), hashedShingles(text).as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("doc_id"), size(col("h")).cast("long").as("n_shingles"),
+        explode(col("h")).as("sh"))
+    val benchToks = bench
+      .select(benchId.as("bench_id"),
+        explode(hashedShingles(benchText)).as("sh"))
+    // HashedShingles emits sorted-DISTINCT hashes per doc, so each
+    // matched (doc, bench, shingle) contributes exactly one row and
+    // count(*) == |intersection|
+    corpusToks.join(broadcast(benchToks), "sh")
+      .groupBy("doc_id", "bench_id", "n_shingles")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("overlap_milli", expr("(inter * 1000) div n_shingles"))
+      .filter(col("overlap_milli") >= minOverlapMilli)
+      .select("doc_id", "bench_id", "inter", "n_shingles", "overlap_milli")
+  }
+
+  /** [[contaminationPairs]] folded to the corpus cleaner: drop every
+    * corpus document contaminated by ANY benchmark document. */
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchId: Column, benchText: Column,
+                    minOverlapMilli: Long = 800L): DataFrame = {
+    val bad = contaminationPairs(corpus, id, text, bench, benchId,
+      benchText, minOverlapMilli).select(col("doc_id").as("__bad_id"))
+    corpus.join(bad, id === col("__bad_id"), "left_anti")
+  }
+
   /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 votes
     * of the shingle-hash bits; sign → fingerprint bit. Feature hashes
     * are the 62-bit rolling fingerprints (not mod p — SimHash wants

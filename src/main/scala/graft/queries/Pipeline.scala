@@ -465,6 +465,51 @@ object Pipeline {
         .orderBy("doc_id"),
       Some(d07Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
 
+    // -- benchmark decontamination (eval-set leakage detection) ------------
+    // benchmark stand-in: every 29th document; flag corpus docs whose
+    // distinct-shingle overlap with a benchmark doc >= 500 per-mille of
+    // the corpus doc's shingles. Join on the same rolling-fingerprint
+    // shingle hashes both engines compute; integer per-mille via div/
+    // DuckDB `//`.
+    Q("d08_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminationPairs(docs, col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 29 === 0), col("doc_id"),
+            col("text"), minOverlapMilli = 500L)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH
+                 toks AS (
+                   SELECT DISTINCT id, tok FROM (
+                     SELECT doc_id AS id,
+                            unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                     FROM (SELECT doc_id, $tok AS tk FROM documents))
+                   WHERE tok <> ''),
+                 thash AS (
+                   SELECT DISTINCT id,
+                          (list_reduce(list_transform(string_split(tok, ''),
+                             ch -> CAST(unicode(ch) AS BIGINT)),
+                             (a, b) -> (a * 131 + b) % 2147483647) * 2147483648
+                           + list_reduce(list_transform(string_split(tok, ''),
+                               ch -> CAST(unicode(ch) AS BIGINT)),
+                               (a, b) -> (a * 257 + b) % 2147483647)) % 2147483647 AS h
+                   FROM toks),
+                 sizes AS (SELECT id, COUNT(*) AS n_shingles
+                           FROM thash GROUP BY id),
+                 matches AS (
+                   SELECT c.id AS doc_id, b.id AS bench_id,
+                          COUNT(*) AS inter
+                   FROM thash c
+                   JOIN thash b ON c.h = b.h AND b.id % 29 = 0
+                   GROUP BY 1, 2)
+               SELECT m.doc_id, m.bench_id, m.inter, s.n_shingles,
+                      (m.inter * 1000) // s.n_shingles AS overlap_milli
+               FROM matches m JOIN sizes s ON s.id = m.doc_id
+               WHERE (m.inter * 1000) // s.n_shingles >= 500
+               ORDER BY m.doc_id, m.bench_id""")),
+
     Q("d04_simhash",
       (s, d) => Dedup.simhashPairs(
           t(s, d, "documents"), col("doc_id"), col("text"), maxDist = 3)

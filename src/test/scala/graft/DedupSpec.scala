@@ -115,6 +115,34 @@ class DedupSpec extends TestSpark {
     assert(deduped.count() + nonReps === exactDeduped.count())
   }
 
+  test("decontaminate drops benchmark near-copies, keeps diluted quotes") {
+    val bench = Seq((100L, base)).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, base),                                  // verbatim benchmark copy
+      (2L, base.replace("tonight", "today")),      // near-copy, high overlap
+      (3L, base + " " + (1 to 36).map(i => s"pad$i").mkString(" ")),
+      // ^ quotes the benchmark but is mostly other text (diluted:
+      //   distinct padding words, so the shingle count really grows)
+      (4L, "completely different words about spark engines and data")
+    ).toDF("id", "text")
+    val pairs = Dedup.contaminationPairs(corpus, col("id"), col("text"),
+        bench, col("bid"), col("btext"), minOverlapMilli = 600L)
+      .select("doc_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 100L)))
+    assert(pairs.contains((2L, 100L)))
+    assert(!pairs.exists(_._1 == 3L)) // overlap diluted below threshold
+    assert(!pairs.exists(_._1 == 4L))
+    val clean = Dedup.decontaminate(corpus, col("id"), col("text"),
+        bench, col("bid"), col("btext"), minOverlapMilli = 600L)
+      .select("id").as[Long].collect().toSet
+    assert(clean === Set(3L, 4L))
+    // verbatim copy overlaps at exactly 1000 per-mille
+    val full = Dedup.contaminationPairs(corpus, col("id"), col("text"),
+        bench, col("bid"), col("btext"), minOverlapMilli = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(full === Set(1L))
+  }
+
   test("connected components: chains propagate the min label transitively") {
     // 1-2, 2-3, 3-4 is a diameter-3 path (needs >1 propagation round);
     // 10-11 is a separate component; 7-5 checks min via the larger id

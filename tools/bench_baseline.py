@@ -24,7 +24,7 @@ HEADLINE = [
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
     "q41_doc_embedding_join",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
-    "d07_dedup_corpus",
+    "d07_dedup_corpus", "d08_decontaminate",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "q32_hash_sample", "m01_binary_meta",
