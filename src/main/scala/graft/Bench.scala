@@ -42,7 +42,8 @@ object Bench {
     "d07_dedup_corpus", "d08_decontaminate",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
-    "t06_subword_stats", "t08_tfidf", "q32_hash_sample", "m01_binary_meta")
+    "t06_subword_stats", "t08_tfidf", "t10_repetition", "q32_hash_sample",
+    "m01_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,6 +32,23 @@ object TextAnalysis {
       .otherwise(size(filter(arr, w => w.isInCollection(stopwords))).cast("long"))
   }
 
+  /** Token-bigram repetition counts — the Gopher-style "duplicate
+    * n-gram fraction" spam signal: a struct of (n_bigrams, n_dup)
+    * where n_dup = bigram occurrences that repeat an earlier bigram.
+    * Entirely row-local codegen'd builtins — the signal shuffles
+    * NOTHING; callers derive the per-mille with integer division
+    * (`(1000 * n_dup) div n_bigrams`) so it is bit-identical across
+    * engines. */
+  def bigramRepetition(text: Column): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val bigs = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    struct(size(bigs).cast("long").as("n_bigrams"),
+      (size(bigs) - size(array_distinct(bigs))).cast("long").as("n_dup"))
+  }
+
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

@@ -787,6 +787,30 @@ object Pipeline {
               GROUP BY gram HAVING COUNT(*) >= 100
               ORDER BY cnt DESC, gram""")),
 
+    // -- per-doc repetition (Gopher-style duplicate-bigram fraction) -------
+    // spam/boilerplate signal: share of token bigrams that repeat an
+    // earlier bigram, integer per-mille. Entirely row-local — the whole
+    // signal computes in the scan with zero shuffle.
+    Q("t10_repetition",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bigramRepetition(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_bigrams").as("n_bigrams"),
+          col("r.n_dup").as("n_dup"))
+        .filter(col("n_bigrams") > 0)
+        .withColumn("rep_milli", expr("(1000 * n_dup) div n_bigrams"))
+        .orderBy("doc_id"),
+      Some(s"""WITH b AS (
+                 SELECT doc_id,
+                        list_transform(range(1, len(tk)),
+                          i -> tk[i] || ' ' || tk[i+1]) AS bigs
+                 FROM (SELECT doc_id, $tok AS tk FROM documents))
+               SELECT doc_id, len(bigs) AS n_bigrams,
+                      len(bigs) - len(list_distinct(bigs)) AS n_dup,
+                      (1000 * (len(bigs) - len(list_distinct(bigs))))
+                        // len(bigs) AS rep_milli
+               FROM b WHERE len(bigs) > 0 ORDER BY doc_id""")),
+
     Q("t06_subword_stats",
       (s, d) => t(s, d, "documents")
         .withColumn("n_sub", TextAnalysis.subwordCount(col("text")))

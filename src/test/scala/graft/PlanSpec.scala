@@ -108,6 +108,20 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d08: the benchmark shingle side broadcasts — the corpus is never " +
+       "shuffled before the match join") {
+    val p = plan("d08_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-side explode feeds the broadcast join directly: no
+    // hashpartitioning Exchange between the corpus FileScan and the join
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val scanIdx = lines.indexWhere(_.contains("FileScan parquet"), joinIdx)
+    assert(joinIdx >= 0 && scanIdx > joinIdx, p)
+    assert(!lines.slice(joinIdx + 1, scanIdx)
+      .exists(_.contains("Exchange hashpartitioning")), p)
+  }
+
   test("s03: IVF cell assignment is row-local — no Exchange between the " +
        "corpus scan and nearest_cells") {
     val p = SparkEntry.queries("s03_ivf_ann")(spark, sfDir)

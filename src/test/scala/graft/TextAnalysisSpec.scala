@@ -64,4 +64,20 @@ class TextAnalysisSpec extends TestSpark {
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
     assert(d.distinct().count() === d.count())
   }
+
+  test("bigram repetition counts duplicate bigram occurrences") {
+    val got = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (2L, "all words here differ totally"), // 4 bigrams, no repeats
+      (3L, "single"),        // no bigrams
+      (4L, "")               // no bigrams
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.bigramRepetition(col("text")).as("r"))
+      .select(col("id"), col("r.n_bigrams"), col("r.n_dup"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L) === ((5L, 3L)))
+    assert(got(2L) === ((4L, 0L)))
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(4L) === ((0L, 0L)))
+  }
 }

@@ -27,7 +27,8 @@ HEADLINE = [
     "d07_dedup_corpus", "d08_decontaminate",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
-    "t06_subword_stats", "t08_tfidf", "q32_hash_sample", "m01_binary_meta",
+    "t06_subword_stats", "t08_tfidf", "t10_repetition", "q32_hash_sample",
+    "m01_binary_meta",
 ]
 
 def main():
