@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -34,6 +34,25 @@ object Streams {
       .groupBy(window(col("ts"), windowimdur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Stream-static enrichment: join a stream of events to a static
+    * dimension table and aggregate per window × dimension attribute —
+    * the standard streaming-ETL enrichment shape. The stream-static
+    * join is STATELESS in Structured Streaming (each microbatch joins
+    * against the static frame; no state store grows), and broadcasting
+    * the dim keeps the stream side shuffle-free before the windowed
+    * agg — whose watermark bounds the only state there is. Works
+    * identically on a batch DataFrame. */
+  def enrichedWindowAgg(events: DataFrame, dim: DataFrame,
+                        dimKey: Column, dimVal: Column,
+                        winDur: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .join(broadcast(dim.select(dimKey.as("user_id"), dimVal.as("dim_val"))),
+        "user_id")
+      .groupBy(window(col("ts"), winDur).as("w"), col("dim_val"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("dim_val"),
         col("cnt"), col("sum_value"))
 
   /** Streaming exact dedup on a key with bounded state: watermark on
