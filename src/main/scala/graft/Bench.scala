@@ -31,7 +31,7 @@ object Bench {
     "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
     "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
-    "q41_doc_embedding_join",
+    "q41_doc_embedding_join", "q42_token_pack",
     // d07 is the whole dedup pipeline — exact dedup + d03's mining +
     // label propagation (2 rounds at sf0.1: one that changes labels,
     // one that confirms the fixpoint; each a blocking job reading the

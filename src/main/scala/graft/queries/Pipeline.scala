@@ -586,6 +586,35 @@ object Pipeline {
                      FROM documents)
                GROUP BY lang ORDER BY lang""")),
 
+    // -- training-batch sequence packing -----------------------------------
+    // assign each doc to a fixed-token-budget pack (the pretraining
+    // batch-packing shape): pack_id = the bin where the doc STARTS,
+    // from a per-lang running token total in deterministic doc_id
+    // order. One window shuffle per lang partition; integer div.
+    Q("q42_token_pack",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .withColumn("pack_id", expr("(cum_tokens - n_tokens) div 2048"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+                     (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS pack_id
+              FROM (SELECT doc_id, lang,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END
+                        AS n_tokens
+                    FROM documents)
+              ORDER BY doc_id""")),
+
     Q("t02_lang_id",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -898,8 +927,11 @@ object Pipeline {
               WHERE rk <= 20 ORDER BY lang, rk""")),
 
     // -- bidirectional interval pairing (batch face of st04) ---------------
+    // banded batch face (3-bucket candidate pruning); equality with the
+    // streamable plain-condition intervalJoin is proven in
+    // JoinPropertySpec, and st04 streams the plain form
     Q("q36_interval_pairs",
-      (s, d) => graft.streaming.Streams.intervalJoin(
+      (s, d) => graft.streaming.Streams.intervalJoinBanded(
           t(s, d, "events")
             .select(col("event_id"), col("user_id"),
               date_trunc("second", col("ts")).as("ts")),

@@ -166,6 +166,35 @@ object Streams {
       .select(col("user_id"), col("id_a"), col("id_b"), col("ts_a"), col("ts_b"))
   }
 
+  /** Batch-optimized face of [[intervalJoin]] — identical pairs, banded
+    * into an equi-join on (user, time bucket): a row in window-sized
+    * bucket b can only pair with rows in buckets b-1..b+1, so each left
+    * row probes 3 buckets instead of meeting EVERY same-user row before
+    * the time filter (the d03-style candidate-bounding trick, same as
+    * [[graft.operators.RangeJoin]] but bidirectional). The time
+    * predicate stays on the exact timestamps — buckets only prune
+    * candidates, they never decide membership. The stream face keeps
+    * the plain condition (stream-stream state pruning reads the raw
+    * time bounds); JoinPropertySpec proves the two faces equal. */
+  def intervalJoinBanded(events: DataFrame, windowSec: Long): DataFrame = {
+    val e = events.select(col("event_id"), col("user_id"), col("ts"),
+      floor(col("ts").cast("long") / windowSec).as("bucket"))
+    val l = e.select(col("event_id").as("id_a"), col("user_id"),
+      col("ts").as("ts_a"),
+      explode(array(col("bucket") - 1, col("bucket"),
+        col("bucket") + 1)).as("probe"))
+    val r = e.select(col("event_id").as("id_b"),
+      col("user_id").as("user_b"), col("ts").as("ts_b"),
+      col("bucket").as("bucket_b"))
+    l.join(r,
+        col("user_id") === col("user_b") && col("probe") === col("bucket_b") &&
+        col("id_a") < col("id_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        col("ts_a"), col("ts_b"))
+  }
+
   /** Spark-native gap sessionization via `session_window` — the
     * declarative path: state-store-backed on streams (add a watermark
     * upstream), a plain shuffle-and-merge aggregation in batch, and the

@@ -40,6 +40,20 @@ class JoinPropertySpec extends TestSpark {
     })
   }
 
+  test("banded interval join equals the plain interval join on the events table") {
+    import org.apache.spark.sql.functions._
+    val events = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"))
+    val plain = graft.streaming.Streams.intervalJoin(events, windowSec = 3600)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = graft.streaming.Streams
+      .intervalJoinBanded(events, windowSec = 3600)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded === plain)
+    assert(banded.nonEmpty)
+  }
+
   test("asof join equals the naive latest-at-or-before lookup on random data") {
     check(Prop.forAll(rows, rows) { (ls, rs) =>
       val left = ls.toDF("k", "t", "lid")

@@ -22,7 +22,7 @@ HEADLINE = [
     "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
     "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
-    "q41_doc_embedding_join",
+    "q41_doc_embedding_join", "q42_token_pack",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
     "d07_dedup_corpus", "d08_decontaminate",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
