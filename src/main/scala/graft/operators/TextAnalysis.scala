@@ -35,18 +35,21 @@ object TextAnalysis {
   /** Token-bigram repetition counts — the Gopher-style "duplicate
     * n-gram fraction" spam signal: a struct of (n_bigrams, n_dup)
     * where n_dup = bigram occurrences that repeat an earlier bigram.
-    * Entirely row-local codegen'd builtins — the signal shuffles
-    * NOTHING; callers derive the per-mille with integer division
+    * Entirely row-local and fully codegen'd — the total is just
+    * token count minus one, and the distinct count reuses the fused
+    * [[graft.functions.HashedShingles]] expression at n=2 (a zip_with
+    * + array_distinct formulation runs interpreted per element: HOF
+    * lambdas are CodegenFallback). The signal shuffles NOTHING;
+    * callers derive the per-mille with integer division
     * (`(1000 * n_dup) div n_bigrams`) so it is bit-identical across
-    * engines. */
+    * engines (the oracle replicates the same shingle hashes). */
   def bigramRepetition(text: Column): Column = {
     val toks = split(trim(lower(text)), "\\s+")
-    val bigs = filter(
-      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      x => x.isNotNull)
-    struct(size(bigs).cast("long").as("n_bigrams"),
-      (size(bigs) - size(array_distinct(bigs))).cast("long").as("n_dup"))
+    val nBigrams = greatest(size(toks) - 1, lit(0)).cast("long")
+    val nDistinct = size(graft.functions.ShingleFunctions
+      .hashedShingles(toks, n = 2, modP = false)).cast("long")
+    struct(nBigrams.as("n_bigrams"),
+      (nBigrams - nDistinct).as("n_dup"))
   }
 
   /** Ratio of punctuation chars to total chars (0 for empty). */

@@ -833,12 +833,21 @@ object Pipeline {
                  SELECT doc_id,
                         list_transform(range(1, len(tk)),
                           i -> tk[i] || ' ' || tk[i+1]) AS bigs
-                 FROM (SELECT doc_id, $tok AS tk FROM documents))
-               SELECT doc_id, len(bigs) AS n_bigrams,
-                      len(bigs) - len(list_distinct(bigs)) AS n_dup,
-                      (1000 * (len(bigs) - len(list_distinct(bigs))))
-                        // len(bigs) AS rep_milli
-               FROM b WHERE len(bigs) > 0 ORDER BY doc_id""")),
+                 FROM (SELECT doc_id, $tok AS tk FROM documents)),
+               h AS (
+                 SELECT doc_id, len(bigs) AS n_bigrams,
+                        len(bigs) - len(list_distinct(list_transform(bigs,
+                          tok -> list_reduce(list_transform(string_split(tok, ''),
+                                   ch -> CAST(unicode(ch) AS BIGINT)),
+                                   (a, b) -> (a * 131 + b) % 2147483647) * 2147483648
+                                 + list_reduce(list_transform(string_split(tok, ''),
+                                     ch -> CAST(unicode(ch) AS BIGINT)),
+                                     (a, b) -> (a * 257 + b) % 2147483647))))
+                          AS n_dup
+                 FROM b)
+               SELECT doc_id, n_bigrams, n_dup,
+                      (1000 * n_dup) // n_bigrams AS rep_milli
+               FROM h WHERE n_bigrams > 0 ORDER BY doc_id""")),
 
     Q("t06_subword_stats",
       (s, d) => t(s, d, "documents")
