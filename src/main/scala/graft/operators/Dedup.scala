@@ -236,8 +236,9 @@ object Dedup {
     * label among itself and its neighbours (one join + one min-agg
     * shuffle per round), until a fixpoint. Rounds needed = component
     * diameter; near-dup clusters are clique-ish (diameter 2-3). For
-    * billion-edge graphs swap in large-star/small-star contraction —
-    * the driver loop shape stays the same.
+    * high-diameter or billion-edge graphs use
+    * [[connectedComponentsTwoPhase]] — O(log n) rounds via
+    * large-star/small-star contraction, proven equivalent in DedupSpec.
     *
     * Output: (id, cluster_id) for every id in `pairs`, cluster_id =
     * min id reachable — deterministic. */
@@ -320,6 +321,88 @@ object Dedup {
     }
     freeRdd(edges)
     Staged(labels.select(col("id"), col("lbl").as("cluster_id")), Seq(labels))
+  }
+
+  /** Alternating large-star / small-star connected components — the
+    * O(log n)-ROUND alternative to [[connectedComponentsStaged]]'s
+    * min-label propagation, whose round count equals the component
+    * DIAMETER (fine for clique-ish near-dup clusters, ruinous for long
+    * chains: a 10⁶-node path would need 10⁶ rounds; this needs ~20).
+    * Each phase is one shuffle on the node id; edges contract
+    * monotonically toward stars rooted at component minima — the
+    * standard two-phase formulation for billion-edge graphs (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", 2014).
+    *
+    * large-star: every node attaches its LARGER neighbours to the
+    * minimum of its neighbourhood (incl. itself); small-star (on the
+    * max→min orientation) attaches the smaller ones. Fixpoint = both
+    * phases change nothing; detected by an order-insensitive edge-set
+    * signature (count + sum of 64-bit edge hashes — a missed change
+    * needs a 2⁻⁶⁴ hash-sum collision). Rounds are localCheckpoint'ed
+    * like the label loop, two light actions per round (materialize +
+    * signature) on sets that only ever SHRINK toward one edge per
+    * non-root node.
+    *
+    * Self-pairs are dropped (a near-dup miner never emits them); ids
+    * appearing only in self-pairs are absent from the output. Output:
+    * (id, cluster_id = min reachable id) — same contract as
+    * [[connectedComponents]], proven equivalent in DedupSpec. */
+  def connectedComponentsTwoPhase(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 30): Staged = {
+    val freeRdd = org.apache.spark.sql.GraftInternal.unpersistBackingRdd _
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val w = Window.partitionBy("u")
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val sym = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val w = Window.partitionBy("u")
+      val withM = sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var sig = signature(edges)
+    var converged = false
+    var i = 0
+    try {
+      while (!converged && i < maxIters) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(false)
+        val nsig = signature(next) // materializes the lazy checkpoint
+        converged = nsig == sig
+        freeRdd(edges)
+        edges = next
+        sig = nsig
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponentsTwoPhase did not converge in $maxIters " +
+            "iterations — pathological input; raise maxIters")
+    } catch {
+      case e: Throwable => freeRdd(edges); throw e
+    }
+    // fixpoint edges are stars: every node points straight at its
+    // component's min. groupBy-min is belt and braces for ties.
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+    Staged(labels, Seq(edges))
   }
 
   /** End-to-end corpus deduplication — the one-call pipeline a

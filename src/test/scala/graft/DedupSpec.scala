@@ -153,4 +153,32 @@ class DedupSpec extends TestSpark {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
   }
+
+  test("two-phase CC equals label propagation on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 120)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val viaLabels = Dedup.connectedComponents(pairs, maxIters = 60)
+      .as[(Long, Long)].collect().toMap
+    val twoPhase = Dedup.connectedComponentsTwoPhase(pairs)
+    val viaStars = twoPhase.result.as[(Long, Long)].collect().toMap
+    twoPhase.cleanup()
+    assert(viaStars === viaLabels)
+  }
+
+  test("two-phase CC handles a diameter-50 chain in logarithmic rounds") {
+    // a 51-node path: label propagation needs >50 rounds (throws at 10);
+    // star contraction collapses it within the default budget
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 10)
+    }
+    val st = Dedup.connectedComponentsTwoPhase(chain, maxIters = 10)
+    val got = st.result.as[(Long, Long)].collect().toMap
+    st.cleanup()
+    assert(got.size === 51)
+    assert(got.values.forall(_ == 0L))
+  }
 }
