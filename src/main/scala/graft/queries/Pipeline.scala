@@ -344,6 +344,51 @@ object Pipeline {
         .orderBy("o_orderpriority"),
       None), // HLL sketch values are engine-specific; spec bounds the error
 
+    // -- KMV distinct sketch: approximate AND cross-engine exact -----------
+    // HLL sketch bytes are engine-private (q28 is rows-only for that
+    // reason); the k-minimum-values estimator is not: given an
+    // INJECTIVE hash (a linear map mod the Mersenne prime is injective
+    // for keys < P, so no collision term at all), the k smallest
+    // hashes — and therefore (k-1)·P div h_(k) — are the same numbers
+    // in any engine. Approximate in accuracy, deterministic in value.
+    Q("q43_kmv_distinct",
+      (s, d) => {
+        val k = 256
+        val keys = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_partkey")).distinct()
+          .withColumn("h",
+            expr("(cast(l_partkey as bigint) * 131071 + 524287) % 2147483647"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag").orderBy("h")
+        keys.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .groupBy("l_returnflag")
+          .agg(max(col("h")).as("hk"), count(lit(1)).as("cnt"))
+          .withColumn("kmv_est",
+            when(col("cnt") < k, col("cnt"))
+              .otherwise(expr(s"(${k - 1}L * 2147483647) div hk")))
+          .select("l_returnflag", "kmv_est")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH keys AS (
+                SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+              hs AS (
+                SELECT l_returnflag,
+                       (CAST(l_partkey AS BIGINT) * 131071 + 524287)
+                         % 2147483647 AS h
+                FROM keys),
+              rk AS (
+                SELECT l_returnflag, h,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY h) AS rn
+                FROM hs),
+              kk AS (
+                SELECT l_returnflag, MAX(h) AS hk, COUNT(*) AS cnt
+                FROM rk WHERE rn <= 256 GROUP BY 1)
+              SELECT l_returnflag,
+                     CASE WHEN cnt < 256 THEN cnt
+                          ELSE (CAST(255 AS BIGINT) * 2147483647) // hk END AS kmv_est
+              FROM kk ORDER BY l_returnflag""")),
+
     Q("q29_cube",
       (s, d) => t(s, d, "customer")
         .cube("c_mktsegment", "c_nationkey")

@@ -59,4 +59,20 @@ class RangeJoinSpec extends TestSpark {
         s"approx $approx vs exact $exact")
     }
   }
+
+  test("KMV distinct estimate stays within 20% of exact per group") {
+    val est = SparkEntry.queries("q43_kmv_distinct")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (flag, e) =>
+      val x = exact(flag)
+      // below k=256 distinct the estimate IS the exact count; above it
+      // the k-minimum-values error is ~1/sqrt(k) ≈ 6% — 20% is slack
+      assert(math.abs(e - x).toDouble / x < 0.2, s"$flag: kmv $e vs exact $x")
+    }
+  }
 }
