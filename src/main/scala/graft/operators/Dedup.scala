@@ -416,24 +416,34 @@ object Dedup {
                   minJaccard: Double = 0.7,
                   bands: Int = 16, rowsPerBand: Int = 4,
                   seed: Long = 42L,
-                  maxBucketSize: Option[Long] = None): DataFrame =
+                  maxBucketSize: Option[Long] = None,
+                  twoPhaseCc: Boolean = false): DataFrame =
     dedupCorpusStaged(df, id, text, minJaccard, bands, rowsPerBand,
-      seed, maxBucketSize).result
+      seed, maxBucketSize, twoPhaseCc).result
 
   /** [[dedupCorpus]] with the persisted stages (survivors + LSH
-    * signatures) exposed for caller-owned cache cleanup, like the other
-    * staged miners. */
+    * signatures + CC labels) exposed for caller-owned cache cleanup,
+    * like the other staged miners.
+    *
+    * `twoPhaseCc` swaps the clustering step for
+    * [[connectedComponentsTwoPhase]] — same clusters (spec-proven),
+    * O(log n) rounds instead of diameter-many; near-dup clusters are
+    * clique-ish so the default label propagation is usually fewer
+    * rounds, but chain-shaped duplicate families (serial edits) favor
+    * the two-phase form. */
   def dedupCorpusStaged(df: DataFrame, id: Column, text: Column,
                   minJaccard: Double = 0.7,
                   bands: Int = 16, rowsPerBand: Int = 4,
                   seed: Long = 42L,
-                  maxBucketSize: Option[Long] = None): Staged = {
+                  maxBucketSize: Option[Long] = None,
+                  twoPhaseCc: Boolean = false): Staged = {
     // persisted: read by the signature stage AND the final anti-join
     // (at 100 TB: a parquet stage table)
     val survivors = exact(df, md5(text), id).persist()
     val staged = minhashLshPairsStaged(survivors, id, text,
       bands, rowsPerBand, minJaccard, seed, maxBucketSize)
-    val cc = connectedComponentsStaged(staged.result)
+    val cc = if (twoPhaseCc) connectedComponentsTwoPhase(staged.result)
+             else connectedComponentsStaged(staged.result)
     val dupes = cc.result
       .filter(col("id") =!= col("cluster_id")) // non-representatives
       .select(col("id").as("__dup_id"))

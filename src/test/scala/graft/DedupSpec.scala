@@ -154,6 +154,16 @@ class DedupSpec extends TestSpark {
       10L -> 10L, 11L -> 10L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("dedupCorpus with two-phase CC keeps the same survivors") {
+    val real = Tables(spark, sfDir, "documents")
+    val viaLabels = Dedup.dedupCorpus(real, col("doc_id"), col("text"),
+      minJaccard = 0.6).select("doc_id").as[Long].collect().toSet
+    val viaStars = Dedup.dedupCorpus(real, col("doc_id"), col("text"),
+      minJaccard = 0.6, twoPhaseCc = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaStars === viaLabels)
+  }
+
   test("two-phase CC equals label propagation on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = (1 to 120)
