@@ -14,7 +14,12 @@ import org.apache.spark.sql.SparkSession
   * (vmstat `st` column), which stalls single runs by seconds at
   * random — medians separate plan cost from host noise. Single-run
   * totals of the same build varied 34-47s across driver rounds; the
-  * per-query medians are stable to ~±15%.
+  * per-query medians are stable to ~±15% on quiet runs, but a
+  * SUSTAINED steal wave can still inflate every sample of a block
+  * (observed: d07 11.3s in one suite run vs a 2.8-4.5s isolated
+  * envelope minutes later) — cross-check outliers with
+  * `graft.tools.BenchOne <query> 5` before treating them as
+  * regressions.
   */
 object Bench {
 
