@@ -35,15 +35,22 @@ object Multimodal {
     hist
   }
 
-  /** Format-dispatched decode: uncompressed 24-bit BMP is decodable
-    * with zero codec libraries, so it gets a REAL decoder —
-    * `[width, height, meanBlue, meanGreen, meanRed]` — and everything
-    * else falls back to [[decodeStub]]. The magic-byte dispatch is
-    * exactly where jpeg/png/h264 decoders slot in on a cluster that
-    * ships codec libs. */
+  /** Format-dispatched decode: UNCOMPRESSED formats are decodable with
+    * zero codec libraries, so they get REAL decoders — 24-bit BMP →
+    * `[width, height, meanBlue, meanGreen, meanRed]`, RIFF/WAV PCM-16
+    * audio → `[sampleRate, channels, framesPerChannel, rms, peak]` —
+    * and everything else falls back to [[decodeStub]]. The magic-byte
+    * dispatch is exactly where jpeg/png/h264 decoders slot in on a
+    * cluster that ships codec libs. */
   def decode(bytes: Array[Byte]): Array[Float] =
     if (bytes.length > 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
       decodeBmp24(bytes).getOrElse(decodeStub(bytes))
+    else if (bytes.length > 44 &&
+        bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+        bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+        bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte)
+      decodeWavPcm16(bytes).getOrElse(decodeStub(bytes))
     else decodeStub(bytes)
 
   /** Hand-rolled uncompressed 24bpp bottom-up/top-down BMP parse. */
@@ -76,6 +83,47 @@ object Multimodal {
     Some(Array(w.toFloat, height.toFloat,
       (sb.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
       (sr.toDouble / n).toFloat))
+  }
+
+  /** Hand-rolled RIFF/WAV PCM 16-bit parse: walks the chunk list (even
+    * alignment honored), requires an uncompressed PCM `fmt ` chunk, and
+    * computes RMS + peak over the little-endian samples. Bounds-checked
+    * like the BMP path: a corrupt chunk size fails the parse instead of
+    * walking past the array. */
+  private def decodeWavPcm16(b: Array[Byte]): Option[Array[Float]] = {
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def i16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var off = 12
+    var rate = 0; var ch = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || rate == 0)) {
+      val sz = i32(off + 4)
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return None
+      if (b(off) == 'f'.toByte && b(off + 1) == 'm'.toByte &&
+          b(off + 2) == 't'.toByte && b(off + 3) == ' '.toByte) {
+        if (sz < 16 || i16(off + 8) != 1) return None // PCM only
+        ch = i16(off + 10); rate = i32(off + 12); bits = i16(off + 22)
+      } else if (b(off) == 'd'.toByte && b(off + 1) == 'a'.toByte &&
+          b(off + 2) == 't'.toByte && b(off + 3) == 'a'.toByte) {
+        dataOff = off + 8; dataLen = sz
+      }
+      off += 8 + sz + (sz & 1) // chunks pad to even offsets
+    }
+    if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    if (n <= 0) return None
+    var ss = 0.0; var peak = 0
+    var i = 0
+    while (i < n) {
+      val o = dataOff + i * 2
+      val s = (((b(o) & 0xff) | (b(o + 1) << 8)).toShort).toInt
+      ss += s.toDouble * s
+      val a = math.abs(s); if (a > peak) peak = a
+      i += 1
+    }
+    Some(Array(rate.toFloat, ch.toFloat, (n / ch).toFloat,
+      math.sqrt(ss / n).toFloat, peak.toFloat))
   }
 
   /** Fixed-size frame/chunk sampling of a binary payload: one output

@@ -54,4 +54,25 @@ class MultimodalSpec extends TestSpark {
     // non-BMP bytes fall back to the histogram stub
     assert(Multimodal.decode("plain text".getBytes("UTF-8")).length === 16)
   }
+
+  test("decode really parses RIFF/WAV PCM-16 audio (rate, channels, rms, peak)") {
+    // hand-built mono 8 kHz PCM-16 WAV: 100 samples of a ±1000 square
+    // wave → rms = 1000, peak = 1000
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
+    val samples = (0 until 100).flatMap(i => le16(if (i % 2 == 0) 1000 else -1000))
+    val fmt = Array('f'.toInt, 'm', 't', ' ') ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = Array('d'.toInt, 'a', 't', 'a') ++ le32(samples.length) ++ samples
+    val body = Array('W'.toInt, 'A', 'V', 'E') ++ fmt ++ data
+    val wav = (Array('R'.toInt, 'I', 'F', 'F') ++ le32(body.length) ++ body)
+      .map(_.toByte)
+    val f = Multimodal.decode(wav)
+    assert(f.toSeq === Seq(8000f, 1f, 100f, 1000f, 1000f))
+    // a RIFF container that is not PCM-16 falls back to the stub
+    val nonPcm = wav.clone()
+    nonPcm(20) = 85 // fmt audioFormat -> not 1
+    assert(Multimodal.decode(nonPcm).length === 16)
+  }
 }
