@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVectorDot, HyperplaneSignature, MinHashSignature,
-  NearestCells, RollingFingerprint, SimHash64}
+import graft.functions.{FloatVectorDot, HyperplaneSignature, KmvSketch,
+  MinHashSignature, NearestCells, RollingFingerprint, SimHash64}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * SQL: `spark.sql.extensions=graft.GraftExtensions` →
@@ -74,6 +74,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(s) - 62-bit rolling polynomial hash over the code points of s"),
       (args: Seq[Expression]) => {
         arity("rolling_fingerprint", args, 1, 1); RollingFingerprint(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "_FUNC_(hash[, k]) - k-minimum-values distinct estimate over a " +
+          "BIGINT hash column (exact below k distinct values)"),
+      (args: Seq[Expression]) => {
+        arity("kmv_sketch", args, 1, 2)
+        // bare AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression like any built-in aggregate
+        KmvSketch(args.head, intArg("kmv_sketch", args, 1, 256L).toInt)
       }))
     ext.injectFunction((
       FunctionIdentifier("nearest_cells"),

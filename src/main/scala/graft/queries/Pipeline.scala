@@ -346,36 +346,45 @@ object Pipeline {
 
     // -- KMV distinct sketch: approximate AND cross-engine exact -----------
     // HLL sketch bytes are engine-private (q28 is rows-only for that
-    // reason); the k-minimum-values estimator is not: given an
-    // INJECTIVE hash (a linear map mod the Mersenne prime is injective
-    // for keys < P, so no collision term at all), the k smallest
+    // reason); the k-minimum-values estimator is not: the k smallest
     // hashes — and therefore (k-1)·P div h_(k) — are the same numbers
     // in any engine. Approximate in accuracy, deterministic in value.
+    // The hash must be injective AND uniform: an affine map mod the
+    // Mersenne prime is injective for keys < P but leaves dense keys on
+    // an arithmetic progression (the k minima then sit at the wrap
+    // points and the estimate lands ~100x off); composing with x^5
+    // mod P — a BIJECTION on [0,P) since gcd(5, P-1) = 1 — scrambles
+    // the progression while keeping the zero-collision property.
+    // Plan: ONE ObjectHashAggregate, partial → final — each task keeps
+    // the k smallest distinct hashes (O(k) buffer), so the shuffle
+    // carries at most k longs per group per partition; the composed
+    // distinct → window-rank formulation would shuffle EVERY distinct
+    // (group, key) row first (asserted in PlanSpec).
     Q("q43_kmv_distinct",
-      (s, d) => {
-        val k = 256
-        val keys = t(s, d, "lineitem")
-          .select(col("l_returnflag"), col("l_partkey")).distinct()
-          .withColumn("h",
-            expr("(cast(l_partkey as bigint) * 131071 + 524287) % 2147483647"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("l_returnflag").orderBy("h")
-        keys.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-          .groupBy("l_returnflag")
-          .agg(max(col("h")).as("hk"), count(lit(1)).as("cnt"))
-          .withColumn("kmv_est",
-            when(col("cnt") < k, col("cnt"))
-              .otherwise(expr(s"(${k - 1}L * 2147483647) div hk")))
-          .select("l_returnflag", "kmv_est")
-          .orderBy("l_returnflag")
-      },
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          expr("(cast(l_partkey as bigint) * 131071 + 524287) % 2147483647")
+            .as("h0"))
+        .select(col("l_returnflag"), col("h0"),
+          expr("(h0 * h0) % 2147483647").as("h2"))
+        .select(col("l_returnflag"),
+          expr("(((h2 * h2) % 2147483647) * h0) % 2147483647").as("h"))
+        .groupBy("l_returnflag")
+        .agg(graft.functions.KmvFunctions.kmvDistinct(col("h"), k = 256)
+          .as("kmv_est"))
+        .orderBy("l_returnflag"),
       Some("""WITH keys AS (
                 SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
-              hs AS (
+              h0s AS (
                 SELECT l_returnflag,
                        (CAST(l_partkey AS BIGINT) * 131071 + 524287)
-                         % 2147483647 AS h
+                         % 2147483647 AS h0
                 FROM keys),
+              hs AS (
+                SELECT l_returnflag,
+                       ((((h0 * h0) % 2147483647) * ((h0 * h0) % 2147483647))
+                         % 2147483647 * h0) % 2147483647 AS h
+                FROM h0s),
               rk AS (
                 SELECT l_returnflag, h,
                        row_number() OVER (PARTITION BY l_returnflag

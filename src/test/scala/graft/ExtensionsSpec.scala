@@ -49,6 +49,27 @@ class ExtensionsSpec extends TestSpark {
     }
   }
 
+  test("kmv_sketch aggregates from SQL: exact below k, estimate above") {
+    // 5 distinct hashes with k=8 → exact count 5
+    val exact = spark.sql(
+      "SELECT kmv_sketch(h, 8) FROM VALUES (1L),(2L),(3L),(2L),(4L),(5L) AS t(h)")
+      .head().getLong(0)
+    assert(exact === 5L)
+    // 100 distinct keys with k=8 → the estimator branch (non-exact but
+    // deterministic: same value on every run). The x^5 mixing matters:
+    // the bare affine hash leaves 1..100 on an arithmetic progression
+    // and the estimate lands ~100x off (9557 observed).
+    val mixSql =
+      "SELECT kmv_sketch((((h2 * h2) % 2147483647) * h0) % 2147483647, 8) " +
+        "FROM (SELECT h0, (h0 * h0) % 2147483647 AS h2 FROM " +
+        "(SELECT (h * 131071 + 524287) % 2147483647 AS h0 " +
+        "FROM (SELECT explode(sequence(1L, 100L)) AS h)))"
+    val est1 = spark.sql(mixSql).head().getLong(0)
+    val est2 = spark.sql(mixSql).head().getLong(0)
+    assert(est1 === est2)
+    assert(est1 > 20L && est1 < 500L, s"estimate $est1 wildly off 100")
+  }
+
   test("hashed_shingles treats null tokens as empty strings (no NPE)") {
     import org.apache.spark.sql.functions._
     val withNull = spark.sql(

@@ -108,6 +108,16 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q43: KMV runs as one partial+final ObjectHashAggregate — no " +
+       "distinct shuffle of the raw keys") {
+    val p = plan("q43_kmv_distinct")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("kmv_sketch"), p)
+    // exactly one Exchange (the group-by); a distinct-then-rank plan
+    // would need two (distinct shuffle + window shuffle)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("d08: the benchmark shingle side broadcasts — the corpus is never " +
        "shuffled before the match join") {
     val p = plan("d08_decontaminate")
