@@ -79,7 +79,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_sketch"),
       info("kmv_sketch",
         "_FUNC_(hash[, k]) - k-minimum-values distinct estimate over a " +
-          "BIGINT hash column (exact below k distinct values)"),
+          "BIGINT hash column REDUCED MOD 2147483647 (values outside " +
+          "[0, 2^31-1) are rejected; exact below k distinct values)"),
       (args: Seq[Expression]) => {
         arity("kmv_sketch", args, 1, 2)
         // bare AggregateFunction: the analyzer wraps it in an

@@ -41,6 +41,14 @@ case class KmvSketch(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // the estimator divides P by h_(k): a hash outside [0, P) (e.g. a
+      // raw xxhash64) would yield a silently negative "count" or a
+      // divide-by-zero — fail loudly at the first bad row instead
+      if (h < 0L || h >= KmvSketch.P)
+        throw new IllegalArgumentException(
+          s"kmv_sketch input hash $h outside [0, ${KmvSketch.P}) — feed " +
+            "it a value already reduced mod the Mersenne prime (e.g. " +
+            "(affine(key)) % 2147483647 composed with x^5 mod P)")
       if (buf.size < k) buf += h
       else if (h < buf.last) { buf += h; if (buf.size > k) buf -= buf.last }
     }

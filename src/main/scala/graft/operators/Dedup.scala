@@ -16,11 +16,15 @@ object Dedup {
 
   /** A lazily-built result plus the persisted intermediate stages it
     * reads. Stages stay cached until [[cleanup]] so the result can be
-    * materialized (even repeatedly) first; long-lived sessions should
-    * call `cleanup()` once done or `spark.catalog.clearCache()` between
-    * pipelines — otherwise cached signature tables accumulate. The
-    * convenience overloads returning a bare DataFrame leave the stages
-    * cached for the session (Spark evicts LRU under memory pressure). */
+    * materialized first; long-lived sessions should call `cleanup()`
+    * once done — for `persist()`ed stages `spark.catalog.clearCache()`
+    * also works, but CHECKPOINT-backed stages (connected components'
+    * labels) live in the block manager where neither clearCache nor
+    * cache LRU eviction reaches them; only cleanup() (or eventual
+    * driver GC via the ContextCleaner) frees those. The convenience
+    * overloads returning a bare DataFrame are fine for one-shot jobs;
+    * a long-lived session running pipelines in a loop should use the
+    * Staged variants and clean up. */
   final case class Staged(result: DataFrame, stages: Seq[DataFrame]) {
     def cleanup(): Unit = stages.foreach { s =>
       s.unpersist(blocking = false)
@@ -285,6 +289,7 @@ object Dedup {
       .withColumn("lbl", col("id"))
     val lblType = labels.schema("lbl").dataType
     var prevRound: DataFrame = null
+    var inFlight: DataFrame = null // partially materialized on failure
     var converged = false
     var i = 0
     try {
@@ -297,11 +302,13 @@ object Dedup {
           .unionAll(viaNbr)
           .groupBy("id").agg(min("lbl").as("lbl"), min("old").as("old"))
           .localCheckpoint(false) // materialized by the count job below
+        inFlight = next
         // the ONE action of the round: materializes `next` and returns
         // how many labels still shrank
         val changed = next
           .agg(count(when(col("lbl") < col("old"), lit(1))).as("c"))
           .first().getLong(0)
+        inFlight = null
         converged = changed == 0L
         if (prevRound != null) freeRdd(prevRound)
         prevRound = next
@@ -315,7 +322,10 @@ object Dedup {
             "silently split one component into several)")
     } catch {
       case e: Throwable =>
-        if (prevRound != null) freeRdd(prevRound) // don't leak blocks on failure
+        // don't leak blocks on failure — including the failed round's
+        // partially checkpointed partitions
+        if (inFlight != null) freeRdd(inFlight)
+        if (prevRound != null) freeRdd(prevRound)
         freeRdd(edges)
         throw e
     }
@@ -378,12 +388,15 @@ object Dedup {
     var edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     var sig = signature(edges)
+    var inFlight: DataFrame = null // partially materialized on failure
     var converged = false
     var i = 0
     try {
       while (!converged && i < maxIters) {
         val next = smallStar(largeStar(edges)).localCheckpoint(false)
+        inFlight = next
         val nsig = signature(next) // materializes the lazy checkpoint
+        inFlight = null
         converged = nsig == sig
         freeRdd(edges)
         edges = next
@@ -395,7 +408,10 @@ object Dedup {
           s"connectedComponentsTwoPhase did not converge in $maxIters " +
             "iterations — pathological input; raise maxIters")
     } catch {
-      case e: Throwable => freeRdd(edges); throw e
+      case e: Throwable =>
+        if (inFlight != null) freeRdd(inFlight)
+        freeRdd(edges)
+        throw e
     }
     // fixpoint edges are stars: every node points straight at its
     // component's min. groupBy-min is belt and braces for ties.

@@ -196,11 +196,22 @@ object SqlRepl {
     * parity mode). Uses the JLine editor when attached to a real
     * terminal; piped/forked stdin (sbt run, tests, scripts) falls back
     * to the plain line loop. */
+  /** True only when stdin/stdout really are a terminal. On JDK < 22 a
+    * non-null `System.console()` implies a tty; JDK 22+ returns a
+    * Console even for redirected streams and adds `isTerminal` — probe
+    * it reflectively so piped stdin keeps the plain loop there too. */
+  private def stdinIsTerminal: Boolean = {
+    val c = System.console()
+    c != null && (try
+      c.getClass.getMethod("isTerminal").invoke(c).asInstanceOf[Boolean]
+    catch { case _: NoSuchMethodException => true })
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     runCli(args, spark,
       new BufferedReader(new InputStreamReader(System.in)), System.out,
-      interactive = System.console() != null)
+      interactive = stdinIsTerminal)
     spark.stop()
   }
 }

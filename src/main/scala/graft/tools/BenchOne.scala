@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: BenchOne <queryName> [iters] [conf=key:value ...]")
+      sys.exit(2)
+    }
     val name = args(0)
     val iters = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,8 +22,12 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
     args.drop(2).filter(_.startsWith("conf=")).foreach { a =>
-      val Array(k, v) = a.stripPrefix("conf=").split(":", 2)
-      b = b.config(k, v)
+      a.stripPrefix("conf=").split(":", 2) match {
+        case Array(k, v) => b = b.config(k, v)
+        case _ =>
+          System.err.println(s"malformed '$a' — expected conf=key:value")
+          sys.exit(2)
+      }
     }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -68,6 +68,12 @@ class ExtensionsSpec extends TestSpark {
     val est2 = spark.sql(mixSql).head().getLong(0)
     assert(est1 === est2)
     assert(est1 > 20L && est1 < 500L, s"estimate $est1 wildly off 100")
+    // hashes outside [0, P) (e.g. raw xxhash64) are rejected loudly
+    // instead of yielding a negative "count"
+    intercept[Exception] {
+      spark.sql("SELECT kmv_sketch(h, 8) FROM VALUES (-5L),(3L) AS t(h)")
+        .head()
+    }
   }
 
   test("hashed_shingles treats null tokens as empty strings (no NPE)") {
