@@ -657,11 +657,14 @@ object Pipeline {
           .withColumn("pack_id", expr("(cum_tokens - n_tokens) div 2048"))
           .orderBy("doc_id")
       },
+      // DuckDB SUM (window included) widens BIGINT → HUGEINT; cast back
+      // so the driver's hasher sees int64 on both sides (SURVEY §5).
       Some("""SELECT doc_id, lang, n_tokens,
-                     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-                     (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS pack_id
+                     CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                     CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT)
+                       AS pack_id
               FROM (SELECT doc_id, lang,
                       CASE WHEN length(trim(text)) = 0 THEN 0
                            ELSE len(string_split_regex(trim(text), '\s+')) END

@@ -37,6 +37,15 @@ def main():
         try:
             orel = con.sql(oracle[name])
             ocols, orows = canon(orel.fetchall(), orel.columns)
+            # Python ints compare equal regardless of width, but the
+            # driver's hasher goes through pandas where HUGEINT/DECIMAL
+            # become float/object and hash-mismatch vs Spark's int64.
+            wide = [f"{c}:{t}" for c, t in zip(orel.columns, orel.types)
+                    if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+            if wide:
+                print(f"FAIL {name}: oracle columns need BIGINT/DOUBLE casts: {wide}")
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
