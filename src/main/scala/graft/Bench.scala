@@ -70,29 +70,47 @@ object Bench {
     }
 
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
-    val results = headline.map { name =>
+    val all = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to samples).map { _ =>
+      // a failed sample yields None — its time-to-failure must not feed
+      // the median (a query that starts failing fast would otherwise
+      // read as a performance improvement)
+      val times = (1 to samples).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // staged operators (LSH signatures etc.) persist() intermediates;
-        // drop them so caches don't accumulate across the suite
+        // drop them so caches don't accumulate across the suite. clearCache
+        // only knows CacheManager entries — localCheckpoint blocks from the
+        // connected-components rounds (d07/d08) live in the block manager
+        // until RDD GC, so drop every persisted RDD explicitly too.
         spark.catalog.clearCache()
-        dt
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (ok) Some(dt) else None
       }
-      val med = times.sorted.apply(times.size / 2)
-      System.err.println(f"[bench] $name%-22s median $med%7.2fs  " +
-        s"(${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> med
+      if (times.isEmpty) { name -> None }
+      else {
+        val med = times.sorted.apply(times.size / 2)
+        System.err.println(f"[bench] $name%-22s median $med%7.2fs  " +
+          s"(${times.map(t => f"$t%.2f").mkString(", ")})")
+        name -> Some(med)
+      }
     }
+    val results = all.collect { case (k, Some(v)) => k -> v }
+    val failed = all.collect { case (k, None) => k }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -43,15 +43,23 @@ object Streams {
     * against the static frame; no state store grows), and broadcasting
     * the dim keeps the stream side shuffle-free before the windowed
     * agg — whose watermark bounds the only state there is. Works
-    * identically on a batch DataFrame. */
+    * identically on a batch DataFrame.
+    *
+    * The stream side is parameterized like the dim side: `streamKey`
+    * joins against `dimKey`, `tsCol` must be a timestamp (the
+    * watermark and window run on it), `valCol` is summed. Defaults
+    * match the events schema (user_id, ts, value). */
   def enrichedWindowAgg(events: DataFrame, dim: DataFrame,
                         dimKey: Column, dimVal: Column,
-                        winDur: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", "10 minutes")
-      .join(broadcast(dim.select(dimKey.as("user_id"), dimVal.as("dim_val"))),
-        "user_id")
-      .groupBy(window(col("ts"), winDur).as("w"), col("dim_val"))
-      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+                        winDur: String = "1 hour",
+                        streamKey: String = "user_id",
+                        tsCol: String = "ts",
+                        valCol: String = "value"): DataFrame =
+    events.withWatermark(tsCol, "10 minutes")
+      .join(broadcast(dim.select(dimKey.as(streamKey), dimVal.as("dim_val"))),
+        streamKey)
+      .groupBy(window(col(tsCol), winDur).as("w"), col("dim_val"))
+      .agg(count(lit(1)).as("cnt"), sum(valCol).as("sum_value"))
       .select(col("w.start").as("bucket"), col("dim_val"),
         col("cnt"), col("sum_value"))
 

@@ -24,4 +24,11 @@ object GraftInternal {
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Block until the async listener bus has delivered every queued
+    * event (QueryExecutionListener callbacks included). Specs that
+    * assert on listener-observed action counts use this instead of a
+    * polled sleep, which can elapse on a stalled host before delivery. */
+  def waitForListeners(spark: SparkSession, timeoutMs: Long = 60000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -28,11 +28,10 @@ class CcJobsSpec extends TestSpark {
       val got = Dedup.connectedComponents(pairs).as[(Long, Long)]
         .collect().toMap
       assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
-      // listener events are delivered asynchronously
-      var waited = 0
-      while (actions.size < 10 && waited < 5000) {
-        Thread.sleep(100); waited += 100
-      }
+      // listener events are delivered asynchronously; drain the bus
+      // instead of a capped polled sleep (which can elapse on a
+      // steal-stalled host before delivery, failing spuriously)
+      org.apache.spark.sql.GraftInternal.waitForListeners(spark)
     } finally spark.listenerManager.unregister(listener)
     // localCheckpoint registrations fire the listener too (1 eager for
     // edges + 1 lazy per round) but only the EAGER one runs a job; the
