@@ -44,7 +44,7 @@ object Bench {
     // sum, not one query. Measured median ≈4s at sf0.1 after the
     // one-job-per-round rework; iteration overhead amortizes at scale
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
-    "d07_dedup_corpus", "d08_decontaminate",
+    "d07_dedup_corpus", "d08_decontaminate", "d09_bloom_decontaminate",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "q32_hash_sample",

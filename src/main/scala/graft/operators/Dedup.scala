@@ -515,6 +515,43 @@ object Dedup {
     corpus.join(bad, id === col("__bad_id"), "left_anti")
   }
 
+  /** Sketch-side decontamination: the benchmark's distinct shingle
+    * hashes collapse into ONE Bloom bit array
+    * ([[graft.functions.BloomSketch]], mBits/8 bytes regardless of
+    * benchmark size), broadcast as a 1-row scalar; each corpus doc then
+    * counts row-locally how many of its shingles MIGHT be benchmark
+    * shingles. Versus [[contaminationPairs]] this trades per-bench-doc
+    * attribution and exactness (false positives at the usual Bloom
+    * rate; never false negatives, so as a FILTER it is conservative)
+    * for a corpus side with NO join and NO shuffle at all — the shape
+    * that wins when the eval suites are many but the corpus is 100 TB.
+    *
+    * Output: (doc_id, n_shingles, n_hits, hit_milli) for docs whose
+    * maybe-contaminated shingle fraction >= `minHitMilli` per-mille;
+    * integer per-mille via `div` keeps it engine-exact (the oracle
+    * simulates the same bit positions as a distinct-position set). */
+  def bloomContamination(corpus: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchText: Column,
+                         mBits: Int = 1 << 20, numHashes: Int = 3,
+                         seed: Long = 42L,
+                         minHitMilli: Long = 500L): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bloom = bench
+      .select(explode(hashedShingles(benchText)).as("h"))
+      .agg(BloomFunctions.bloomAgg(col("h"), mBits, numHashes, seed)
+        .as("__bloom"))
+    corpus
+      .select(id.as("doc_id"), hashedShingles(text).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .crossJoin(broadcast(bloom)) // 1-row scalar: stays a broadcast
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        BloomFunctions.bloomHitCount(col("__bloom"), col("hs"),
+          mBits, numHashes, seed).as("n_hits"))
+      .withColumn("hit_milli", expr("(n_hits * 1000) div n_shingles"))
+      .filter(col("hit_milli") >= minHitMilli)
+      .select("doc_id", "n_shingles", "n_hits", "hit_milli")
+  }
+
   /** 64-bit SimHash over word shingles: for each bit, sum +1/-1 votes
     * of the shingle-hash bits; sign → fingerprint bit. Feature hashes
     * are the 62-bit rolling fingerprints (not mod p — SimHash wants

@@ -564,6 +564,61 @@ object Pipeline {
                WHERE (m.inter * 1000) // s.n_shingles >= 500
                ORDER BY m.doc_id, m.bench_id""")),
 
+    // -- sketch-side decontamination (Bloom bit array, no corpus join) -----
+    // same benchmark stand-in as d08; the oracle simulates the bit
+    // array as the DISTINCT SET of bench bit positions (identical
+    // semantics: a shingle "might be contaminated" iff ALL its k
+    // positions are set) with the same LCG constants as literals —
+    // Bloom false positives reproduce EXACTLY, not approximately.
+    Q("d09_bloom_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.bloomContamination(docs, col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 29 === 0), col("text"),
+            mBits = 1 << 18, numHashes = 3, seed = 42L, minHitMilli = 500L)
+          .orderBy("doc_id")
+      },
+      Some {
+        val m = 1 << 18
+        val k = 3
+        val (as, bs) = graft.functions.MinHashSignature.perms(k, 42L)
+        def posList(h: String) = (0 until k)
+          .map(j => s"((${as(j)} * $h + ${bs(j)}) % 2147483647) % $m")
+          .mkString("[", ", ", "]")
+        s"""WITH
+             toks AS (
+               SELECT DISTINCT id, tok FROM (
+                 SELECT doc_id AS id,
+                        unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                 FROM (SELECT doc_id, $tok AS tk FROM documents))
+               WHERE tok <> ''),
+             thash AS (
+               SELECT DISTINCT id,
+                      (list_reduce(list_transform(string_split(tok, ''),
+                         ch -> CAST(unicode(ch) AS BIGINT)),
+                         (a, b) -> (a * 131 + b) % 2147483647) * 2147483648
+                       + list_reduce(list_transform(string_split(tok, ''),
+                           ch -> CAST(unicode(ch) AS BIGINT)),
+                           (a, b) -> (a * 257 + b) % 2147483647)) % 2147483647 AS h
+               FROM toks),
+             sizes AS (SELECT id, COUNT(*) AS n_shingles
+                       FROM thash GROUP BY id),
+             bpos AS (SELECT DISTINCT pos FROM (
+                 SELECT unnest(${posList("h")}) AS pos
+                 FROM (SELECT DISTINCT h FROM thash WHERE id % 29 = 0))),
+             cpos AS (SELECT id, h, unnest(${posList("h")}) AS pos
+                      FROM thash),
+             hits AS (SELECT id, h FROM cpos JOIN bpos USING (pos)
+                      GROUP BY id, h HAVING COUNT(*) = $k),
+             nh AS (SELECT id, COUNT(*) AS n_hits FROM hits GROUP BY id)
+           SELECT s.id AS doc_id, s.n_shingles, nh.n_hits,
+                  (nh.n_hits * 1000) // s.n_shingles AS hit_milli
+           FROM sizes s JOIN nh ON nh.id = s.id
+           WHERE (nh.n_hits * 1000) // s.n_shingles >= 500
+           ORDER BY doc_id"""
+      }),
+
     Q("d04_simhash",
       (s, d) => Dedup.simhashPairs(
           t(s, d, "documents"), col("doc_id"), col("text"), maxDist = 3)

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BloomFunctions
+import graft.operators.Dedup
+
+/** Bloom-sketch decontamination (d09): bit-array determinism under
+  * repartitioning, the no-false-negative guarantee, false positives
+  * appearing exactly when the array saturates, and the corpus-side
+  * plan staying shuffle-free. */
+class BloomSpec extends TestSpark {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sfDir, "documents")
+
+  private def benchHashes = docs.filter(col("doc_id") % 29 === 0)
+    .select(explode(graft.functions.ShingleFunctions.hashedShingles(
+      split(trim(lower(col("text"))), "\\s+"))).as("h"))
+
+  test("bloom sketch bytes are identical under any partitioning") {
+    def bytesOf(parts: Int) = benchHashes.repartition(parts, col("h"))
+      .agg(BloomFunctions.bloomAgg(col("h"), mBits = 1 << 14).as("b"))
+      .as[Array[Byte]].head()
+    val one = bytesOf(1)
+    val many = bytesOf(7)
+    assert(java.util.Arrays.equals(one, many))
+    assert(one.length === (1 << 14) / 8)
+  }
+
+  test("bloomContamination never misses: hits >= exact membership, " +
+       "equal when the array is large enough") {
+    val bench = docs.filter(col("doc_id") % 29 === 0)
+    // exact counterpart of the bloom semantics: # doc shingles present
+    // in the UNION of benchmark shingles
+    val sh = (t: org.apache.spark.sql.Column) =>
+      graft.functions.ShingleFunctions.hashedShingles(
+        split(trim(lower(t)), "\\s+"))
+    val corpusH = docs.select(col("doc_id"), explode(sh(col("text"))).as("h"))
+    val benchH = bench.select(explode(sh(col("text"))).as("h")).distinct()
+    val exact = corpusH.join(benchH, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_exact"))
+    def bloomAt(mBits: Int) = Dedup.bloomContamination(
+      docs, col("doc_id"), col("text"), bench, col("text"),
+      mBits = mBits, minHitMilli = 0L)
+    // big array: no false positive on this corpus — exact equality
+    val big = bloomAt(1 << 20).join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hits"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .as[(Long, Long, Long)].collect()
+    assert(big.nonEmpty)
+    assert(big.forall { case (_, hits, ex) => hits === ex })
+    // tiny array (64 bits, mostly saturated): still never BELOW exact
+    // (no false negatives), and false positives must appear
+    val tiny = bloomAt(64).join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_hits"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .as[(Long, Long, Long)].collect()
+    assert(tiny.forall { case (_, hits, ex) => hits >= ex })
+    assert(tiny.exists { case (_, hits, ex) => hits > ex })
+  }
+
+  test("benchmark docs flag themselves at exactly 1000 per-mille") {
+    val flagged = Dedup.bloomContamination(
+      docs, col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 29 === 0), col("text"),
+      minHitMilli = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    val benchIds = docs.filter(col("doc_id") % 29 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert((benchIds -- flagged).isEmpty,
+      s"benchmark members missing from their own bloom: ${benchIds -- flagged}")
+  }
+
+  test("out-of-range hash input fails loudly") {
+    val e = intercept[Exception] {
+      Seq(5L, -1L).toDF("h")
+        .agg(BloomFunctions.bloomAgg(col("h")))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("outside")), e)
+  }
+
+  test("d09 plan: corpus side is scan → project — no shuffle, no join " +
+       "against exploded benchmark rows") {
+    val p = SparkEntry.queries("d09_bloom_decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_hit_count"), p)
+    // the only corpus-side operators between the hit-count projection
+    // and its FileScan are row-local (filter/project/broadcast-scalar
+    // join) — a hashpartitioning Exchange there would mean the corpus
+    // got shuffled
+    val lines = p.linesIterator.toVector
+    val projIdx = lines.indexWhere(_.contains("bloom_hit_count"))
+    val scanIdx = lines.indexWhere(_.contains("FileScan parquet"), projIdx)
+    assert(projIdx >= 0 && scanIdx > projIdx, p)
+    assert(!lines.slice(projIdx + 1, scanIdx)
+      .exists(_.contains("Exchange hashpartitioning")), p)
+  }
+}
