@@ -1,0 +1,181 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftInternal
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Count-Min Sketch over a hash column as a first-class AGGREGATE:
+  * `depth × width` long counters; each input increments one counter
+  * per row (position = ((a_j·h + b_j) mod P) mod width), partial
+  * sketches merge by element-wise ADDITION, and the final value is the
+  * serialized counter matrix (BinaryType).
+  *
+  * Like [[KmvSketch]] and [[BloomSketch]], the sketch is approximate
+  * in ACCURACY but deterministic in VALUE: counter increments are
+  * commutative sums over fixed positions, so the matrix — and every
+  * estimate read from it — is bit-identical under any partitioning,
+  * and a DuckDB oracle reproduces it as a grouped COUNT over the same
+  * positions. Point estimates ([[CmsEstimate]]) are
+  * `min_j counters[j][pos_j(h)]` — always >= the true count, equal
+  * when no collision lands on all rows.
+  *
+  * Scale shape: the full frequency TABLE of a 100 TB corpus doesn't
+  * fit anywhere, but depth·width·8 bytes does — the shuffle carries
+  * one fixed-size matrix per partition (partial → final
+  * ObjectHashAggregate), and the result broadcasts to wherever
+  * frequencies are probed. Inputs must already be reduced to [0, P).
+  */
+case class CmsSketch(child: Expression, depth: Int, width: Int, seed: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  @transient private lazy val (permA, permB) =
+    MinHashSignature.perms(depth, seed)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      if (h < 0L || h >= BloomUtil.P)
+        throw new IllegalArgumentException(
+          s"cms_sketch input hash $h outside [0, ${BloomUtil.P}) — feed " +
+            "it a value already reduced mod the Mersenne prime")
+      var j = 0
+      while (j < depth) {
+        val pos = (((permA(j) * h + permB(j)) % BloomUtil.P) % width).toInt
+        buf(j * width + pos) += 1L
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (depth < 1 || width < 2)
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch needs depth >= 1 and width >= 2, got ($depth, $width)")
+    else child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch needs a BIGINT hash column, got ${other.simpleString}")
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketch =
+    copy(child = newChild)
+}
+
+/** Point-frequency estimate from a broadcast [[CmsSketch]] matrix:
+  * `min_j counters[j][pos_j(h)]`. Row-local, stays in whole-stage
+  * codegen (constants ride along as codegen references). */
+case class CmsEstimate(left: Expression, right: Expression,
+    depth: Int, width: Int, seed: Long) extends BinaryExpression {
+
+  @transient private lazy val (permA, permB) =
+    MinHashSignature.perms(depth, seed)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_estimate needs (binary, bigint), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(sketch: Any, hash: Any): Any =
+    CmsUtil.estimate(sketch.asInstanceOf[Array[Byte]],
+      hash.asInstanceOf[Long], permA, permB, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("cmsA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("cmsB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, (sk, h) =>
+      s"${ev.value} = graft.functions.CmsUtil.estimate($sk, $h, " +
+        s"$aRef, $bRef, $width);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CmsUtil {
+  /** Static (codegen-callable) estimate core: read one big-endian long
+    * per sketch row, take the min. */
+  def estimate(sketch: Array[Byte], h: Long,
+               a: Array[Long], b: Array[Long], width: Int): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < a.length) {
+      val pos = (((a(j) * h + b(j)) % BloomUtil.P) % width).toInt
+      val off = (j * width + pos) * 8
+      var c = 0L
+      var i = 0
+      while (i < 8) { c = (c << 8) | (sketch(off + i) & 0xffL); i += 1 }
+      if (c < best) best = c
+      j += 1
+    }
+    best
+  }
+}
+
+object CmsFunctions {
+  /** [[CmsSketch]] as a Column aggregate (use inside `agg(...)`). */
+  def cmsAgg(hash: Column, depth: Int = 3, width: Int = 1024,
+             seed: Long = 42L): Column =
+    GraftInternal.column(
+      CmsSketch(GraftInternal.expression(hash), depth, width, seed)
+        .toAggregateExpression())
+
+  /** [[CmsEstimate]] as a Column. */
+  def cmsEstimate(sketch: Column, hash: Column, depth: Int = 3,
+                  width: Int = 1024, seed: Long = 42L): Column =
+    GraftInternal.column(CmsEstimate(
+      GraftInternal.expression(sketch), GraftInternal.expression(hash),
+      depth, width, seed))
+}

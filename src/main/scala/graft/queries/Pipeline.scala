@@ -398,6 +398,69 @@ object Pipeline {
                           ELSE (CAST(255 AS BIGINT) * 2147483647) // hk END AS kmv_est
               FROM kk ORDER BY l_returnflag""")),
 
+    // -- Count-Min Sketch frequency estimates ------------------------------
+    // the third deterministic sketch (KMV: distinct counts; Bloom:
+    // membership; CMS: frequencies): counter increments are commutative
+    // sums over LCG-derived positions, so the matrix — and every
+    // min-over-rows estimate — is bit-identical in any engine and under
+    // any partitioning. Probes = the exact top-10 tokens, so the entry
+    // checks estimate >= exact semantics on real frequencies.
+    Q("q44_cms_freq",
+      (s, d) => {
+        import graft.functions.{CmsFunctions, RollingHashFunctions}
+        val tkh = t(s, d, "documents")
+          .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .withColumn("h",
+            RollingHashFunctions.fingerprint(col("tok")) % 2147483647L)
+        val cms = tkh.agg(CmsFunctions.cmsAgg(col("h")).as("__cms"))
+        val probes = tkh.groupBy("tok", "h")
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok"))
+          .limit(10)
+        probes.crossJoin(broadcast(cms)) // 1-row scalar
+          .select(col("tok").as("token"), col("exact_cnt"),
+            CmsFunctions.cmsEstimate(col("__cms"), col("h")).as("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("token"))
+      },
+      Some {
+        val depth = 3; val width = 1024
+        val (as, bs) = graft.functions.MinHashSignature.perms(depth, 42L)
+        def posOf(j: Int, h: String) =
+          s"((${as(j)} * $h + ${bs(j)}) % 2147483647) % $width"
+        val jList = (0 until depth).mkString("[", ", ", "]")
+        def posList(h: String) =
+          (0 until depth).map(posOf(_, h)).mkString("[", ", ", "]")
+        s"""WITH tk AS (
+               SELECT unnest($tok) AS tok FROM documents),
+             tkh AS (
+               SELECT tok,
+                      (list_reduce(list_transform(string_split(tok, ''),
+                         ch -> CAST(unicode(ch) AS BIGINT)),
+                         (a, b) -> (a * 131 + b) % 2147483647) * 2147483648
+                       + list_reduce(list_transform(string_split(tok, ''),
+                           ch -> CAST(unicode(ch) AS BIGINT)),
+                           (a, b) -> (a * 257 + b) % 2147483647)) % 2147483647 AS h
+               FROM tk WHERE tok <> ''),
+             cms AS (
+               SELECT j, pos, COUNT(*) AS c FROM (
+                 SELECT unnest($jList) AS j, unnest(${posList("h")}) AS pos
+                 FROM tkh)
+               GROUP BY j, pos),
+             probes AS (
+               SELECT tok, h, COUNT(*) AS exact_cnt
+               FROM tkh GROUP BY tok, h
+               ORDER BY exact_cnt DESC, tok LIMIT 10),
+             ppos AS (
+               SELECT tok, exact_cnt, unnest($jList) AS j,
+                      unnest(${posList("h")}) AS pos
+               FROM probes)
+           SELECT tok AS token, exact_cnt, MIN(c) AS cms_est
+           FROM ppos JOIN cms USING (j, pos)
+           GROUP BY tok, exact_cnt
+           ORDER BY exact_cnt DESC, token"""
+      }),
+
     Q("q29_cube",
       (s, d) => t(s, d, "customer")
         .cube("c_mktsegment", "c_nationkey")
