@@ -461,6 +461,24 @@ object Pipeline {
            ORDER BY exact_cnt DESC, token"""
       }),
 
+    // -- explicit salted skew join -----------------------------------------
+    // result is IDENTICAL to the plain join (the oracle IS the plain
+    // join) — what changes is the shuffle: each left key scatters over
+    // 8 salt buckets, so one hot key's probe rows spread over 8 tasks
+    // instead of one. Deterministic salt (hash of event_id, not
+    // rand()) keeps it retry-safe.
+    Q("q45_salted_join",
+      (s, d) => SkewJoin.saltedJoin(
+          t(s, d, "events"), col("user_id"), col("event_id"),
+          t(s, d, "orders"), col("o_custkey"), numSalts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, COUNT(*) AS cnt,
+                      ${sqlSum("o_totalprice")} AS sum_price
+               FROM events JOIN orders ON user_id = o_custkey
+               GROUP BY event_type ORDER BY event_type""")),
+
     Q("q29_cube",
       (s, d) => t(s, d, "customer")
         .cube("c_mktsegment", "c_nationkey")

@@ -44,4 +44,41 @@ class SkewSpec extends TestSpark {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("saltedJoin equals the plain join and shuffles on (key, salt)") {
+    import graft.operators.SkewJoin
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // salting targets the fact-fact case; stop the test-scale orders
+      // side from broadcasting so the shuffle partitioning is visible
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val events = Tables(spark, sfDir, "events")
+      val orders = Tables(spark, sfDir, "orders")
+      val salted = SkewJoin.saltedJoin(events, col("user_id"), col("event_id"),
+        orders, col("o_custkey"), numSalts = 8)
+        .select("event_id", "o_orderkey")
+      val plain = events.join(orders, col("user_id") === col("o_custkey"))
+        .select("event_id", "o_orderkey")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+      // the hot key really scatters: the big side's shuffle partitioning
+      // includes the salt column, not just the join key
+      val p = salted.queryExecution.executedPlan.toString
+      assert(p.contains("__salt_l"), p)
+      assert("Exchange hashpartitioning\\([^)]*__salt".r.findFirstIn(p).isDefined, p)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("saltedJoin with numSalts=1 degenerates to the plain join") {
+    import graft.operators.SkewJoin
+    val events = Tables(spark, sfDir, "events").limit(100)
+    val orders = Tables(spark, sfDir, "orders")
+    val one = SkewJoin.saltedJoin(events, col("user_id"), col("event_id"),
+      orders, col("o_custkey"), numSalts = 1)
+    val plain = events.join(orders, col("user_id") === col("o_custkey"))
+    assert(one.count() === plain.count())
+  }
 }
