@@ -111,6 +111,37 @@ object TextAnalysis {
     when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** PII regexes shared by the operator and its oracle SQL: the common
+    * subset of Java regex and RE2 (no lookaround, no backrefs), so
+    * Spark and DuckDB match the exact same spans. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhoneRe = "\\+\\d{7,15}"
+
+  /** PII redaction — the scrubbing pass a training corpus runs before
+    * anything else sees the text: emails → `[EMAIL]`, IPv4 literals →
+    * `[IP]`, international phone numbers → `[PHONE]`, with per-doc
+    * match counts for audit aggregation. Entirely row-local (codegen'd
+    * regexp built-ins, no UDF), so it scales embarrassingly.
+    *
+    * Stages apply IN ORDER (emails, then IPs, then phones), each
+    * counting on the PREVIOUS stage's output — a digit run inside an
+    * email's local part is already `[EMAIL]` by the time the phone
+    * pass runs, so it is not double-reported. Order is part of the
+    * contract (the oracle replicates it).
+    *
+    * Returns struct(n_emails, n_ips, n_phones, redacted). */
+  def redactPii(text: Column): Column = {
+    val nEmails = size(regexp_extract_all(text, lit(piiEmailRe), lit(0))).cast("long")
+    val t1 = regexp_replace(text, piiEmailRe, "[EMAIL]")
+    val nIps = size(regexp_extract_all(t1, lit(piiIpRe), lit(0))).cast("long")
+    val t2 = regexp_replace(t1, piiIpRe, "[IP]")
+    val nPhones = size(regexp_extract_all(t2, lit(piiPhoneRe), lit(0))).cast("long")
+    val t3 = regexp_replace(t2, piiPhoneRe, "[PHONE]")
+    struct(nEmails.as("n_emails"), nIps.as("n_ips"),
+      nPhones.as("n_phones"), t3.as("redacted"))
+  }
+
   /** 62-bit polynomial rolling-hash fingerprint of the normalized text
     * (lowercase, collapsed whitespace): two independent 31-bit rolling
     * hashes over the code points, h = Σ cp_i·B^(n-1-i) mod (2^31-1),

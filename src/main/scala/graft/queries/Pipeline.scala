@@ -1042,6 +1042,50 @@ object Pipeline {
                       (1000 * n_dup) // n_bigrams AS rep_milli
                FROM h WHERE n_bigrams > 0 ORDER BY doc_id""")),
 
+    // -- PII redaction (t11) -----------------------------------------------
+    // the synthetic corpus carries no organic PII, so the entry plants
+    // a deterministic contact line derived from doc_id (same
+    // derivation in the oracle — still testdata-driven, nothing
+    // random) and checks counts + the redacted text byte-for-byte.
+    Q("t11_pii_redact",
+      (s, d) => {
+        val pii = concat(col("text"), lit(" contact: u"),
+          col("doc_id").cast("string"), lit("@example.com ip 10.0.0."),
+          (col("doc_id") % 250).cast("string"), lit(" tel +15550"),
+          (col("doc_id") % 10000).cast("string"))
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.redactPii(pii).as("r"))
+          .select(col("doc_id"), col("r.n_emails").as("n_emails"),
+            col("r.n_ips").as("n_ips"), col("r.n_phones").as("n_phones"),
+            col("r.redacted").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import TextAnalysis.{piiEmailRe, piiIpRe, piiPhoneRe}
+        s"""WITH pii AS (
+               SELECT doc_id,
+                      text || ' contact: u' || CAST(doc_id AS VARCHAR)
+                        || '@example.com ip 10.0.0.'
+                        || CAST(doc_id % 250 AS VARCHAR)
+                        || ' tel +15550' || CAST(doc_id % 10000 AS VARCHAR)
+                        AS ptext
+               FROM documents),
+             st1 AS (
+               SELECT doc_id,
+                      len(regexp_extract_all(ptext, '$piiEmailRe')) AS n_emails,
+                      regexp_replace(ptext, '$piiEmailRe', '[EMAIL]', 'g') AS t1
+               FROM pii),
+             st2 AS (
+               SELECT doc_id, n_emails,
+                      len(regexp_extract_all(t1, '$piiIpRe')) AS n_ips,
+                      regexp_replace(t1, '$piiIpRe', '[IP]', 'g') AS t2
+               FROM st1)
+           SELECT doc_id, n_emails, n_ips,
+                  len(regexp_extract_all(t2, '$piiPhoneRe')) AS n_phones,
+                  regexp_replace(t2, '$piiPhoneRe', '[PHONE]', 'g') AS redacted
+           FROM st2 ORDER BY doc_id"""
+      }),
+
     Q("t06_subword_stats",
       (s, d) => t(s, d, "documents")
         .withColumn("n_sub", TextAnalysis.subwordCount(col("text")))

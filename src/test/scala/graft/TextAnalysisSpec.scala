@@ -80,4 +80,32 @@ class TextAnalysisSpec extends TestSpark {
     assert(got(3L) === ((0L, 0L)))
     assert(got(4L) === ((0L, 0L)))
   }
+
+  test("redactPii scrubs emails, IPs, phones in order without double counts") {
+    def run(s: String): (Long, Long, Long, String) =
+      Seq(s).toDF("text")
+        .select(TextAnalysis.redactPii(col("text")).as("r"))
+        .select(col("r.n_emails"), col("r.n_ips"), col("r.n_phones"),
+          col("r.redacted"))
+        .as[(Long, Long, Long, String)].head()
+
+    assert(run("mail a.b+tag@sub.example.org now") ===
+      ((1L, 0L, 0L, "mail [EMAIL] now")))
+    assert(run("from 192.168.0.1 to 10.0.0.7") ===
+      ((0L, 2L, 0L, "from [IP] to [IP]")))
+    assert(run("call +4915512345678 please") ===
+      ((0L, 0L, 1L, "call [PHONE] please")))
+    // digits inside an email's local part are gone before the phone
+    // pass — one email, zero phones
+    assert(run("x +1234567890@example.com y") ===
+      ((1L, 0L, 0L, "x [EMAIL] y")))
+    // all three kinds in one line
+    assert(run("u@d.co 1.2.3.4 +9876543210") ===
+      ((1L, 1L, 1L, "[EMAIL] [IP] [PHONE]")))
+    // no PII → text unchanged; redaction is idempotent
+    val clean = "just ordinary words and numbers 42"
+    assert(run(clean) === ((0L, 0L, 0L, clean)))
+    assert(run("u@d.co 1.2.3.4")._4 ===
+      run(run("u@d.co 1.2.3.4")._4)._4)
+  }
 }
