@@ -467,6 +467,103 @@ object Dedup {
       (survivors +: staged.stages) ++ cc.stages)
   }
 
+  /** Incremental (batch-vs-corpus) deduplication — the shape a
+    * PRODUCTION ingest actually runs: the corpus is already deduped
+    * and sits untouched; every day a new batch arrives and must be
+    * reduced to the docs that add information. A batch doc survives
+    * iff it is not an exact copy of corpus content, not near-dup
+    * reachable from any corpus doc, and not a non-representative
+    * member of a batch-internal near-dup cluster.
+    *
+    * The incremental win over re-running [[dedupCorpus]] on the union:
+    * candidate generation only probes BATCH band buckets — the
+    * bucket-join's right side is the batch, so corpus×corpus pairs
+    * (the quadratically dominant part, and pointless: the corpus is
+    * deduped) are never formed. At 100 TB the corpus's signature stage
+    * is a parquet table maintained across ingests; each batch computes
+    * only its own signatures and joins against it.
+    *
+    * Corpus precedence is encoded in the CC key space: corpus ids keep
+    * their value, batch ids get 2^62 added (ids must be in [0, 2^62)),
+    * so a cluster's min-key representative is always a corpus doc when
+    * one is present. Returns the surviving batch rows (original batch
+    * schema). */
+  def incrementalDedup(corpus: DataFrame, corpusId: Column,
+      corpusText: Column, batch: DataFrame, batchId: Column,
+      batchText: Column, minJaccard: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucketSize: Option[Long] = None): DataFrame =
+    incrementalDedupStaged(corpus, corpusId, corpusText, batch, batchId,
+      batchText, minJaccard, bands, rowsPerBand, seed, maxBucketSize).result
+
+  /** [[incrementalDedup]] with persisted stages exposed for
+    * caller-owned cleanup. */
+  def incrementalDedupStaged(corpus: DataFrame, corpusId: Column,
+      corpusText: Column, batch: DataFrame, batchId: Column,
+      batchText: Column, minJaccard: Double = 0.7, bands: Int = 16,
+      rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucketSize: Option[Long] = None): Staged = {
+    val FLAG = 1L << 62
+    // (1) batch-exact dedup, then drop batch docs whose content already
+    // exists in the corpus (one hash semi-join, no text comparison)
+    val b1 = exact(batch, md5(batchText), batchId)
+    val corpusHashes = corpus.select(md5(corpusText).as("__ch")).distinct()
+    val b2 = b1.join(corpusHashes, md5(batchText) === col("__ch"), "left_anti")
+      .persist() // read by the signature stage AND the final anti-join
+    // (2) signatures over corpus + surviving batch in one keyed space
+    val keyed = corpus.select(corpusId.cast("long").as("kid"),
+        corpusText.as("ktext"))
+      .unionAll(b2.select((batchId.cast("long") + FLAG).as("kid"),
+        batchText.as("ktext")))
+    val sigs = keyed
+      .select(col("kid").as("id"), hashedShingles(col("ktext")).as("h"))
+      .filter(size(col("h")) > 0)
+      .select(col("id"), col("h"),
+        graft.functions.MinHashFunctions
+          .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig"))
+      .persist()
+    val bandCols = (0 until bands).map { b =>
+      val bandSig = concat_ws("_",
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
+      struct(lit(b).as("band"), xxhash64(bandSig).as("bkey"))
+    }
+    val buckets0 = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bkey"))
+    val buckets = maxBucketSize.fold(buckets0) { cap =>
+      val hot = buckets0.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "bkey")
+      buckets0.join(hot, Seq("band", "bkey"), "left_anti")
+    }
+    // (3) candidates: every pair's RIGHT side is a batch doc — with
+    // batch keys all above FLAG, a.id < b.id >= FLAG yields exactly
+    // the corpus×batch and batch×batch pairs; corpus×corpus never forms
+    val batchBuckets = buckets.filter(col("id") >= FLAG)
+    val candIds = buckets.as("a").join(batchBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val hTab = sigs.select(col("id"), col("h"))
+    val pairs = candIds
+      .join(hTab.toDF("id_a", "ha"), "id_a")
+      .join(hTab.toDF("id_b", "hb"), "id_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    // (4) cluster; min key = corpus doc when present, else min batch id
+    val cc = connectedComponentsStaged(pairs)
+    val dropped = cc.result
+      .filter(col("id") =!= col("cluster_id") && col("id") >= FLAG)
+      .select((col("id") - FLAG).as("__drop_id"))
+    val result = b2.join(dropped, batchId === col("__drop_id"), "left_anti")
+    Staged(result, Seq(b2, sigs) ++ cc.stages)
+  }
+
   /** Benchmark decontamination pairs — the training-data op that keeps
     * evaluation sets out of the corpus: flag every corpus document
     * whose distinct 3-token shingles overlap a benchmark document's by

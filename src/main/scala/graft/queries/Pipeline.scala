@@ -256,6 +256,44 @@ object Pipeline {
         FROM verified WHERE jaccard >= $minJ
         ORDER BY id_a, id_b"""
 
+  /** DuckDB replica of the incremental batch-vs-corpus dedup (d10):
+    * batch exact-dedup → drop batch content already in the corpus →
+    * MinHash-LSH over the keyed union (batch ids + 2^62 so corpus
+    * always wins representative election) with pairs RESTRICTED to
+    * batch-involving ones (id_b >= FLAG — exactly what the Spark side
+    * mines) → reachability → drop non-representative batch docs. */
+  private def d10Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String = {
+    val FLAG = 1L << 62
+    s"""WITH RECURSIVE
+          b1 AS (
+            SELECT * FROM documents WHERE doc_id % 7 = 0
+            QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                       ORDER BY doc_id) = 1),
+          corpus AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+          b2 AS (SELECT * FROM b1
+                 WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+          keyed AS (
+            SELECT doc_id + $FLAG AS doc_id, text FROM b2
+            UNION ALL
+            SELECT doc_id, text FROM corpus),
+          ${minhashCtes("keyed", bands, rpb, seed)},
+          fpairs AS (SELECT id_a, id_b FROM verified
+                     WHERE jaccard >= $minJ AND id_b >= $FLAG),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+                    UNION SELECT id_b AS src, id_a AS dst FROM fpairs),
+          r(id, reach) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach),
+          dupes AS (
+            SELECT id FROM (SELECT id, MIN(reach) AS cluster_id
+                            FROM r GROUP BY id)
+            WHERE id <> cluster_id)
+        SELECT doc_id, lang, n_chars FROM b2
+        WHERE doc_id + $FLAG NOT IN (SELECT id FROM dupes)
+        ORDER BY doc_id"""
+  }
+
   /** DuckDB replica of the WHOLE dedupCorpus pipeline: exact dedup
     * (min-id per content hash) → MinHash-LSH pairs over survivors →
     * recursive-CTE connected components → drop non-representatives. */
@@ -699,6 +737,22 @@ object Pipeline {
            WHERE (nh.n_hits * 1000) // s.n_shingles >= 500
            ORDER BY doc_id"""
       }),
+
+    // -- incremental batch-vs-corpus dedup (the production ingest shape) ---
+    // corpus = docs with doc_id % 7 != 0 (stands in for yesterday's
+    // deduped corpus), batch = the rest. Candidate mining only probes
+    // batch buckets; corpus precedence via the 2^62 key offset.
+    Q("d10_incremental_dedup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalDedup(
+            docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+            docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
+            minJaccard = 0.6)
+          .select("doc_id", "lang", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(d10Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
 
     Q("d04_simhash",
       (s, d) => Dedup.simhashPairs(

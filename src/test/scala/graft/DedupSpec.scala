@@ -143,6 +143,48 @@ class DedupSpec extends TestSpark {
     assert(full === Set(1L))
   }
 
+  test("incrementalDedup: exact copies and corpus-reachable chains drop, " +
+       "fresh content survives") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val aTxt = base.replace("w5", "x5")   // near-dup of the corpus doc
+    val bTxt = aTxt.replace("w15", "y15") // near-dup of A, not of corpus
+    val corpus = Seq((100L, base),
+      (101L, "totally different content here entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base), // exact copy of corpus content
+      (2L, aTxt), // near-dup of corpus
+      (3L, bTxt), // reachable only VIA 2 — corpus precedence is transitive
+      (4L, "unrelated fresh words nobody else uses at all"),
+      (5L, "unrelated fresh words nobody else uses at all") // exact dup of 4
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+        batch, col("doc_id"), col("text"), minJaccard = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(4L))
+  }
+
+  test("incrementalDedup survivors: no residual near-dup pair within the " +
+       "batch or against the corpus") {
+    val docs = Tables(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val out = Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+      batch, col("doc_id"), col("text"), minJaccard = 0.6)
+    assert(out.count() > 0)
+    assert(Dedup.minhashLshPairs(out, col("doc_id"), col("text"),
+      minJaccard = 0.6).isEmpty)
+    // survivors shifted into their own id range, mined against the
+    // corpus: any cross pair would mean a survivor near-dups the corpus
+    val offset = 1000000L
+    val union = corpus.select(col("doc_id"), col("text"))
+      .unionAll(out.select((col("doc_id") + offset).as("doc_id"), col("text")))
+    val cross = Dedup.minhashLshPairs(union, col("doc_id"), col("text"),
+        minJaccard = 0.6)
+      .filter((col("id_a") >= offset) =!= (col("id_b") >= offset))
+    assert(cross.isEmpty)
+  }
+
   test("connected components: chains propagate the min label transitively") {
     // 1-2, 2-3, 3-4 is a diameter-3 path (needs >1 propagation round);
     // 10-11 is a separate component; 7-5 checks min via the larger id
