@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVectorDot, HyperplaneSignature, KmvSketch,
+import graft.functions.{BloomHitCount, BloomSketch, CmsEstimate, CmsSketch,
+  FloatVectorDot, HashedShingles, HyperplaneSignature, KmvSketch,
   MinHashSignature, NearestCells, RollingFingerprint, SimHash64}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
@@ -86,6 +87,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // bare AggregateFunction: the analyzer wraps it in an
         // AggregateExpression like any built-in aggregate
         KmvSketch(args.head, intArg("kmv_sketch", args, 1, 256L).toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_sketch"),
+      info("bloom_sketch",
+        "_FUNC_(hash[, mBits[, numHashes[, seed]]]) - Bloom filter bit " +
+          "array (binary) over a BIGINT hash column reduced mod 2^31-1; " +
+          "merge is bitwise OR, so bytes are partitioning-deterministic"),
+      (args: Seq[Expression]) => {
+        arity("bloom_sketch", args, 1, 4)
+        BloomSketch(args.head,
+          intArg("bloom_sketch", args, 1, 1L << 20).toInt,
+          intArg("bloom_sketch", args, 2, 3L).toInt,
+          intArg("bloom_sketch", args, 3, 42L))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_hit_count"),
+      info("bloom_hit_count",
+        "_FUNC_(bits, hashes[, mBits[, numHashes[, seed]]]) - how many of " +
+          "an array's hashes MIGHT be in the bloom bit array"),
+      (args: Seq[Expression]) => {
+        arity("bloom_hit_count", args, 2, 5)
+        BloomHitCount(args(0), args(1),
+          intArg("bloom_hit_count", args, 2, 1L << 20).toInt,
+          intArg("bloom_hit_count", args, 3, 3L).toInt,
+          intArg("bloom_hit_count", args, 4, 42L))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      info("cms_sketch",
+        "_FUNC_(hash[, depth[, width[, seed]]]) - Count-Min counter matrix " +
+          "(binary) over a BIGINT hash column reduced mod 2^31-1; merge is " +
+          "element-wise addition, so the matrix is partitioning-deterministic"),
+      (args: Seq[Expression]) => {
+        arity("cms_sketch", args, 1, 4)
+        CmsSketch(args.head,
+          intArg("cms_sketch", args, 1, 3L).toInt,
+          intArg("cms_sketch", args, 2, 1024L).toInt,
+          intArg("cms_sketch", args, 3, 42L))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "_FUNC_(sketch, hash[, depth[, width[, seed]]]) - min-over-rows " +
+          "frequency estimate for one hash from a cms_sketch matrix"),
+      (args: Seq[Expression]) => {
+        arity("cms_estimate", args, 2, 5)
+        CmsEstimate(args(0), args(1),
+          intArg("cms_estimate", args, 2, 3L).toInt,
+          intArg("cms_estimate", args, 3, 1024L).toInt,
+          intArg("cms_estimate", args, 4, 42L))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_shingles"),
+      info("hashed_shingles",
+        "_FUNC_(tokens[, n[, modP]]) - sorted-distinct rolling-fingerprint " +
+          "hashes of the n-token shingles of a string array"),
+      (args: Seq[Expression]) => {
+        arity("hashed_shingles", args, 1, 3)
+        val modP = args.lift(2) match {
+          case Some(Literal(v: Boolean, _)) => v
+          case None                         => true
+          case other => throw new IllegalArgumentException(
+            s"hashed_shingles: boolean literal expected, got $other")
+        }
+        HashedShingles(args.head,
+          intArg("hashed_shingles", args, 1, 3L).toInt, modP)
       }))
     ext.injectFunction((
       FunctionIdentifier("nearest_cells"),

@@ -63,6 +63,45 @@ object Streams {
       .select(col("w.start").as("bucket"), col("dim_val"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming decontamination — the stream face of
+    * [[graft.operators.Dedup.bloomContamination]]: each arriving doc is
+    * checked ROW-LOCALLY against a precomputed Bloom bit array of the
+    * benchmark suite's shingle hashes. Completely STATELESS — no state
+    * store, no watermark, no shuffle: the sketch is a binary literal
+    * riding the plan (at cluster scale, a broadcast variable), and a
+    * microbatch is a narrow map + filter. This is the ingest-guard
+    * shape: the eval-suite sketch is built once in batch
+    * (`bloom_sketch` over the bench shingles), then every arriving
+    * corpus shard is screened before it ever lands.
+    *
+    * Emits docs whose maybe-contaminated shingle fraction >=
+    * `minHitMilli` (flag stream); flip `keep` to invert (clean pass).
+    * Works identically on a batch DataFrame. */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          bloomBits: Array[Byte], mBits: Int = 1 << 20,
+                          numHashes: Int = 3, seed: Long = 42L,
+                          minHitMilli: Long = 500L,
+                          keep: Boolean = false): DataFrame = {
+    require(bloomBits.length == mBits / 8,
+      s"bloomBits has ${bloomBits.length} bytes; mBits=$mBits needs ${mBits / 8}")
+    val hs = graft.functions.ShingleFunctions.hashedShingles(
+      split(trim(lower(col(textCol))), "\\s+"))
+    val flagged = docs
+      .withColumn("__hs", hs)
+      .withColumn("n_shingles", size(col("__hs")).cast("long"))
+      .withColumn("n_hits",
+        when(col("n_shingles") > 0,
+          graft.functions.BloomFunctions.bloomHitCount(
+            lit(bloomBits), col("__hs"), mBits, numHashes, seed))
+          .otherwise(lit(0L)))
+      .withColumn("hit_milli",
+        when(col("n_shingles") > 0,
+          expr("(n_hits * 1000) div n_shingles")).otherwise(lit(0L)))
+      .drop("__hs")
+    if (keep) flagged.filter(col("hit_milli") < minHitMilli)
+    else flagged.filter(col("hit_milli") >= minHitMilli)
+  }
+
   /** Streaming exact dedup on a key with bounded state: watermark on
     * the event time lets Spark drop per-key state once the key can no
     * longer recur within the lateness bound — the streaming counterpart

@@ -34,6 +34,32 @@ class ExtensionsSpec extends TestSpark {
     assert(r.getInt(5) === 1)
   }
 
+  test("sketch family is callable from pure SQL: bloom, cms, shingles") {
+    // bloom: a member can never miss
+    val hit = spark.sql(
+      """WITH s AS (SELECT bloom_sketch(h, 1024, 3, 42) AS b
+        |           FROM (SELECT explode(sequence(1L, 100L)) AS h))
+        |SELECT bloom_hit_count(b, array(50L), 1024, 3, 42) FROM s
+        |""".stripMargin).head().getLong(0)
+    assert(hit === 1L)
+    // cms: estimate bounded below by the true count, above by n
+    val est = spark.sql(
+      """WITH c AS (SELECT cms_sketch(h, 3, 64, 42) AS m
+        |           FROM (SELECT explode(array(7L, 7L, 7L, 8L)) AS h))
+        |SELECT cms_estimate(m, 7L, 3, 64, 42) FROM c
+        |""".stripMargin).head().getLong(0)
+    assert(est >= 3L && est <= 4L)
+    // hashed_shingles: SQL call == library column API
+    val viaSql = spark.sql(
+      "SELECT hashed_shingles(array('a','b','c','d'), 2)").head().getSeq[Long](0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaLib = Seq(Seq("a", "b", "c", "d")).toDF("t")
+      .select(graft.functions.ShingleFunctions.hashedShingles(col("t"), n = 2))
+      .head().getSeq[Long](0)
+    assert(viaSql === viaLib && viaSql.nonEmpty)
+  }
+
   test("hyperplane_signature rejects nBits outside 1..63 from BOTH entry points") {
     import org.apache.spark.sql.functions._
     // SQL path

@@ -213,6 +213,43 @@ class StreamingSpec extends TestSpark {
     assert(got === Seq((1L, 1L, 2L), (2L, 4L, 5L))) // event 3 out of window
   }
 
+  test("streaming decontamination equals batch and stays stateless") {
+    val docs = Tables(spark, sfDir, "documents")
+    // build the eval-suite sketch once, in batch
+    val mBits = 1 << 18
+    val bits = docs.filter(col("doc_id") % 29 === 0)
+      .select(explode(graft.functions.ShingleFunctions.hashedShingles(
+        split(trim(lower(col("text"))), "\\s+"))).as("h"))
+      .agg(graft.functions.BloomFunctions.bloomAgg(col("h"), mBits).as("b"))
+      .as[Array[Byte]].head()
+
+    val stageDir = Files.createTempDirectory("stream-decon").toString
+    docs.write.mode("overwrite").parquet(stageDir)
+    val streamed = spark.readStream.schema(docs.schema).parquet(stageDir)
+    val q = Streams.decontaminateStream(streamed, "text", bits, mBits)
+      .writeStream.format("memory").queryName("decon").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("decon")
+      .select("doc_id", "n_shingles", "n_hits", "hit_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = Streams.decontaminateStream(docs, "text", bits, mBits)
+      .select("doc_id", "n_shingles", "n_hits", "hit_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+    // ... and agrees with the batch operator (d09) on the flag set
+    val d09 = graft.operators.Dedup.bloomContamination(
+        docs, col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 29 === 0), col("text"), mBits = mBits)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toSeq.sorted
+    assert(got.map(r => (r._1, r._3)) === d09)
+    // stateless: no microbatch registered a state-store operator
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
+
   test("sessionize on the real events table produces bounded sane sessions") {
     val events = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
