@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Histogram-based quantile estimation — the scale path for
+  * percentiles. Exact per-group percentiles (q21) sort every row of
+  * the group; this reduces the data to a fixed-width-bucket histogram
+  * in ONE shuffle with map-side combine, then reads quantiles off the
+  * cumulative counts. Error is bounded by the bucket width, the
+  * histogram is trivially mergeable (counts add), and — unlike
+  * rank-interpolation sketches (t-digest, KLL), whose centroids depend
+  * on scan order — the result is DETERMINISTIC: same rows in any
+  * order, any partitioning, any engine → the same estimate, so a
+  * DuckDB oracle checks it bit-for-bit. */
+object Quantiles {
+
+  /** Per-group quantile estimates: for each percentile p, the LOWER
+    * EDGE of the first bucket where the cumulative count reaches p% of
+    * the group — `floor(value/width)*width`, an under-estimate by at
+    * most `width`. Integer cross-multiplied threshold (`cum·100 >=
+    * p·total`), no floating ratios.
+    *
+    * Output: (g, p, est) — one row per group × percentile. */
+  def histogramQuantiles(df: DataFrame, group: Column, value: Column,
+                         width: Long, percentiles: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $percentiles")
+    // floor() BEFORE the long cast: IEEE floor agrees everywhere, while
+    // double→int casts round differently across engines (Spark
+    // truncates, DuckDB rounds)
+    val hist = df
+      .select(group.as("g"),
+        floor(value / lit(width.toDouble)).cast("long").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("g")
+    val cum = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("total", sum("c").over(wAll))
+    val perP = percentiles.map { p =>
+      cum.filter(col("cum") * 100 >= col("total") * p)
+        .groupBy("g")
+        .agg(min(col("b") * width).as("est"))
+        .select(col("g"), lit(p).as("p"), col("est"))
+    }
+    perP.reduce(_.unionAll(_))
+  }
+}

@@ -517,6 +517,35 @@ object Pipeline {
                FROM events JOIN orders ON user_id = o_custkey
                GROUP BY event_type ORDER BY event_type""")),
 
+    // -- histogram quantile estimates --------------------------------------
+    // the quantile member of the deterministic-sketch family: one
+    // histogram shuffle (map-side combine), quantiles read off the
+    // cumulative counts — versus q21's exact percentile, which sorts
+    // every group row. Bucket lower edge ⇒ error <= width; integer
+    // cross-multiplied threshold, no float ratios.
+    Q("q46_histogram_quantile",
+      (s, d) => Quantiles.histogramQuantiles(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+          width = 1000L, percentiles = Seq(50, 95, 99))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag", "p"),
+      Some("""WITH h AS (
+                SELECT l_returnflag AS g,
+                       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS b,
+                       COUNT(*) AS c
+                FROM lineitem GROUP BY 1, 2),
+              cum AS (
+                SELECT g, b,
+                       SUM(c) OVER (PARTITION BY g ORDER BY b
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(c) OVER (PARTITION BY g) AS total
+                FROM h),
+              q AS (SELECT g, p, MIN(b * 1000) AS est
+                    FROM cum CROSS JOIN (SELECT unnest([50, 95, 99]) AS p) ps
+                    WHERE cum * 100 >= total * p GROUP BY g, p)
+              SELECT g AS l_returnflag, p, est FROM q
+              ORDER BY l_returnflag, p""")),
+
     Q("q29_cube",
       (s, d) => t(s, d, "customer")
         .cube("c_mktsegment", "c_nationkey")
