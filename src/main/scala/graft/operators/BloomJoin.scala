@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BloomFunctions, BloomUtil}
+
+/** Bloom-prefiltered shuffle join — explicit semi-join reduction.
+  *
+  * In a 100 TB fact ⋈ selective-dim join, most fact rows have no
+  * partner, yet a plain shuffle join pays to shuffle ALL of them.
+  * Spark's runtime filter injection does this transparently when
+  * statistics cooperate (demonstrated in RuntimeFilterSpec); this is
+  * the LIBRARY-LEVEL version a pipeline author controls: build a
+  * Bloom bit array of the build side's join keys (one fixed-size
+  * aggregate), broadcast it, and drop probe rows row-locally BEFORE
+  * the shuffle. False positives only cost their shuffle bytes — the
+  * real join still discards them — and false negatives cannot happen,
+  * so the result is IDENTICAL to the plain join (q47's oracle is
+  * literally the plain join).
+  *
+  * Keys are hashed with `pmod(xxhash64(key), 2^31-1)` on BOTH sides —
+  * collisions only add false positives, never drop a matching row
+  * (equal keys always hash equal). */
+object BloomJoin {
+
+  private def keyHash(k: Column): Column =
+    pmod(xxhash64(k), lit(BloomUtil.P))
+
+  /** Inner-join `probe` (big side) to `build` on
+    * `probeKey === buildKey`, prefiltering probe rows against a Bloom
+    * sketch of the build keys before the join's shuffle. */
+  def prefilteredJoin(probe: DataFrame, probeKey: Column,
+                      build: DataFrame, buildKey: Column,
+                      mBits: Int = 1 << 20, numHashes: Int = 3,
+                      seed: Long = 42L): DataFrame = {
+    val bloom = build
+      .select(keyHash(buildKey).as("__h"))
+      .agg(BloomFunctions.bloomAgg(col("__h"), mBits, numHashes, seed)
+        .as("__bloom"))
+    val kept = probe
+      .crossJoin(broadcast(bloom)) // 1-row scalar
+      .filter(BloomFunctions.bloomHitCount(col("__bloom"),
+        array(keyHash(probeKey)), mBits, numHashes, seed) === 1L)
+      .drop("__bloom")
+    kept.join(build, probeKey === buildKey)
+  }
+}

@@ -517,6 +517,26 @@ object Pipeline {
                FROM events JOIN orders ON user_id = o_custkey
                GROUP BY event_type ORDER BY event_type""")),
 
+    // -- bloom-prefiltered join (explicit semi-join reduction) -------------
+    // most lineitem rows have no high-value order partner; the probe
+    // side is screened row-locally against a broadcast Bloom of the
+    // build keys BEFORE the join shuffle. False positives just ride to
+    // the real join; false negatives can't happen — so the oracle is
+    // the plain join.
+    Q("q47_bloom_join",
+      (s, d) => BloomJoin.prefilteredJoin(
+          t(s, d, "lineitem"), col("l_orderkey"),
+          t(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority"),
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+                      ${sqlSum("l_extendedprice")} AS sum_price
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               WHERE o_totalprice > 400000
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // -- histogram quantile estimates --------------------------------------
     // the quantile member of the deterministic-sketch family: one
     // histogram shuffle (map-side combine), quantiles read off the

@@ -82,6 +82,48 @@ class BloomSpec extends TestSpark {
     assert(msgs(e).exists(m => m != null && m.contains("outside")), e)
   }
 
+  test("bloom-prefiltered join: identical to the plain join, filter " +
+       "drops rows before the shuffle") {
+    import graft.operators.BloomJoin
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // fact-fact shape
+      val li = Tables(spark, sfDir, "lineitem")
+      val hot = Tables(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val pre = BloomJoin.prefilteredJoin(li, col("l_orderkey"),
+        hot, col("o_orderkey"))
+      val plain = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+      assert(pre.count() === plain.count())
+      assert(pre.select("l_orderkey", "l_linenumber")
+        .exceptAll(plain.select("l_orderkey", "l_linenumber")).isEmpty)
+      // the prefilter really reduces the shuffled probe side
+      val bloom = hot.select(
+          org.apache.spark.sql.functions.pmod(xxhash64(col("o_orderkey")),
+            lit(graft.functions.BloomUtil.P)).as("h"))
+        .agg(graft.functions.BloomFunctions.bloomAgg(col("h")).as("b"))
+      val kept = li.crossJoin(broadcast(bloom))
+        .filter(graft.functions.BloomFunctions.bloomHitCount(col("b"),
+          array(org.apache.spark.sql.functions.pmod(xxhash64(col("l_orderkey")),
+            lit(graft.functions.BloomUtil.P)))) === 1L)
+        .count()
+      assert(kept < li.count() / 2, s"prefilter kept $kept of ${li.count()}")
+      // ... and it runs BELOW the join's Exchange on the probe branch
+      val p = pre.queryExecution.executedPlan.toString
+      val lines = p.linesIterator.toVector
+      val filtIdx = lines.indexWhere(_.contains("bloom_hit_count"))
+      val scanIdx = lines.indexWhere(l => l.contains("FileScan parquet") &&
+        l.contains("lineitem"), filtIdx)
+      assert(filtIdx >= 0 && scanIdx > filtIdx, p)
+      assert(!lines.slice(filtIdx + 1, scanIdx)
+        .exists(_.contains("Exchange hashpartitioning")), p)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("d09 plan: corpus side is scan → project — no shuffle, no join " +
        "against exploded benchmark rows") {
     val p = SparkEntry.queries("d09_bloom_decontaminate")(spark, sfDir)
