@@ -633,16 +633,23 @@ object Dedup {
                          seed: Long = 42L,
                          minHitMilli: Long = 500L): DataFrame = {
     import graft.functions.BloomFunctions
-    val bloom = bench
+    // EAGER: one driver action aggregates the bench side (small by
+    // contract; the bytes are mBits/8 whatever its row count). The
+    // bytes then ride the corpus projection as a LITERAL — one
+    // reference in codegen. A broadcast cross join would instead copy
+    // the bit array into EVERY corpus UnsafeRow (mBits/8 bytes × rows
+    // of pure memcpy — measured 20+ s on a 600k-row probe in the q47
+    // shape). Spark's runtime bloom filters inline theirs the same way.
+    val bits = bench
       .select(explode(hashedShingles(benchText)).as("h"))
       .agg(BloomFunctions.bloomAgg(col("h"), mBits, numHashes, seed)
         .as("__bloom"))
+      .head().getAs[Array[Byte]](0)
     corpus
       .select(id.as("doc_id"), hashedShingles(text).as("hs"))
       .filter(size(col("hs")) > 0)
-      .crossJoin(broadcast(bloom)) // 1-row scalar: stays a broadcast
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
-        BloomFunctions.bloomHitCount(col("__bloom"), col("hs"),
+        BloomFunctions.bloomHitCount(lit(bits), col("hs"),
           mBits, numHashes, seed).as("n_hits"))
       .withColumn("hit_milli", expr("(n_hits * 1000) div n_shingles"))
       .filter(col("hit_milli") >= minHitMilli)
