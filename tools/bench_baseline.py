@@ -22,13 +22,15 @@ HEADLINE = [
     "q22_count_distinct", "q24_time_bucket", "q26_asof_join",
     "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
-    "q41_doc_embedding_join", "q42_token_pack",
+    "q41_doc_embedding_join", "q42_token_pack", "q44_cms_freq",
+    "q45_salted_join", "q46_histogram_quantile", "q47_bloom_join",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
-    "d07_dedup_corpus", "d08_decontaminate",
+    "d07_dedup_corpus", "d08_decontaminate", "d09_bloom_decontaminate",
+    "d10_incremental_dedup",
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
-    "t06_subword_stats", "t08_tfidf", "t10_repetition", "q32_hash_sample",
-    "m01_binary_meta",
+    "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
+    "q32_hash_sample", "m01_binary_meta",
 ]
 
 def main():
