@@ -681,8 +681,6 @@ object Dedup {
     * caller-owned cache cleanup. */
   def simhashPairsStaged(df: DataFrame, id: Column, text: Column,
                    maxDist: Int = 3): Staged = {
-    val nSeg = maxDist + 1
-    val segBits = 64 / nSeg
     // persist the hash stage BEFORE deriving fp: Catalyst collapses
     // adjacent projections, which would re-inline the tokenizer into
     // all 64 per-bit vote expressions.
@@ -690,19 +688,31 @@ object Dedup {
       .select(id.as("id"), hashedShingles(text, modP = false).as("hs"))
       .persist()
     val withFp = hashed.select(col("id"), simhashFromHashes(col("hs")).as("fp"))
+    Staged(hamming64Pairs(withFp, maxDist), Seq(hashed))
+  }
+
+  /** Near-dup pairs among ANY 64-bit fingerprints by hamming distance
+    * <= maxDist — the pigeonhole segment join shared by SimHash (text)
+    * and perceptual image hashes: the fingerprint splits into
+    * (maxDist+1) segments, any pair within maxDist agrees on >= 1
+    * segment, so per-segment hash joins find all candidates without
+    * O(n²). Input: (id, fp) with fp a 64-bit long.
+    * Output: (id_a, id_b, hamming). */
+  def hamming64Pairs(withFp: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nSeg = maxDist + 1
+    val segBits = 64 / nSeg
     val segs = withFp.select(col("id"), col("fp"),
       explode(array((0 until nSeg).map(sg => struct(lit(sg).as("seg"),
         shiftright(col("fp"), sg * segBits)
           .bitwiseAND((1L << segBits) - 1).as("skey"))): _*)).as("s"))
       .select(col("id"), col("fp"), col("s.seg"), col("s.skey"))
     val popcnt = (x: Column) => bit_count(x).cast("int")
-    val result = segs.as("a").join(segs.as("b"),
+    segs.as("a").join(segs.as("b"),
         col("a.seg") === col("b.seg") && col("a.skey") === col("b.skey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         popcnt(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
-    Staged(result, Seq(hashed))
   }
 }

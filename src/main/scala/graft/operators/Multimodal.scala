@@ -126,6 +126,109 @@ object Multimodal {
       math.sqrt(ss / n).toFloat, peak.toFloat))
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a binary payload —
+    * the standard near-duplicate-IMAGE fingerprint: downsample to a
+    * 9×8 grid, emit one bit per horizontal neighbour comparison
+    * (bit r·8+c = 1 iff cell[r][c+1] > cell[r][c]). Real decode for
+    * uncompressed 24-bit BMP (integer-luma box average, bottom-up and
+    * top-down rows normalized to the same orientation); any other
+    * payload falls back to a deterministic stride-sampled BYTE grid —
+    * the documented stub path (same shape a jpeg decoder slots into),
+    * which for ASCII payloads is DuckDB-expressible, so the gate
+    * oracle covers the full pair pipeline. Integer comparisons only:
+    * bit-identical everywhere. */
+  def imageDHash(bytes: Array[Byte]): Long = {
+    val grid = grayGrid9x8(bytes).getOrElse(byteGrid9x8(bytes))
+    var fp = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c)) fp |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    fp
+  }
+
+  /** 24bpp BMP → 8 rows × 9 cols integer-luma box averages (top-down
+    * orientation whatever the row order on disk). None for non-BMP /
+    * too-small / corrupt payloads — bounds-checked like decodeBmp24. */
+  private def grayGrid9x8(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length <= 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def i16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val dataOff = i32(10); val w = i32(18); val h = i32(22)
+    if (i16(28) != 24 || i32(30) != 0 || w < 9 || h == 0 ||
+        h == Int.MinValue) return None
+    val height = math.abs(h)
+    if (height < 8) return None
+    val bottomUp = h > 0
+    val rowSize = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + rowSize * height > b.length)
+      return None
+    val grid = new Array[Int](72)
+    var gr = 0
+    while (gr < 8) {
+      val r0 = gr * height / 8; val r1 = (gr + 1) * height / 8
+      var gc = 0
+      while (gc < 9) {
+        val c0 = gc * w / 9; val c1 = (gc + 1) * w / 9
+        var luma = 0L
+        var r = r0
+        while (r < r1) {
+          // top-down pixel row r lives at disk row (height-1-r) when
+          // the file is bottom-up — same hash for both encodings
+          val disk = if (bottomUp) height - 1 - r else r
+          val base = dataOff + disk * rowSize.toInt
+          var c = c0
+          while (c < c1) {
+            val p = base + c * 3
+            luma += 114L * (b(p) & 0xff) + 587L * (b(p + 1) & 0xff) +
+              299L * (b(p + 2) & 0xff)
+            c += 1
+          }
+          r += 1
+        }
+        grid(gr * 9 + gc) = (luma / ((r1 - r0).toLong * (c1 - c0))).toInt
+        gc += 1
+      }
+      gr += 1
+    }
+    Some(grid)
+  }
+
+  /** Stub grid for undecodable payloads: 72 bytes sampled at a fixed
+    * stride (`max(len/72, 1)`, clamped) — deterministic, and for ASCII
+    * payloads reproducible in SQL (byte i == code point i). */
+  private def byteGrid9x8(b: Array[Byte]): Array[Int] = {
+    val grid = new Array[Int](72)
+    if (b.length == 0) return grid
+    val stride = math.max(b.length / 72, 1)
+    var i = 0
+    while (i < 72) {
+      grid(i) = b(math.min(i * stride, b.length - 1)) & 0xff
+      i += 1
+    }
+    grid
+  }
+
+  /** Near-duplicate images: dHash per payload (mapPartitions — a real
+    * codec would init once per partition), then the shared pigeonhole
+    * hamming join ([[Dedup.hamming64Pairs]]). Never all-pairs. */
+  def imagePhashPairs(df: DataFrame, id: Column, bin: Column,
+                      maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withFp = df.select(id.cast("long").as("id"), bin.as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (i, bytes) => (i, imageDHash(bytes)) } }
+      .toDF("id", "fp")
+    Dedup.hamming64Pairs(withFp, maxDist)
+  }
+
   /** Fixed-size frame/chunk sampling of a binary payload: one output
     * row per `chunkBytes` window (think video frame extraction or audio
     * windowing — here over the opaque bytes; a real decoder would slot

@@ -194,6 +194,48 @@ object Pipeline {
         WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replica of the image-dHash near-dup pipeline (m05) on the
+    * STUB grid path: the payloads are `encode(text)` and the corpus is
+    * pure ASCII (asserted at build time: length == octet_length for
+    * every doc), so byte i of the payload IS code point i of the text —
+    * the 72-sample stride grid, the 64 neighbour-comparison bits and
+    * the pigeonhole hamming join all reproduce exactly. */
+  private def m05Oracle(maxDist: Int): String = {
+    val nSeg = maxDist + 1
+    val segBits = 64 / nSeg
+    val fpTerms = (for (r <- 0 until 8; c <- 0 until 8) yield
+      s"CASE WHEN gv[${r * 9 + c + 2}] > gv[${r * 9 + c + 1}] " +
+        s"THEN ${1L << (r * 8 + c)} ELSE 0 END")
+      .mkString("\n                 + ")
+    val segSel = (0 until nSeg).map { sg =>
+      s"SELECT id, fp, $sg AS seg, (fp >> ${sg * segBits}) & ${(1L << segBits) - 1} AS skey FROM sims"
+    }.mkString("\n               UNION ALL ")
+    s"""WITH base AS (
+            SELECT doc_id, text, length(text) AS len FROM documents),
+          g AS (
+            SELECT doc_id,
+                   CASE WHEN len = 0
+                        THEN list_transform(range(0, 72), i -> 0)
+                        ELSE list_transform(range(0, 72), i ->
+                          unicode(substr(text,
+                            CAST(least(i * greatest(len // 72, 1) + 1, len)
+                              AS INT), 1)))
+                   END AS gv
+            FROM base),
+          sims AS (
+            SELECT doc_id AS id,
+                 $fpTerms AS fp
+            FROM g),
+          segs AS ($segSel),
+          cands AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+            FROM segs a JOIN segs b
+              ON a.seg = b.seg AND a.skey = b.skey AND a.id < b.id)
+        SELECT id_a, id_b, hamming FROM cands
+        WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
+  }
+
   /** DuckDB CTE chain replicating the ENTIRE MinHash-LSH pipeline over
     * `src` (any relation with doc_id + text) — possible because the
     * shingle hash is the rolling code-point fingerprint
@@ -991,6 +1033,42 @@ object Pipeline {
                           END AS fp
               FROM c ORDER BY doc_id""")),
 
+    // -- deterministic train/val/test split (t12) --------------------------
+    // content-hash split assignment: bucket = fingerprint(text) mod 100
+    // → 90/5/5. Reproducible across engines, runs, cluster sizes and id
+    // renumbering (content-keyed, like q32's sampling) — and a doc
+    // duplicated across shards lands in the SAME split, so dedup order
+    // doesn't leak train docs into test.
+    Q("t12_split_assign",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+                SELECT doc_id,
+                       CASE WHEN norm = '' THEN CAST([] AS BIGINT[])
+                            ELSE list_transform(string_split(norm, ''),
+                                   ch -> CAST(unicode(ch) AS BIGINT)) END AS codes
+                FROM (SELECT doc_id,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                      FROM documents)),
+              f AS (
+                SELECT doc_id,
+                       CASE WHEN len(codes) = 0 THEN 0
+                            ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+                                   * 2147483648
+                                 + list_reduce(codes, (a, b) -> (a * 257 + b) % 2147483647)
+                            END % 100 AS bucket
+                FROM c)
+              SELECT doc_id, bucket,
+                     CASE WHEN bucket < 90 THEN 'train'
+                          WHEN bucket < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM f ORDER BY doc_id""")),
+
     // -- tf-idf top terms (integer-deterministic relevance) ----------------
     // score_milli = tf * 1000 * N / df, floored: pure integer signal,
     // bit-identical across engines (log-based idf differs in the last
@@ -1332,6 +1410,20 @@ object Pipeline {
       Some("""SELECT source, COUNT(*) AS n_docs,
                      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes
               FROM documents GROUP BY source ORDER BY source""")),
+
+    // -- perceptual image near-dup (m05) -----------------------------------
+    // dHash per payload (real decode for 24-bit BMP; deterministic
+    // stride byte grid for other formats — here the ASCII text
+    // payloads, which the oracle reproduces char-for-char), then the
+    // shared pigeonhole hamming join. The BMP path is spec-verified on
+    // constructed images (MultimodalSpec).
+    Q("m05_image_phash",
+      (s, d) => Multimodal.imagePhashPairs(
+          t(s, d, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"), maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some(m05Oracle(maxDist = 3))),
 
     Q("m03_frame_sample",
       (s, d) => Multimodal.frameSample(

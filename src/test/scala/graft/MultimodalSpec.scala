@@ -55,6 +55,64 @@ class MultimodalSpec extends TestSpark {
     assert(Multimodal.decode("plain text".getBytes("UTF-8")).length === 16)
   }
 
+  /** Arbitrary 24bpp BMP builder: px(x, y) gives (b, g, r) for the
+    * TOP-DOWN pixel grid; `topDown` picks the on-disk row order. */
+  private def bmp24(w: Int, h: Int, topDown: Boolean)
+                   (px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](54 + rowSize * h)
+    def p32(o: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def p16(o: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, out.length); p32(10, 54); p32(14, 40)
+    p32(18, w); p32(22, if (topDown) -h else h)
+    p16(26, 1); p16(28, 24); p32(30, 0); p32(34, rowSize * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val disk = if (topDown) y else h - 1 - y
+      val o = 54 + disk * rowSize + x * 3
+      val (bb, gg, rr) = px(x, y)
+      out(o) = bb.toByte; out(o + 1) = gg.toByte; out(o + 2) = rr.toByte
+    }
+    out
+  }
+
+  test("imageDHash: real BMP grid — gradients, orientation, perturbation") {
+    val grad = (x: Int, _: Int) => (x * 14, x * 14, x * 14)
+    val up = bmp24(18, 16, topDown = false)(grad)
+    // luma strictly increases left-to-right → every neighbour bit set
+    assert(Multimodal.imageDHash(up) === -1L)
+    // inverted gradient → no bit set
+    val inv = bmp24(18, 16, topDown = false)(
+      (x, _) => (255 - x * 14, 255 - x * 14, 255 - x * 14))
+    assert(Multimodal.imageDHash(inv) === 0L)
+    // bottom-up and top-down encodings of the SAME image hash equal
+    val down = bmp24(18, 16, topDown = true)(grad)
+    assert(Multimodal.imageDHash(up) === Multimodal.imageDHash(down))
+    // a small local perturbation moves the hash by at most a few bits
+    val noisy = bmp24(18, 16, topDown = false)((x, y) =>
+      if (x == 5 && y == 3) (90, 90, 90) else grad(x, y))
+    val d = java.lang.Long.bitCount(
+      Multimodal.imageDHash(up) ^ Multimodal.imageDHash(noisy))
+    assert(d <= 3, s"hamming $d")
+  }
+
+  test("imagePhashPairs finds near-dup images, not unrelated ones") {
+    val grad = (x: Int, _: Int) => (x * 14, x * 14, x * 14)
+    val imgs = Seq(
+      1L -> bmp24(18, 16, topDown = false)(grad),
+      2L -> bmp24(18, 16, topDown = false)((x, y) =>
+        if (x == 5 && y == 3) (90, 90, 90) else grad(x, y)),
+      3L -> bmp24(18, 16, topDown = false)(
+        (x, _) => (255 - x * 14, 255 - x * 14, 255 - x * 14))
+    ).toDF("id", "payload")
+    val pairs = Multimodal.imagePhashPairs(imgs, col("id"), col("payload"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("decode really parses RIFF/WAV PCM-16 audio (rate, channels, rms, peak)") {
     // hand-built mono 8 kHz PCM-16 WAV: 100 samples of a ±1000 square
     // wave → rms = 1000, peak = 1000
