@@ -50,7 +50,7 @@ object Bench {
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
-    "q32_hash_sample", "m01_binary_meta")
+    "q32_hash_sample", "m01_binary_meta", "m05_image_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,7 +30,7 @@ HEADLINE = [
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
-    "q32_hash_sample", "m01_binary_meta",
+    "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
 ]
 
 def main():
