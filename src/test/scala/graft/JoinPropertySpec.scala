@@ -54,6 +54,31 @@ class JoinPropertySpec extends TestSpark {
     assert(banded.nonEmpty)
   }
 
+  test("pigeonhole hamming join equals the brute-force pair scan on " +
+       "random fingerprints") {
+    // fingerprints clustered around a few centers so near pairs exist:
+    // center XOR a random few-bit mask
+    val center = Gen.oneOf(0x0123456789abcdefL, -1L, 0L, 0x5555aaaa5555aaaaL)
+    val fp = for {
+      c <- center
+      nFlip <- Gen.choose(0, 5)
+      bits <- Gen.listOfN(nFlip, Gen.choose(0, 63))
+    } yield bits.foldLeft(c)((v, b) => v ^ (1L << b))
+    val fps = Gen.listOfN(25, fp).map(_.zipWithIndex
+      .map { case (f, i) => (i.toLong, f) })
+    check(Prop.forAll(fps, Gen.oneOf(1, 3, 7)) { (rows, maxDist) =>
+      val got = graft.operators.Dedup
+        .hamming64Pairs(rows.toDF("id", "fp"), maxDist)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = (for {
+        (ia, fa) <- rows; (ib, fb) <- rows if ia < ib
+        d = java.lang.Long.bitCount(fa ^ fb) if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      got == want
+    }, minSuccessful = 10)
+  }
+
   test("asof join equals the naive latest-at-or-before lookup on random data") {
     check(Prop.forAll(rows, rows) { (ls, rs) =>
       val left = ls.toDF("k", "t", "lid")
