@@ -77,7 +77,7 @@ object Bench {
       // a failed sample yields None — its time-to-failure must not feed
       // the median (a query that starts failing fast would otherwise
       // read as a performance improvement)
-      val times = (1 to samples).flatMap { _ =>
+      val outcomes = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -96,7 +96,10 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         if (ok) Some(dt) else None
       }
-      if (times.isEmpty) { name -> None }
+      val times = outcomes.flatten
+      // ANY failed sample marks the query failed: an intermittently
+      // erroring query must not masquerade as a healthy median
+      if (times.size < samples) { name -> None }
       else {
         val med = times.sorted.apply(times.size / 2)
         System.err.println(f"[bench] $name%-22s median $med%7.2fs  " +

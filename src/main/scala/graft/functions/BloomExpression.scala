@@ -147,14 +147,26 @@ case class BloomHitCount(left: Expression, right: Expression,
 object BloomUtil {
   final val P = 2147483647L // 2^31 - 1
 
-  /** Static (codegen-callable) membership core. */
+  /** Static (codegen-callable) membership core. Validates like the
+    * build side: a probe hash outside [0, P) (raw xxhash64: negative
+    * position crash or silent Long overflow) and a bits/mBits mismatch
+    * (positions mod the wrong modulus: silent FALSE NEGATIVES, the one
+    * error class a Bloom filter must never have) both fail loudly. */
   def hitCount(bits: Array[Byte], hashes: ArrayData,
                a: Array[Long], b: Array[Long], mBits: Int): Long = {
+    if (bits.length * 8 != mBits)
+      throw new IllegalArgumentException(
+        s"bloom_hit_count: bit array has ${bits.length * 8} bits but " +
+          s"mBits=$mBits — probe parameters must match the sketch's")
     val n = hashes.numElements()
     var hits = 0L
     var i = 0
     while (i < n) {
       val h = hashes.getLong(i)
+      if (h < 0L || h >= P)
+        throw new IllegalArgumentException(
+          s"bloom_hit_count probe hash $h outside [0, $P) — feed it a " +
+            "value already reduced mod the Mersenne prime")
       var j = 0
       var all = true
       while (all && j < a.length) {

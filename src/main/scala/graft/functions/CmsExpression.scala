@@ -93,6 +93,13 @@ case class CmsSketch(child: Expression, depth: Int, width: Int, seed: Long,
     if (depth < 1 || width < 2)
       TypeCheckResult.TypeCheckFailure(
         s"cms_sketch needs depth >= 1 and width >= 2, got ($depth, $width)")
+    else if (depth.toLong * width > (1L << 27))
+      // counter matrix is depth·width longs; bound it at analysis time
+      // (2^27 longs = 1 GiB) instead of overflowing Int in the buffer
+      // allocation and dying with an inscrutable executor error
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch depth*width = ${depth.toLong * width} exceeds 2^27 " +
+          "counters (1 GiB) — use a narrower sketch")
     else child.dataType match {
       case LongType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
@@ -146,9 +153,20 @@ case class CmsEstimate(left: Expression, right: Expression,
 
 object CmsUtil {
   /** Static (codegen-callable) estimate core: read one big-endian long
-    * per sketch row, take the min. */
+    * per sketch row, take the min. Validates like the build side —
+    * an out-of-range probe hash or a sketch/parameter mismatch would
+    * otherwise read the wrong counters silently. */
   def estimate(sketch: Array[Byte], h: Long,
                a: Array[Long], b: Array[Long], width: Int): Long = {
+    if (sketch.length != a.length * width * 8)
+      throw new IllegalArgumentException(
+        s"cms_estimate: sketch has ${sketch.length} bytes but " +
+          s"depth=${a.length} width=$width needs ${a.length * width * 8} — " +
+          "probe parameters must match the sketch's")
+    if (h < 0L || h >= BloomUtil.P)
+      throw new IllegalArgumentException(
+        s"cms_estimate probe hash $h outside [0, ${BloomUtil.P}) — feed " +
+          "it a value already reduced mod the Mersenne prime")
     var best = Long.MaxValue
     var j = 0
     while (j < a.length) {

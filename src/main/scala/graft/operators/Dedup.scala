@@ -136,6 +136,16 @@ object Dedup {
     graft.functions.ShingleFunctions.hashedShingles(
       split(trim(lower(text)), "\\s+"), n = 3, modP = modP)
 
+  /** The canonical text → distinct-shingle-hash recipe (lowercase,
+    * whitespace tokens, 3-token shingles, rolling fingerprint mod
+    * 2^31-1) — PUBLIC so stream probes (st06) and external sketch
+    * builders hash exactly like the batch operators. A re-spelled copy
+    * of this recipe that drifts (different n, normalization, modulus)
+    * makes probe hashes diverge from the sketch's and decontamination
+    * silently stops flagging — the false-negative mode the Bloom ops
+    * exist to prevent. */
+  def shingleHashes(text: Column): Column = hashedShingles(text)
+
   /** Full MinHash signature as one array column (codegen'd native
     * expression — see [[graft.functions.MinHashSignature]]). */
   def minhashSignature(text: Column, numPerms: Int = 64, seed: Long = 42L): Column =
@@ -699,6 +709,13 @@ object Dedup {
     * O(n²). Input: (id, fp) with fp a 64-bit long.
     * Output: (id_a, id_b, hamming). */
   def hamming64Pairs(withFp: DataFrame, maxDist: Int = 3): DataFrame = {
+    // maxDist=0 would make the single segment's mask (1L<<64)-1 == 0
+    // (JVM shifts mod 64): every row lands in ONE bucket and the join
+    // silently goes O(n²). Exact-fingerprint matching is a groupBy, not
+    // a hamming join.
+    require(maxDist >= 1 && maxDist <= 63,
+      s"maxDist must be in [1, 63], got $maxDist (for exact matches " +
+        "group by the fingerprint instead)")
     val nSeg = maxDist + 1
     val segBits = 64 / nSeg
     val segs = withFp.select(col("id"), col("fp"),

@@ -41,12 +41,14 @@ object Quantiles {
     val cum = hist
       .withColumn("cum", sum("c").over(wCum))
       .withColumn("total", sum("c").over(wAll))
-    val perP = percentiles.map { p =>
-      cum.filter(col("cum") * 100 >= col("total") * p)
-        .groupBy("g")
-        .agg(min(col("b") * width).as("est"))
-        .select(col("g"), lit(p).as("p"), col("est"))
-    }
-    perP.reduce(_.unionAll(_))
+    // ONE pass for all percentiles: explode the (tiny) histogram by the
+    // percentile list and aggregate once — a per-percentile filter
+    // branch would rebuild the scan + histogram + windows N times
+    cum.select(col("g"), col("b"), col("cum"), col("total"),
+        explode(array(percentiles.map(lit): _*)).as("p"))
+      .filter(col("cum") * 100 >= col("total") * col("p"))
+      .groupBy("g", "p")
+      .agg(min(col("b") * width).as("est"))
+      .select(col("g"), col("p"), col("est"))
   }
 }

@@ -1230,10 +1230,15 @@ object Pipeline {
     // random) and checks counts + the redacted text byte-for-byte.
     Q("t11_pii_redact",
       (s, d) => {
+        // phone digits lpad'ed to fixed width: '+15550' + 4 digits is
+        // always 10 >= the pattern's 7-digit minimum, so EVERY doc
+        // exercises the phone redaction (a bare doc_id % 10000 gives
+        // <= 6 digits for small ids — never matched, silently
+        // unexercised)
         val pii = concat(col("text"), lit(" contact: u"),
           col("doc_id").cast("string"), lit("@example.com ip 10.0.0."),
           (col("doc_id") % 250).cast("string"), lit(" tel +15550"),
-          (col("doc_id") % 10000).cast("string"))
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
         t(s, d, "documents")
           .select(col("doc_id"), TextAnalysis.redactPii(pii).as("r"))
           .select(col("doc_id"), col("r.n_emails").as("n_emails"),
@@ -1248,7 +1253,8 @@ object Pipeline {
                       text || ' contact: u' || CAST(doc_id AS VARCHAR)
                         || '@example.com ip 10.0.0.'
                         || CAST(doc_id % 250 AS VARCHAR)
-                        || ' tel +15550' || CAST(doc_id % 10000 AS VARCHAR)
+                        || ' tel +15550'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                         AS ptext
                FROM documents),
              st1 AS (

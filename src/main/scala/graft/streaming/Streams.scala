@@ -84,8 +84,9 @@ object Streams {
                           keep: Boolean = false): DataFrame = {
     require(bloomBits.length == mBits / 8,
       s"bloomBits has ${bloomBits.length} bytes; mBits=$mBits needs ${mBits / 8}")
-    val hs = graft.functions.ShingleFunctions.hashedShingles(
-      split(trim(lower(col(textCol))), "\\s+"))
+    // the ONE canonical shingle recipe — must match what built the
+    // sketch, or probes silently miss (see Dedup.shingleHashes)
+    val hs = graft.operators.Dedup.shingleHashes(col(textCol))
     val flagged = docs
       .withColumn("__hs", hs)
       .withColumn("n_shingles", size(col("__hs")).cast("long"))

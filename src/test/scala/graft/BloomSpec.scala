@@ -14,8 +14,7 @@ class BloomSpec extends TestSpark {
   private def docs = Tables(spark, sfDir, "documents")
 
   private def benchHashes = docs.filter(col("doc_id") % 29 === 0)
-    .select(explode(graft.functions.ShingleFunctions.hashedShingles(
-      split(trim(lower(col("text"))), "\\s+"))).as("h"))
+    .select(explode(Dedup.shingleHashes(col("text"))).as("h"))
 
   test("bloom sketch bytes are identical under any partitioning") {
     def bytesOf(parts: Int) = benchHashes.repartition(parts, col("h"))
@@ -32,11 +31,10 @@ class BloomSpec extends TestSpark {
     val bench = docs.filter(col("doc_id") % 29 === 0)
     // exact counterpart of the bloom semantics: # doc shingles present
     // in the UNION of benchmark shingles
-    val sh = (t: org.apache.spark.sql.Column) =>
-      graft.functions.ShingleFunctions.hashedShingles(
-        split(trim(lower(t)), "\\s+"))
-    val corpusH = docs.select(col("doc_id"), explode(sh(col("text"))).as("h"))
-    val benchH = bench.select(explode(sh(col("text"))).as("h")).distinct()
+    val corpusH = docs.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col("text"))).as("h"))
+    val benchH = bench.select(explode(Dedup.shingleHashes(col("text"))).as("h"))
+      .distinct()
     val exact = corpusH.join(benchH, "h").groupBy("doc_id")
       .agg(count(lit(1)).as("n_exact"))
     def bloomAt(mBits: Int) = Dedup.bloomContamination(

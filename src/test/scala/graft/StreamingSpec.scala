@@ -218,8 +218,7 @@ class StreamingSpec extends TestSpark {
     // build the eval-suite sketch once, in batch
     val mBits = 1 << 18
     val bits = docs.filter(col("doc_id") % 29 === 0)
-      .select(explode(graft.functions.ShingleFunctions.hashedShingles(
-        split(trim(lower(col("text"))), "\\s+"))).as("h"))
+      .select(explode(graft.operators.Dedup.shingleHashes(col("text"))).as("h"))
       .agg(graft.functions.BloomFunctions.bloomAgg(col("h"), mBits).as("b"))
       .as[Array[Byte]].head()
 
