@@ -150,4 +150,23 @@ class PlanSpec extends TestSpark {
     val between = lines.slice(projIdx + 1, scanIdx)
     assert(!between.exists(_.contains("Exchange hashpartitioning")), p)
   }
+
+  test("d10: the candidate bucket join's probe side is batch-only — " +
+       "corpus×corpus pairs are structurally impossible") {
+    // the mining join's right side filters to keys >= 2^62 (the batch
+    // offset) BEFORE the join, so the quadratically-dominant
+    // corpus-bucket self-pairs are never generated
+    val p = plan("d10_incremental_dedup")
+    assert(p.contains("4611686018427387904"), p)
+    val filterLine = p.linesIterator.find(l =>
+      l.contains("Filter") && l.contains(">= 4611686018427387904"))
+    assert(filterLine.isDefined, p)
+  }
+
+  test("q46: all percentiles come from ONE histogram pass — a single " +
+       "scan, not one branch per percentile") {
+    val p = plan("q46_histogram_quantile")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
 }
