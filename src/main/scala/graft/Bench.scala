@@ -12,14 +12,20 @@ import org.apache.spark.sql.SparkSession
   * Each query is timed `samples` times and the MEDIAN is reported:
   * this host is a VM with measured 4-20% hypervisor CPU steal
   * (vmstat `st` column), which stalls single runs by seconds at
-  * random — medians separate plan cost from host noise. Single-run
-  * totals of the same build varied 34-47s across driver rounds; the
-  * per-query medians are stable to ~±15% on quiet runs, but a
-  * SUSTAINED steal wave can still inflate every sample of a block
-  * (observed: d07 11.3s in one suite run vs a 2.8-4.5s isolated
-  * envelope minutes later) — cross-check outliers with
-  * `graft.tools.BenchOne <query> 5` before treating them as
-  * regressions.
+  * random — medians separate plan cost from host noise.
+  *
+  * Samples are INTERLEAVED round-robin across the suite (run the
+  * whole query list, then run it again), not taken back-to-back per
+  * query: a sustained steal wave lasting a minute previously owned
+  * all 3 consecutive samples of a contiguous query block and doubled
+  * their medians (BENCH_r04 reported 62.5s for an engine whose
+  * isolated per-query envelopes summed to ~31-40s). Round-robin
+  * spreads any one wave across at most one sample of many queries,
+  * where the median rejects it. The per-query MIN is reported
+  * alongside (`queries_min`/`total_min`): these plans are
+  * deterministic — same data, same plan, no caching between samples —
+  * so the min is the steal-robust estimate of true plan cost; the
+  * median shows what a typical contended run costs.
   */
 object Bench {
 
@@ -72,49 +78,57 @@ object Bench {
     }
 
     val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
-    val all = headline.map { name =>
+    // round-robin: pass 1 over every query, then pass 2, ... — a
+    // sustained steal wave hits at most one sample per query.
+    // a failed sample yields None — its time-to-failure must not feed
+    // the median (a query that starts failing fast would otherwise
+    // read as a performance improvement)
+    val outcomes =
+      collection.mutable.Map(headline.map(_ -> Vector.empty[Option[Double]]): _*)
+    for (_ <- 1 to samples; name <- headline) {
       val fn = SparkEntry.queries(name)
-      // a failed sample yields None — its time-to-failure must not feed
-      // the median (a query that starts failing fast would otherwise
-      // read as a performance improvement)
-      val outcomes = (1 to samples).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // staged operators (LSH signatures etc.) persist() intermediates;
-        // drop them so caches don't accumulate across the suite. clearCache
-        // only knows CacheManager entries — localCheckpoint blocks from the
-        // connected-components rounds (d07/d08) live in the block manager
-        // until RDD GC, so drop every persisted RDD explicitly too.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        if (ok) Some(dt) else None
-      }
-      val times = outcomes.flatten
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // staged operators (LSH signatures etc.) persist() intermediates;
+      // drop them so caches don't accumulate across the suite. clearCache
+      // only knows CacheManager entries — localCheckpoint blocks from the
+      // connected-components rounds (d07/d08) live in the block manager
+      // until RDD GC, so drop every persisted RDD explicitly too.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      outcomes(name) :+= (if (ok) Some(dt) else None)
+    }
+    val all = headline.map { name =>
+      val times = outcomes(name).flatten
       // ANY failed sample marks the query failed: an intermittently
       // erroring query must not masquerade as a healthy median
       if (times.size < samples) { name -> None }
       else {
         val med = times.sorted.apply(times.size / 2)
-        System.err.println(f"[bench] $name%-22s median $med%7.2fs  " +
+        val min = times.min
+        System.err.println(f"[bench] $name%-22s median $med%7.2fs  min $min%7.2fs  " +
           s"(${times.map(t => f"$t%.2f").mkString(", ")})")
-        name -> Some(med)
+        name -> Some((med, min))
       }
     }
     val results = all.collect { case (k, Some(v)) => k -> v }
     val failed = all.collect { case (k, None) => k }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qsMin = results.map { case (k, (_, min)) => "\"" + k + f"""\":$min%.3f""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalMin = results.map(_._2._2).sum
     val failedJson = if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"total_min":$totalMin%.3f,"queries_min":$qsMin$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftInternal}
 import org.apache.spark.sql.functions._
 import graft.functions.{BloomFunctions, BloomUtil}
 
@@ -30,25 +30,29 @@ object BloomJoin {
     * `probeKey === buildKey`, prefiltering probe rows against a Bloom
     * sketch of the build keys before the join's shuffle.
     *
-    * EAGER: one driver action aggregates the build side's sketch when
-    * this is called (the build side is the small side by contract —
-    * the bytes are mBits/8 regardless of its row count). The bytes
-    * then ride the probe filter as a LITERAL — one reference in the
-    * generated code — NOT as a column from a broadcast cross join:
+    * LAZY: the build side's sketch aggregate rides the probe filter as
+    * an uncorrelated scalar subquery ([[GraftInternal.scalarSubquery]])
+    * — no job runs when this is called; the first action on the
+    * returned plan runs the sketch aggregate as one extra (small) job
+    * and inlines the bytes as a constant in the generated probe filter
+    * (one reference — NOT a column from a broadcast cross join:
     * attaching a 128 KiB binary column to every probe row copies it
-    * into every UnsafeRow (measured: a 600k-row probe went from
-    * sub-second to 20+ s on exactly that). Spark's own runtime bloom
-    * filters inline the materialized sketch the same way. */
+    * into every UnsafeRow; measured, a 600k-row probe went from
+    * sub-second to 20+ s on exactly that). This is the same shape as
+    * Spark's own InjectRuntimeFilter, with the operator — and the
+    * sketch parameters — under the pipeline author's control, and it
+    * composes inside uncollected pipelines (BloomSpec asserts exactly
+    * one subquery job). The build side is the small side by contract;
+    * the sketch is mBits/8 bytes regardless of its row count. */
   def prefilteredJoin(probe: DataFrame, probeKey: Column,
                       build: DataFrame, buildKey: Column,
                       mBits: Int = 1 << 20, numHashes: Int = 3,
                       seed: Long = 42L): DataFrame = {
-    val bits = build
+    val bits = GraftInternal.scalarSubquery(build
       .select(keyHash(buildKey).as("__h"))
       .agg(BloomFunctions.bloomAgg(col("__h"), mBits, numHashes, seed)
-        .as("__bloom"))
-      .head().getAs[Array[Byte]](0)
-    val kept = probe.filter(BloomFunctions.bloomHitCount(lit(bits),
+        .as("__bloom")))
+    val kept = probe.filter(BloomFunctions.bloomHitCount(bits,
       array(keyHash(probeKey)), mBits, numHashes, seed) === 1L)
     kept.join(build, probeKey === buildKey)
   }

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, GraftInternal}
 import org.apache.spark.sql.functions._
 
 /** Explicit salt-based skew handling for shuffle joins.
@@ -8,12 +10,32 @@ import org.apache.spark.sql.functions._
   * AQE's skew-join split (demonstrated in SkewSpec) rebalances
   * oversized PARTITIONS after the map stage, but a single pathological
   * KEY — one user with 10^9 events joining its orders — still lands
-  * every probe row in one task's hash bucket. Salting splits the KEY
-  * itself: the big side scatters each key across `numSalts` shuffle
-  * buckets, the small-per-key side is replicated `numSalts`× so every
-  * scattered row still meets its matches, and the join result is
-  * IDENTICAL to the unsalted join (the oracle for q45 is literally the
-  * plain join) while the hot key's work spreads over `numSalts` tasks.
+  * every probe row in one task's hash bucket (and with few mappers,
+  * e.g. a compact upstream scan, AQE has no map-output ranges to split
+  * by). Salting splits the KEY itself: the big side scatters each key
+  * across `numSalts` shuffle buckets, the small-per-key side is
+  * replicated `numSalts`× so every scattered row still meets its
+  * matches, and the join result is IDENTICAL to the unsalted join (the
+  * oracle for q45 is literally the plain join) while the hot key's
+  * work spreads over `numSalts` tasks.
+  *
+  * Replication is paid ONLY for detected hot keys (`hotKeyThreshold`):
+  * one count aggregate over the left side's keys (map-side combined —
+  * tiny output) finds keys with >= threshold rows; those route through
+  * the salted join, everything else through a plain join, results
+  * unioned. The hot-key set rides the plan as a lazy scalar subquery
+  * (see [[GraftInternal.scalarSubquery]]) — no driver action at
+  * call time, so the operator composes inside uncollected pipelines.
+  * At most N/threshold keys can be hot, so the membership array stays
+  * small by construction. Blanket replication of the whole right side
+  * (`hotKeyThreshold = 0`) is the scale-killer this avoids: at 100 TB
+  * it multiplies the right side's shuffle volume `numSalts`× for keys
+  * that were never skewed.
+  *
+  * Detection keys on LEFT-side frequency (the scattered side). If the
+  * skew lives in the RIGHT side's per-key multiplicity instead, swap
+  * the sides — the left of this operator is always "the side whose
+  * rows scatter".
   *
   * The salt is derived from `saltBy` (any left-side expression — use a
   * unique id for an even spread), NOT from `rand()`: a deterministic
@@ -23,25 +45,75 @@ import org.apache.spark.sql.functions._
   * buckets than their first attempt (rows double-counted or lost,
   * corruption that only shows up at scale when retries happen).
   *
-  * Cost model: replication multiplies the small side's shuffle volume
-  * by `numSalts` — size it to the skew (hot-key rows / desired rows
-  * per task), not higher. For dims small enough to broadcast, use
-  * `broadcast()` instead; salting is for the fact-fact case where
-  * BOTH sides are too big to broadcast and one has hot keys. */
+  * Cost model: replication multiplies the hot-key slice of the right
+  * side's shuffle volume by `numSalts` — size `numSalts` to the skew
+  * (hot-key rows / desired rows per task), not higher. For dims small
+  * enough to broadcast, use `broadcast()` instead; salting is for the
+  * fact-fact case where BOTH sides are too big to broadcast and one
+  * has hot keys. */
 object SkewJoin {
 
+  /** Internal column names are uniquified per call so an input that
+    * already carries a `__salt`-like column is never silently
+    * overwritten and dropped. */
+  private val nameSeq = new AtomicLong()
+  private def fresh(tag: String): String = s"__graft_${tag}_${nameSeq.incrementAndGet()}"
+
   /** Inner-join `left` (the skewed/big side) to `right` on
-    * `leftKey === rightKey`, spreading each left key over `numSalts`
-    * shuffle buckets. Output columns = left's then right's (the
-    * internal salt columns are dropped). */
+    * `leftKey === rightKey`, spreading each hot left key over
+    * `numSalts` shuffle buckets.
+    *
+    * `hotKeyThreshold` > 0 (recommended): two-phase — keys with
+    * >= threshold left rows are salted, the rest take a plain join.
+    * `hotKeyThreshold` = 0: legacy blanket salting — every key
+    * scatters and the ENTIRE right side is replicated `numSalts`×;
+    * only sensible when the caller knows every key is hot.
+    *
+    * Output columns = left's then right's (internal salt columns are
+    * dropped). */
   def saltedJoin(left: DataFrame, leftKey: Column, saltBy: Column,
                  right: DataFrame, rightKey: Column,
-                 numSalts: Int = 16): DataFrame = {
+                 numSalts: Int = 16,
+                 hotKeyThreshold: Long = 0L): DataFrame = {
     require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
-    val l = left.withColumn("__salt_l", pmod(xxhash64(saltBy), lit(numSalts)))
-    val r = right.withColumn("__salt_r",
+    require(hotKeyThreshold >= 0L,
+      s"hotKeyThreshold must be >= 0 (0 = salt every key), got $hotKeyThreshold")
+    if (hotKeyThreshold == 0L) saltAll(left, leftKey, saltBy, right, rightKey, numSalts)
+    else {
+      val k = fresh("hotkey")
+      val c = fresh("cnt")
+      // keys with >= threshold left rows, as ONE array in ONE row —
+      // executed lazily as a scalar subquery on the plan's first action
+      val hotKeys = GraftInternal.scalarSubquery(
+        left.select(leftKey.as(k))
+          .groupBy(k).agg(count(lit(1)).as(c))
+          .filter(col(c) >= hotKeyThreshold)
+          .agg(collect_list(col(k))))
+      val lIsHot = array_contains(hotKeys, leftKey)
+      val rIsHot = array_contains(hotKeys, rightKey)
+      val hot = saltAll(
+        left.filter(lIsHot), leftKey, saltBy,
+        right.filter(rIsHot), rightKey, numSalts)
+      // NULL keys fall to the tail (array_contains yields NULL → both
+      // hot filters drop them); the inner join discards them either way
+      val tail = left.filter(not(coalesce(lIsHot, lit(false))))
+        .join(right.filter(not(coalesce(rIsHot, lit(false)))),
+          leftKey === rightKey)
+      hot.union(tail)
+    }
+  }
+
+  /** Blanket salting: every left key scatters, whole right side
+    * replicated `numSalts`×. */
+  private def saltAll(left: DataFrame, leftKey: Column, saltBy: Column,
+                      right: DataFrame, rightKey: Column,
+                      numSalts: Int): DataFrame = {
+    val saltL = fresh("salt_l")
+    val saltR = fresh("salt_r")
+    val l = left.withColumn(saltL, pmod(xxhash64(saltBy), lit(numSalts)))
+    val r = right.withColumn(saltR,
       explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
-    l.join(r, leftKey === rightKey && col("__salt_l") === col("__salt_r"))
-      .drop("__salt_l", "__salt_r")
+    l.join(r, leftKey === rightKey && col(saltL) === col(saltR))
+      .drop(saltL, saltR)
   }
 }

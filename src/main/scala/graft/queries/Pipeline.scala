@@ -43,6 +43,29 @@ object Pipeline {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b)))"
 
+  /** Deterministically skewed join inputs for q45/q48: the benchmark
+    * corpus is uniform (~66 events/user), so hot-key behavior is
+    * derived — key 1 owns ~1/3 of events and ~450 orders rows at
+    * sf0.1, making the unsalted join push ~15M rows through one task.
+    * Both engines derive the keys with the same CASE expressions. */
+  private def skewEvents(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "events").withColumn("skew_uid",
+      when(col("event_id") % 3 === 0, lit(1L)).otherwise(col("user_id")))
+  private def skewOrders(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "orders").withColumn("skew_ck",
+      when(col("o_orderkey") % 997 < 3, lit(1L)).otherwise(col("o_custkey")))
+  private val skewOracle: String =
+    s"""SELECT event_type, COUNT(*) AS cnt,
+              ${sqlSum("o_totalprice")} AS sum_price
+       FROM (SELECT CASE WHEN event_id % 3 = 0 THEN 1
+                         ELSE user_id END AS skew_uid, event_type
+             FROM events) e
+       JOIN (SELECT CASE WHEN o_orderkey % 997 < 3 THEN 1
+                         ELSE o_custkey END AS skew_ck, o_totalprice
+             FROM orders) o
+         ON skew_uid = skew_ck
+       GROUP BY event_type ORDER BY event_type"""
+
   /** DuckDB replica of LSH ANN top-k (s02). */
   private def s02Oracle(k: Int, nBits: Int, bands: Int, seed: Long): String =
     s"""WITH ${hyperBandCtes(nBits, bands, seed)},
@@ -543,21 +566,40 @@ object Pipeline {
 
     // -- explicit salted skew join -----------------------------------------
     // result is IDENTICAL to the plain join (the oracle IS the plain
-    // join) — what changes is the shuffle: each left key scatters over
-    // 8 salt buckets, so one hot key's probe rows spread over 8 tasks
-    // instead of one. Deterministic salt (hash of event_id, not
-    // rand()) keeps it retry-safe.
+    // join over the same derived keys) — what changes is the shuffle:
+    // a detected hot key's probe rows scatter over 8 salt buckets
+    // instead of one task's hash bucket, and ONLY hot keys pay the
+    // right-side replication (uniform keys take the plain-join tail).
+    // The input is DELIBERATELY skewed — the benchmark corpus is
+    // uniform, so the skew is derived deterministically: key 1 owns
+    // ~1/3 of events (event_id % 3) and ~450 orders rows
+    // (o_orderkey % 997 < 3) at sf0.1 ⇒ ~15M joined rows that an
+    // unsalted plan pushes through ONE task (q48_plain_skew is that
+    // exact plan, benched side by side). Deterministic salt (hash of
+    // event_id, not rand()) keeps it retry-safe.
     Q("q45_salted_join",
       (s, d) => SkewJoin.saltedJoin(
-          t(s, d, "events"), col("user_id"), col("event_id"),
-          t(s, d, "orders"), col("o_custkey"), numSalts = 8)
+          skewEvents(s, d), col("skew_uid"), col("event_id"),
+          skewOrders(s, d), col("skew_ck"),
+          numSalts = 8, hotKeyThreshold = 1000L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("event_type"),
-      Some(s"""SELECT event_type, COUNT(*) AS cnt,
-                      ${sqlSum("o_totalprice")} AS sum_price
-               FROM events JOIN orders ON user_id = o_custkey
-               GROUP BY event_type ORDER BY event_type""")),
+      Some(skewOracle)),
+
+    // -- unsalted baseline on the same skewed input ------------------------
+    // the comparison point that shows q45's WIN, not just its cost:
+    // same derived-skew join, no salting — the hot key's ~15M output
+    // rows ride one sort-merge task (AQE can't split it here: the
+    // events scan is one map task, so there are no map-output ranges
+    // to redistribute). Same oracle as q45 by construction.
+    Q("q48_plain_skew",
+      (s, d) => skewEvents(s, d)
+        .join(skewOrders(s, d), col("skew_uid") === col("skew_ck"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("event_type"),
+      Some(skewOracle)),
 
     // -- bloom-prefiltered join (explicit semi-join reduction) -------------
     // most lineitem rows have no high-value order partner; the probe

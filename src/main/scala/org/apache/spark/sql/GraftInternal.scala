@@ -12,6 +12,21 @@ object GraftInternal {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a 1-row / 1-column DataFrame as an uncorrelated scalar
+    * subquery expression. LAZY: nothing runs when the Column is built —
+    * the subquery executes as its own (small) job when the FIRST action
+    * on the enclosing plan runs, and its result is then inlined as a
+    * constant in the generated code (one reference — NOT a per-row
+    * copied column). Identical occurrences across the plan are
+    * deduplicated by Spark's ReuseSubquery rule. This is exactly how
+    * Spark's own InjectRuntimeFilter attaches a runtime bloom filter:
+    * the filter-building aggregate rides the plan as a ScalarSubquery.
+    * Operators whose plan SHAPE depends on a small data-derived value
+    * (BloomJoin's sketch, SkewJoin's hot-key set) use this to stay
+    * composable inside uncollected pipelines. */
+  def scalarSubquery(df: Dataset[_]): Column =
+    column(catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
+
   /** Free the block-manager storage behind a `localCheckpoint`ed
     * Dataset. `Dataset.unpersist` only knows CacheManager entries, so
     * checkpoint blocks otherwise live until the RDD is GC'd; iterative
