@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * unioned. The hot-key set rides the plan as a lazy scalar subquery
   * (see [[GraftInternal.scalarSubquery]]) — no driver action at
   * call time, so the operator composes inside uncollected pipelines.
-  * At most N/threshold keys can be hot, so the membership array stays
-  * small by construction. Blanket replication of the whole right side
+  * At most N/threshold keys can be hot — a bound that is only small
+  * when the threshold follows the sizing contract below, which
+  * `maxHotKeys` enforces. Blanket replication of the whole right side
   * (`hotKeyThreshold = 0`) is the scale-killer this avoids: at 100 TB
   * it multiplies the right side's shuffle volume `numSalts`× for keys
   * that were never skewed.
@@ -36,6 +37,22 @@ import org.apache.spark.sql.functions._
   * skew lives in the RIGHT side's per-key multiplicity instead, swap
   * the sides — the left of this operator is always "the side whose
   * rows scatter".
+  *
+  * SIZING CONTRACT — threshold vs hot-set size. The hot-key set rides
+  * the plan as ONE array probed with `array_contains`: a LINEAR scan
+  * per probe row, O(|hot set|) comparisons each. That is the right
+  * trade only while the set is small (tens to thousands). "At most
+  * N/threshold keys can be hot" bounds the set ONLY if the threshold
+  * scales with N — pick `hotKeyThreshold >= left rows / desired
+  * tasks` (i.e. at least the row count that already fills one task;
+  * smaller thresholds salt keys that were never a straggler and grow
+  * the scan). `maxHotKeys` enforces the contract at runtime: the
+  * detection subquery fails LOUDLY when the hot set exceeds it,
+  * instead of silently turning every probe row into a long array
+  * scan. At 100 TB with threshold=1000 the N/threshold bound is
+  * ~10^11 — the guard is what turns that misconfiguration into an
+  * error message naming the fix (raise the threshold) rather than a
+  * mysteriously CPU-bound probe stage.
   *
   * The salt is derived from `saltBy` (any left-side expression — use a
   * unique id for an even spread), NOT from `rand()`: a deterministic
@@ -69,26 +86,37 @@ object SkewJoin {
     * scatters and the ENTIRE right side is replicated `numSalts`×;
     * only sensible when the caller knows every key is hot.
     *
+    * `maxHotKeys` caps the detected hot-set size (see the sizing
+    * contract above); the first action fails loudly when exceeded.
+    *
     * Output columns = left's then right's (internal salt columns are
     * dropped). */
   def saltedJoin(left: DataFrame, leftKey: Column, saltBy: Column,
                  right: DataFrame, rightKey: Column,
                  numSalts: Int = 16,
-                 hotKeyThreshold: Long = 0L): DataFrame = {
+                 hotKeyThreshold: Long = 0L,
+                 maxHotKeys: Int = 10000): DataFrame = {
     require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     require(hotKeyThreshold >= 0L,
       s"hotKeyThreshold must be >= 0 (0 = salt every key), got $hotKeyThreshold")
+    require(maxHotKeys >= 1, s"maxHotKeys must be >= 1, got $maxHotKeys")
     if (hotKeyThreshold == 0L) saltAll(left, leftKey, saltBy, right, rightKey, numSalts)
     else {
-      val k = fresh("hotkey")
-      val c = fresh("cnt")
+      val ks = fresh("hotset")
       // keys with >= threshold left rows, as ONE array in ONE row —
-      // executed lazily as a scalar subquery on the plan's first action
+      // executed lazily as a scalar subquery on the plan's first
+      // action. assert_true rides INSIDE the subquery so the size cap
+      // trips on that same first action, not at call time.
       val hotKeys = GraftInternal.scalarSubquery(
-        left.select(leftKey.as(k))
-          .groupBy(k).agg(count(lit(1)).as(c))
-          .filter(col(c) >= hotKeyThreshold)
-          .agg(collect_list(col(k))))
+        hotKeySet(left, leftKey, hotKeyThreshold)
+          .agg(collect_list(col("__graft_hotkey")).as(ks))
+          .select(when(assert_true(size(col(ks)) <= maxHotKeys, concat(
+              lit("saltedJoin hot-key set has "), size(col(ks)),
+              lit(s" keys (> maxHotKeys=$maxHotKeys); each probe row scans " +
+                s"this set linearly — raise hotKeyThreshold (currently " +
+                s"$hotKeyThreshold; contract: >= left rows / desired tasks) " +
+                "or raise maxHotKeys if the scan cost is understood")))
+            .isNull, col(ks)).as(ks)))
       val lIsHot = array_contains(hotKeys, leftKey)
       val rIsHot = array_contains(hotKeys, rightKey)
       val hot = saltAll(
@@ -102,6 +130,18 @@ object SkewJoin {
       hot.union(tail)
     }
   }
+
+  /** Hot-key detection used by [[saltedJoin]]: the distinct left keys
+    * with >= `threshold` rows, one `__graft_hotkey` column. Exposed
+    * package-private so SkewSpec can pin the threshold boundary
+    * (exactly-threshold is hot, threshold-1 is not) without reverse-
+    * engineering the subquery out of a plan string. */
+  private[graft] def hotKeySet(left: DataFrame, leftKey: Column,
+                               threshold: Long): DataFrame =
+    left.select(leftKey.as("__graft_hotkey"))
+      .groupBy("__graft_hotkey").agg(count(lit(1)).as("__graft_cnt"))
+      .filter(col("__graft_cnt") >= threshold)
+      .select("__graft_hotkey")
 
   /** Blanket salting: every left key scatters, whole right side
     * replicated `numSalts`×. */
