@@ -43,7 +43,11 @@ object Bench {
     "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
     "q41_doc_embedding_join", "q42_token_pack", "q44_cms_freq",
-    "q45_salted_join", "q46_histogram_quantile", "q47_bloom_join",
+    // q45 and q48 run the SAME deliberately-skewed join — salted vs
+    // plain — so every BENCH_r*.json carries the salted-join win (or
+    // lack of it) as a measured side-by-side number
+    "q45_salted_join", "q48_plain_skew",
+    "q46_histogram_quantile", "q47_bloom_join",
     // d07 is the whole dedup pipeline — exact dedup + d03's mining +
     // label propagation (2 rounds at sf0.1: one that changes labels,
     // one that confirms the fixpoint; each a blocking job reading the

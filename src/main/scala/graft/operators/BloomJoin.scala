@@ -41,8 +41,10 @@ object BloomJoin {
     * sub-second to 20+ s on exactly that). This is the same shape as
     * Spark's own InjectRuntimeFilter, with the operator — and the
     * sketch parameters — under the pipeline author's control, and it
-    * composes inside uncollected pipelines (BloomSpec asserts exactly
-    * one subquery job). The build side is the small side by contract;
+    * composes inside uncollected pipelines (BloomSpec counts jobs with
+    * a SparkListener: zero at composition time, and exactly one sketch
+    * job — plus one hot-key job — on the first action of a
+    * BloomJoin-over-SkewJoin pipeline). The build side is the small side by contract;
     * the sketch is mBits/8 bytes regardless of its row count. */
   def prefilteredJoin(probe: DataFrame, probeKey: Column,
                       build: DataFrame, buildKey: Column,

@@ -122,6 +122,56 @@ class BloomSpec extends TestSpark {
     }
   }
 
+  test("lazy subqueries: composing BloomJoin over SkewJoin runs zero " +
+       "jobs; the first action runs exactly one sketch job and one " +
+       "hot-key job") {
+    import graft.operators.{BloomJoin, SkewJoin}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // AQE off makes the count deterministic: one action = one job,
+      // plus exactly one job per executed scalar subquery
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // range() inputs: no file-listing or schema-inference jobs
+      val left = spark.range(0, 20000)
+        .select((col("id") % 100).as("k"), col("id").as("lid"))
+        .unionAll(spark.range(0, 1000).select(lit(0L).as("k"),
+          (col("id") + 20000).as("lid")))
+      val mid = spark.range(0, 100).select(col("id").as("rk"))
+      val dim = spark.range(0, 50).select(col("id").as("bk"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(s: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // key 0 has 1200 left rows (hot at threshold 500); the other
+        // 99 keys have 200 (cold) — both branches materially populated
+        val salted = SkewJoin.saltedJoin(left, col("k"), col("lid"),
+          mid, col("rk"), numSalts = 4, hotKeyThreshold = 500L)
+        val piped = BloomJoin.prefilteredJoin(salted, col("k"),
+          dim, col("bk"))
+        Thread.sleep(300) // let any (wrongly) eager job surface
+        assert(jobs.get === 0, "composing the pipeline must run no job")
+        piped.write.format("noop").mode("overwrite").save()
+        // listener delivery is async — wait for the count to settle
+        var last = -1
+        var cur = jobs.get
+        while (cur != last) { last = cur; Thread.sleep(300); cur = jobs.get }
+        assert(cur === 3, s"expected exactly 3 jobs (main action + one " +
+          s"bloom-sketch subquery + one hot-key subquery), got $cur")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("d09 plan: corpus side is scan → project — no shuffle, no join " +
        "against exploded benchmark rows") {
     val p = SparkEntry.queries("d09_bloom_decontaminate")(spark, sfDir)
