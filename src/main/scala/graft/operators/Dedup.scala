@@ -326,7 +326,7 @@ object Dedup {
         i += 1
       }
       if (!converged)
-        throw new IllegalStateException(
+        throw new CcRoundBudgetExceeded(
           s"connectedComponents did not converge in $maxIters iterations — " +
             "a component's diameter exceeds maxIters; raise it (labels would " +
             "silently split one component into several)")
@@ -342,6 +342,36 @@ object Dedup {
     freeRdd(edges)
     Staged(labels.select(col("id"), col("lbl").as("cluster_id")), Seq(labels))
   }
+
+  /** Thrown by [[connectedComponentsStaged]] when min-label propagation
+    * exhausts its round budget (component diameter > maxIters). A
+    * TYPED subclass so [[connectedComponentsAuto]] can catch exactly
+    * this condition and re-route, without swallowing genuine failures
+    * (executor loss, OOM) that also surface as exceptions. */
+  final class CcRoundBudgetExceeded(msg: String)
+    extends IllegalStateException(msg)
+
+  /** [[connectedComponentsStaged]] with automatic strategy fallback:
+    * min-label propagation first (near-dup clusters are clique-ish —
+    * diameter 2-3, so ~3 one-job rounds win), and if the round budget
+    * is exhausted (chain-shaped duplicate families: serial edits,
+    * sliding-window shards — diameter grows with corpus size), rerun
+    * with [[connectedComponentsTwoPhase]], whose round count is
+    * O(log n) regardless of diameter. The failed propagation frees all
+    * its blocks on the way out (its catch path), so the fallback
+    * recomputes only `pairs`' lineage — cheap when pairs ride
+    * persisted signature stages, as in [[dedupCorpus]] /
+    * [[incrementalDedup]] (both route through this). The propagation
+    * budget is deliberately left at the cheap default rather than
+    * raised: 20 wasted one-job rounds cost less than mis-sizing
+    * either strategy by hand. */
+  def connectedComponentsAuto(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxLabelRounds: Int = 20,
+      maxStarRounds: Int = 30): Staged =
+    try connectedComponentsStaged(pairs, idA, idB, maxLabelRounds)
+    catch { case _: CcRoundBudgetExceeded =>
+      connectedComponentsTwoPhase(pairs, idA, idB, maxStarRounds)
+    }
 
   /** Alternating large-star / small-star connected components — the
     * O(log n)-ROUND alternative to [[connectedComponentsStaged]]'s
@@ -451,12 +481,14 @@ object Dedup {
     * signatures + CC labels) exposed for caller-owned cache cleanup,
     * like the other staged miners.
     *
-    * `twoPhaseCc` swaps the clustering step for
+    * `twoPhaseCc` FORCES the clustering step onto
     * [[connectedComponentsTwoPhase]] — same clusters (spec-proven),
-    * O(log n) rounds instead of diameter-many; near-dup clusters are
-    * clique-ish so the default label propagation is usually fewer
-    * rounds, but chain-shaped duplicate families (serial edits) favor
-    * the two-phase form. */
+    * O(log n) rounds instead of diameter-many — for callers that know
+    * their duplicate families are chain-shaped (serial edits). The
+    * default routes through [[connectedComponentsAuto]]: clique-ish
+    * clusters converge in ~3 cheap propagation rounds, and a
+    * high-diameter corpus falls back to star contraction instead of
+    * throwing. */
   def dedupCorpusStaged(df: DataFrame, id: Column, text: Column,
                   minJaccard: Double = 0.7,
                   bands: Int = 16, rowsPerBand: Int = 4,
@@ -469,7 +501,7 @@ object Dedup {
     val staged = minhashLshPairsStaged(survivors, id, text,
       bands, rowsPerBand, minJaccard, seed, maxBucketSize)
     val cc = if (twoPhaseCc) connectedComponentsTwoPhase(staged.result)
-             else connectedComponentsStaged(staged.result)
+             else connectedComponentsAuto(staged.result)
     val dupes = cc.result
       .filter(col("id") =!= col("cluster_id")) // non-representatives
       .select(col("id").as("__dup_id"))
@@ -566,7 +598,7 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
     // (4) cluster; min key = corpus doc when present, else min batch id
-    val cc = connectedComponentsStaged(pairs)
+    val cc = connectedComponentsAuto(pairs)
     val dropped = cc.result
       .filter(col("id") =!= col("cluster_id") && col("id") >= FLAG)
       .select((col("id") - FLAG).as("__drop_id"))

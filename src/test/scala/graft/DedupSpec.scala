@@ -220,6 +220,32 @@ class DedupSpec extends TestSpark {
     assert(viaStars === viaLabels)
   }
 
+  test("connectedComponentsAuto falls back to star contraction when the " +
+       "propagation budget is exhausted") {
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val st = Dedup.connectedComponentsAuto(chain, maxLabelRounds = 10)
+    val got = st.result.as[(Long, Long)].collect().toMap
+    st.cleanup()
+    assert(got.size === 51)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("dedupCorpus completes on a high-diameter chain corpus via the " +
+       "auto CC fallback") {
+    // sliding-window docs: doc i = words i..i+11, so consecutive docs
+    // share 11/12 tokens (shingle Jaccard 0.82) — a diameter-59 path
+    // of near-dups. Label propagation's default 20-round budget cannot
+    // converge on it; the pipeline must re-route to star contraction
+    // instead of throwing.
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (i until i + 12).map(w => s"w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, col("doc_id"), col("text"),
+      minJaccard = 0.6).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L), s"representative must be the min id: $kept")
+    assert(kept.size <= 3, s"chain should collapse to ~1 survivor: $kept")
+  }
+
   test("two-phase CC handles a diameter-50 chain in logarithmic rounds") {
     // a 51-node path: label propagation needs >50 rounds (throws at 10);
     // star contraction collapses it within the default budget
