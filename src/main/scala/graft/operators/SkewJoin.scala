@@ -144,13 +144,34 @@ object SkewJoin {
       .select("__graft_hotkey")
 
   /** Blanket salting: every left key scatters, whole right side
-    * replicated `numSalts`×. */
+    * replicated `numSalts`×.
+    *
+    * The explicit probe-side repartition IS the operator's effect, not
+    * an optimization: when the replicated right side is small enough
+    * to broadcast, the join otherwise runs INSIDE the probe side's
+    * upstream tasks — a single-row-group file (this repo's bench
+    * input) or any compact upstream is ONE task, and every hot output
+    * row is produced by that one task, salt or no salt (measured:
+    * q45 salted was NO faster than unsalted q48 — 10.1 s vs 8.1 s —
+    * until this exchange existed; 0.9 s after). The partition count
+    * is PINNED (repartition-by-num): the probe slice's map output is
+    * tiny, so AQE's coalescing would fold the by-column form back to
+    * one partition and re-defeat the salt; under an SMJ (both sides
+    * too big to broadcast) the same exchange satisfies the join's
+    * (key, salt) clustering requirement when the count matches
+    * spark.sql.shuffle.partitions, so nothing shuffles twice. Cost:
+    * one shuffle of the (hot-only, under hotKeyThreshold) probe
+    * slice — bytes proportional to the hot input, not the join
+    * output. */
   private def saltAll(left: DataFrame, leftKey: Column, saltBy: Column,
                       right: DataFrame, rightKey: Column,
                       numSalts: Int): DataFrame = {
     val saltL = fresh("salt_l")
     val saltR = fresh("salt_r")
+    val parts = math.max(numSalts,
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val l = left.withColumn(saltL, pmod(xxhash64(saltBy), lit(numSalts)))
+      .repartition(parts, leftKey, col(saltL))
     val r = right.withColumn(saltR,
       explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
     l.join(r, leftKey === rightKey && col(saltL) === col(saltR))

@@ -219,10 +219,13 @@ object Pipeline {
 
   /** DuckDB replica of the image-dHash near-dup pipeline (m05) on the
     * STUB grid path: the payloads are `encode(text)` and the corpus is
-    * pure ASCII (asserted at build time: length == octet_length for
-    * every doc), so byte i of the payload IS code point i of the text —
-    * the 72-sample stride grid, the 64 neighbour-comparison bits and
-    * the pigeonhole hamming join all reproduce exactly. */
+    * pure ASCII — ASSERTED INSIDE the oracle's `base` CTE (length ==
+    * octet_length for every doc, else `error(...)`), so a corpus that
+    * ever grows multi-byte text fails the gate loudly instead of
+    * hash-mismatching mysteriously. Under that invariant byte i of the
+    * payload IS code point i of the text — the 72-sample stride grid,
+    * the 64 neighbour-comparison bits and the pigeonhole hamming join
+    * all reproduce exactly. */
   private def m05Oracle(maxDist: Int): String = {
     val nSeg = maxDist + 1
     val segBits = 64 / nSeg
@@ -234,7 +237,11 @@ object Pipeline {
       s"SELECT id, fp, $sg AS seg, (fp >> ${sg * segBits}) & ${(1L << segBits) - 1} AS skey FROM sims"
     }.mkString("\n               UNION ALL ")
     s"""WITH base AS (
-            SELECT doc_id, text, length(text) AS len FROM documents),
+            SELECT doc_id, text, length(text) AS len FROM documents
+            WHERE CASE WHEN length(text) = octet_length(encode(text))
+                       THEN true
+                       ELSE error('m05 oracle requires a pure-ASCII corpus: doc '
+                                  || doc_id || ' has multi-byte text') END),
           g AS (
             SELECT doc_id,
                    CASE WHEN len = 0
@@ -575,13 +582,15 @@ object Pipeline {
     // ~1/3 of events (event_id % 3) and ~450 orders rows
     // (o_orderkey % 997 < 3) at sf0.1 ⇒ ~15M joined rows that an
     // unsalted plan pushes through ONE task (q48_plain_skew is that
-    // exact plan, benched side by side). Deterministic salt (hash of
-    // event_id, not rand()) keeps it retry-safe.
+    // exact plan, benched side by side; the orders side broadcasts, so
+    // without SkewJoin's explicit probe-side exchange the whole join
+    // runs inside the single-row-group events scan task). Deterministic
+    // salt (hash of event_id, not rand()) keeps it retry-safe.
     Q("q45_salted_join",
       (s, d) => SkewJoin.saltedJoin(
           skewEvents(s, d), col("skew_uid"), col("event_id"),
           skewOrders(s, d), col("skew_ck"),
-          numSalts = 8, hotKeyThreshold = 1000L)
+          numSalts = 32, hotKeyThreshold = 1000L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("event_type"),
@@ -1444,6 +1453,30 @@ object Pipeline {
                      COUNT(*) AS n_events
               FROM g GROUP BY user_id, sid
               ORDER BY user_id, s_start""")),
+
+    // -- batch faces of the streaming aggs (st01 / st05) -------------------
+    // the SAME Streams functions the streaming specs drive, applied to
+    // a batch frame (watermark is a no-op in batch) — so the one
+    // computation each streaming operator performs is DuckDB-gated
+    // here, and StreamsSpec separately proves streamed == batch.
+    // window(ts, '1 hour').start is epoch-aligned = date_trunc('hour').
+    Q("st01_stream_agg",
+      (s, d) => graft.streaming.Streams.windowedAgg(t(s, d, "events"))
+        .orderBy("bucket", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
+                      COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
+               FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+
+    Q("st05_stream_enrich",
+      (s, d) => graft.streaming.Streams.enrichedWindowAgg(
+          t(s, d, "events"), t(s, d, "customer"),
+          col("c_custkey"), col("c_mktsegment"))
+        .orderBy("bucket", "dim_val"),
+      Some(s"""SELECT date_trunc('hour', ts) AS bucket,
+                      c_mktsegment AS dim_val,
+                      COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
+               FROM events JOIN customer ON user_id = c_custkey
+               GROUP BY 1, 2 ORDER BY bucket, dim_val""")),
 
     // -- multimodal --------------------------------------------------------
     Q("m01_binary_meta",
