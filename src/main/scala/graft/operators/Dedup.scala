@@ -526,9 +526,11 @@ object Dedup {
     * only its own signatures and joins against it.
     *
     * Corpus precedence is encoded in the CC key space: corpus ids keep
-    * their value, batch ids get 2^62 added (ids must be in [0, 2^62)),
-    * so a cluster's min-key representative is always a corpus doc when
-    * one is present. Returns the surviving batch rows (original batch
+    * their value, batch ids get 2^62 added — ids must be non-null and
+    * in [0, 2^62), VALIDATED in-plan (the first action fails loudly on
+    * a violating id rather than silently flipping precedence) — so a
+    * cluster's min-key representative is always a corpus doc when one
+    * is present. Returns the surviving batch rows (original batch
     * schema). */
   def incrementalDedup(corpus: DataFrame, corpusId: Column,
       corpusText: Column, batch: DataFrame, batchId: Column,
@@ -546,6 +548,15 @@ object Dedup {
       rowsPerBand: Int = 4, seed: Long = 42L,
       maxBucketSize: Option[Long] = None): Staged = {
     val FLAG = 1L << 62
+    // corpus precedence rides on ids staying below the batch FLAG —
+    // an id outside [0, 2^62) (or NULL) would silently flip precedence
+    // or collide key spaces, so validate IN the plan, loudly, like the
+    // Bloom/CMS probe-side validation
+    def checkedId(id: Column, side: String): Column =
+      when(assert_true(id.isNotNull && id >= 0L && id < FLAG, concat(
+        lit(s"incrementalDedup $side ids must be non-null and in " +
+          "[0, 2^62) so corpus-precedence flagging cannot collide: got "),
+        coalesce(id.cast("string"), lit("NULL")))).isNull, id)
     // (1) batch-exact dedup, then drop batch docs whose content already
     // exists in the corpus (one hash semi-join, no text comparison)
     val b1 = exact(batch, md5(batchText), batchId)
@@ -553,9 +564,11 @@ object Dedup {
     val b2 = b1.join(corpusHashes, md5(batchText) === col("__ch"), "left_anti")
       .persist() // read by the signature stage AND the final anti-join
     // (2) signatures over corpus + surviving batch in one keyed space
-    val keyed = corpus.select(corpusId.cast("long").as("kid"),
+    val keyed = corpus.select(
+        checkedId(corpusId.cast("long"), "corpus").as("kid"),
         corpusText.as("ktext"))
-      .unionAll(b2.select((batchId.cast("long") + FLAG).as("kid"),
+      .unionAll(b2.select(
+        (checkedId(batchId.cast("long"), "batch") + FLAG).as("kid"),
         batchText.as("ktext")))
     val sigs = keyed
       .select(col("kid").as("id"), hashedShingles(col("ktext")).as("h"))

@@ -25,6 +25,15 @@ final case class SessionFrags(frags: Seq[SessionState])
   */
 object Streams {
 
+  /** Decimal-accumulated double sum — same recipe as the batch
+    * queries' `dsum`: DECIMAL(27,4) accumulation is COMMUTATIVE AND
+    * EXACT, so the result is bit-identical under any partitioning,
+    * microbatch split, or engine (the DuckDB oracle spells the same
+    * cast) — where a plain double sum varies in the last ulp with
+    * reduction order. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 4))).cast("double")
+
   /** Tumbling-window count+sum per event_type with a watermark —
     * late data beyond 10 minutes is dropped, bounding state. */
   def windowedAgg(events: DataFrame,
@@ -32,7 +41,7 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), windowimdur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("bucket"), col("event_type"),
         col("cnt"), col("sum_value"))
 
@@ -59,7 +68,7 @@ object Streams {
       .join(broadcast(dim.select(dimKey.as(streamKey), dimVal.as("dim_val"))),
         streamKey)
       .groupBy(window(col(tsCol), winDur).as("w"), col("dim_val"))
-      .agg(count(lit(1)).as("cnt"), sum(valCol).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"), dsum(col(valCol)).as("sum_value"))
       .select(col("w.start").as("bucket"), col("dim_val"),
         col("cnt"), col("sum_value"))
 

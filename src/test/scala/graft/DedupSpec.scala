@@ -246,6 +246,20 @@ class DedupSpec extends TestSpark {
     assert(kept.size <= 3, s"chain should collapse to ~1 survivor: $kept")
   }
 
+  test("incrementalDedup rejects ids outside [0, 2^62) loudly") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val badBatch = Seq((-5L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.incrementalDedup(corpus, col("doc_id"), col("text"),
+        badBatch, col("doc_id"), col("text")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("2^62")), e)
+  }
+
   test("two-phase CC handles a diameter-50 chain in logarithmic rounds") {
     // a 51-node path: label propagation needs >50 rounds (throws at 10);
     // star contraction collapses it within the default budget
