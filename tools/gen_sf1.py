@@ -90,7 +90,17 @@ def main():
     }
     for name, q in tables.items():
         dst = os.path.join(out, f"{name}.parquet")
-        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+        # Spark parallelizes a parquet scan at ROW-GROUP granularity
+        # (DuckDB splits within a group, so it is indifferent). With the
+        # default ~122k-row groups the small tables (documents 50k,
+        # embeddings 20k) come out as ONE group → every Spark scan of
+        # them is ONE task, serializing the CPU-heavy text/vector ops —
+        # exactly the sf0.1 pathology this generator exists to remove.
+        # Size groups for >= ~48 per table (floor 1024 rows so tiny dims
+        # stay one group), mirroring real multi-block data layout.
+        rows = con.sql(f"SELECT count(*) FROM ({q})").fetchone()[0]
+        rg = max(1024, rows // 48)
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         rgs = con.sql(
             "SELECT count(DISTINCT row_group_id) FROM parquet_metadata(?)",
