@@ -25,6 +25,19 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    // Scan-split floor: maxSplitBytes = min(maxPartitionBytes,
+    // max(openCostInBytes, totalBytes/defaultParallelism)). The 4 MiB
+    // openCost default means a COMPACT input (a few MB of parquet) can
+    // never split below 4 MiB chunks, so a CPU-heavy stage over it
+    // (regex redaction, hashing, vector math) inherits 1-2 tasks no
+    // matter how many row groups the file has — measured 7x on sf1
+    // t11_pii_redact (7.5s -> 1.1s). 128 KiB keeps compact inputs
+    // splittable to row-group granularity; at cluster scale
+    // totalBytes/parallelism >> maxPartitionBytes, so splits stay
+    // 128 MiB and the only effect is denser packing of pathological
+    // many-tiny-file layouts (acceptable: this engine's sources write
+    // >=row-group-sized files).
+    .config("spark.sql.files.openCostInBytes", (128L * 1024).toString)
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     .config("spark.ui.enabled", "false")

@@ -48,16 +48,35 @@ def main():
             print(f"[baseline] {name:22s} SKIP (no oracle)", file=sys.stderr)
             continue
         times = []
+        failed = None
         for _ in range(samples):
             t0 = time.perf_counter()
-            con.sql(oracle[name]).fetchall()  # materialize fully
+            try:
+                con.sql(oracle[name]).fetchall()  # materialize fully
+            except Exception as e:
+                # an OOM/abort poisons the connection state for some
+                # errors — reopen so one blown query can't sink the suite
+                failed = f"{type(e).__name__}: {e}"
+                print(f"[baseline] {name:22s} FAILED {failed}",
+                      file=sys.stderr)
+                con = duckdb.connect()
+                for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+                    t = os.path.basename(p)[: -len(".parquet")]
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                break
             times.append(time.perf_counter() - t0)
+        if failed is not None:
+            per_query[name] = None
+            continue
         med = sorted(times)[len(times) // 2]
         per_query[name] = round(med, 3)
         joined = ", ".join(f"{t:.2f}" for t in times)
         print(f"[baseline] {name:22s} median {med:7.2f}s  ({joined})",
               file=sys.stderr)
-    total = round(sum(per_query.values()), 3)
+    # failed queries (None) stay in the map so the artifact records the
+    # failure, but only completed queries feed the total
+    total = round(sum(v for v in per_query.values() if v is not None), 3)
     print(json.dumps({"metric": "duckdb_baseline_total", "value": total,
                       "unit": "sec", "queries": per_query, "sf": sf_dir}))
 
