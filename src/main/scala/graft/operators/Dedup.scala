@@ -774,7 +774,11 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         popcnt(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .distinct()
+      // verify-then-distinct (SURVEY §4): popcount is row-local-cheap and
+      // already computed pre-exchange, so filtering BEFORE the pair-dedup
+      // shuffles only survivors instead of every candidate the segment
+      // join emits — same rule d05 measured at 3× (sf1).
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

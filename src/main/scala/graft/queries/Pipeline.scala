@@ -274,7 +274,8 @@ object Pipeline {
     * here as literals. Banding joins on the raw signature-band string
     * (Spark joins on xxhash64 of it — identical equality classes).
     * Ends with `verified(id_a, id_b, inter, jaccard)`. */
-  private def minhashCtes(src: String, bands: Int, rpb: Int, seed: Long): String = {
+  private def minhashCtes(src: String, bands: Int, rpb: Int, seed: Long,
+                          maxBucketSize: Option[Long] = None): String = {
     val n = bands * rpb
     val (as, bs) = graft.functions.MinHashSignature.perms(n, seed)
     val P = 2147483647L
@@ -305,10 +306,21 @@ object Pipeline {
           sigs AS (SELECT id,
                  $sigCols
             FROM hsets WHERE len(hs) > 0),
-          bnd AS ($bandSel),
+          bnd AS ($bandSel),${maxBucketSize.fold("") { cap =>
+            // mirror of Dedup.minhashLshPairsStaged's mega-bucket cap:
+            // buckets holding > cap docs are dropped whole; members
+            // still pair via their other (more selective) bands
+            s"""
+          bnd_capped AS (
+            SELECT id, band, bkey FROM (
+              SELECT id, band, bkey,
+                     COUNT(*) OVER (PARTITION BY band, bkey) AS __n
+              FROM bnd)
+            WHERE __n <= $cap),"""}}
           cands AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM bnd a JOIN bnd b
+            FROM ${maxBucketSize.fold("bnd")(_ => "bnd_capped")} a
+            JOIN ${maxBucketSize.fold("bnd")(_ => "bnd_capped")} b
               ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
           verified AS (
             SELECT id_a, id_b,
@@ -321,8 +333,9 @@ object Pipeline {
             JOIN hsets hb ON hb.id = id_b)"""
   }
 
-  private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String =
-    s"""WITH ${minhashCtes("documents", bands, rpb, seed)}
+  private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long,
+                        maxBucketSize: Option[Long] = None): String =
+    s"""WITH ${minhashCtes("documents", bands, rpb, seed, maxBucketSize)}
         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
                round(jaccard, 4) AS jaccard
         FROM verified WHERE jaccard >= $minJ
@@ -594,9 +607,10 @@ object Pipeline {
     // keys on map-output BYTES (hot partition ~100 MB < the 256 MB
     // threshold) and is blind to join AMPLIFICATION — the hot key
     // fans out ~450×, so the modest-input partition explodes into
-    // ~1.5B output rows inside one reducer. Measured at sf1 (3
-    // samples, AQE skew-join enabled): q48 plain SMJ 677s median vs
-    // q45 salted 82s — 8.3×. SkewJoin detects hot keys by probe ROW
+    // ~1.5B output rows inside one reducer. Measured at sf1
+    // (BENCH_sf1.json queries_min, 3 interleaved samples, AQE
+    // skew-join enabled): q48 plain SMJ 694.6s vs q45 salted 72.4s —
+    // 9.6×. SkewJoin detects hot keys by probe ROW
     // COUNT, which sees exactly the skew AQE misses. Deterministic
     // salt (hash of event_id, not rand()) keeps it retry-safe.
     Q("q45_salted_join",
@@ -923,6 +937,57 @@ object Pipeline {
         .orderBy("id_a", "id_b"),
       Some(d05Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L))),
 
+    // -- quadratic-guard caps under oracle (SURVEY §2.D hardening) ---------
+    // The two configs SURVEY calls MANDATORY at 100 TB — mega-bucket
+    // and document-frequency caps bound per-key join fan-out so one
+    // boilerplate bucket/shingle can't go O(k²) — run here with the
+    // caps ACTIVE and the DuckDB oracle reproducing the recall effect
+    // (at sf0.1 the corpus has LSH buckets of 3-4 docs and shingles in
+    // up to 25 docs, so both caps demonstrably fire).
+    Q("d11_lsh_bucket_cap",
+      (s, d) => Dedup.minhashLshPairs(
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          bands = 16, rowsPerBand = 4, minJaccard = 0.6,
+          maxBucketSize = Some(2L))
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b"),
+      Some(d03Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L,
+        maxBucketSize = Some(2L)))),
+
+    Q("d12_docfreq_cap",
+      (s, d) => Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), col("doc_id"), col("text"), 0.6,
+          maxDocFreq = Some(10L))
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b"),
+      // d02's oracle with the doc-frequency cap applied where the
+      // operator applies it: AFTER token dedup, BEFORE sizes — so
+      // size_a/size_b (and thus jaccard) reflect the capped token sets
+      Some(s"""WITH toks0 AS (
+                 SELECT DISTINCT id, tok FROM (
+                   SELECT doc_id AS id,
+                          unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                   FROM (SELECT doc_id, $tok AS tk FROM documents))
+                 WHERE tok <> ''),
+               toks AS (
+                 SELECT id, tok FROM (
+                   SELECT id, tok, COUNT(*) OVER (PARTITION BY tok) AS df
+                   FROM toks0)
+                 WHERE df <= 10),
+               sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+               pairs AS (
+                 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                 FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+                 GROUP BY 1, 2)
+               SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+                      round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+               FROM pairs
+               JOIN sizes sa ON id_a = sa.id
+               JOIN sizes sb ON id_b = sb.id
+               WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6
+               ORDER BY id_a, id_b""")),
+
     // -- similarity search -------------------------------------------------
     Q("s01_cosine_topk",
       (s, d) => {
@@ -1146,8 +1211,18 @@ object Pipeline {
           .select(col("doc_id"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
           .filter(col("term") =!= "")
+        // tf's output IS the distinct (doc_id, term) set, so document
+        // frequency is a reaggregation of tf — deriving it from `terms`
+        // again would re-run the tokenizer explode AND pay a second
+        // full-width (doc_id, term) exchange for the distinct. persist()
+        // is required for the sharing to survive Catalyst: column
+        // pruning strips the unused `tf` count from dfreq's branch,
+        // making the two aggregate subtrees non-identical so
+        // ReuseExchange can never fire (the 100 TB equivalent is
+        // staging term frequencies to a parquet table).
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+          .persist()
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
@@ -1492,6 +1567,41 @@ object Pipeline {
                       COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
                FROM events JOIN customer ON user_id = c_custkey
                GROUP BY 1, 2 ORDER BY bucket, dim_val""")),
+
+    // -- batch face of streaming dedup (st03) ------------------------------
+    // dropDuplicatesWithinWatermark's deterministic model: per
+    // (user_id, event_type), keep the first event and every later one
+    // >= previous kept anchor + 1 hour (state expires at firstTs +
+    // delay; duplicates do not extend it). The oracle walks the same
+    // anchor chain with a recursive CTE: the seed is each key's
+    // earliest event, each step the earliest event past the current
+    // anchor's expiry (NOT EXISTS = argmin without aggregates, which
+    // DuckDB forbids in the recursive term).
+    Q("st03_stream_dedup",
+      (s, d) => graft.streaming.Streams.dedupAnchorChain(
+          t(s, d, "events"), delayMs = 3600 * 1000L)
+        .orderBy("event_id"),
+      Some("""WITH RECURSIVE e AS (
+                SELECT user_id, event_type, date_trunc('second', ts) AS t,
+                       event_id
+                FROM events),
+              r AS (
+                SELECT a.user_id, a.event_type, a.t, a.event_id
+                FROM e a
+                WHERE NOT EXISTS (SELECT 1 FROM e b
+                  WHERE b.user_id = a.user_id AND b.event_type = a.event_type
+                    AND (b.t < a.t OR (b.t = a.t AND b.event_id < a.event_id)))
+                UNION
+                SELECT c.user_id, c.event_type, c.t, c.event_id
+                FROM r JOIN e c ON c.user_id = r.user_id
+                  AND c.event_type = r.event_type
+                  AND c.t >= r.t + INTERVAL 1 HOUR
+                WHERE NOT EXISTS (SELECT 1 FROM e b
+                  WHERE b.user_id = c.user_id AND b.event_type = c.event_type
+                    AND b.t >= r.t + INTERVAL 1 HOUR
+                    AND (b.t < c.t OR (b.t = c.t AND b.event_id < c.event_id))))
+              SELECT event_id, t, user_id, event_type FROM r
+              ORDER BY event_id""")),
 
     // -- multimodal --------------------------------------------------------
     Q("m01_binary_meta",

@@ -121,6 +121,45 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** One (key, event) row of [[dedupAnchorChain]]'s input. */
+  final case class KeyedEvent(event_id: Long, t: Timestamp, user_id: Long,
+                              event_type: String)
+
+  /** Deterministic batch face of [[dedupStream]]'s state semantics on
+    * key (user_id, event_type): `dropDuplicatesWithinWatermark` keeps
+    * the first event per key and holds its state until the watermark
+    * passes firstTs + delay, so with in-order arrival the kept set is
+    * the greedy ANCHOR CHAIN — keep e iff e.t >= previous kept anchor's
+    * t + delay (a duplicate does NOT extend the anchor's expiry).
+    * Batch `dropDuplicates` can't stand in for this: it keeps an
+    * arbitrary partition-order-dependent row, which no oracle can
+    * reproduce. Timestamps are truncated to seconds so the chain is
+    * cross-engine comparable (same convention as q33).
+    *
+    * Scale shape: one shuffle on the key, then `flatMapSortedGroups`
+    * streams each group's iterator in (t, event_id) order — the fold
+    * carries ONE long of state, never materializing a group in memory
+    * (Spark sorts spill-ably within partitions). StreamingSpec proves
+    * multi-batch [[dedupStream]] == this face when the watermark is
+    * driven past an anchor's expiry. */
+  def dedupAnchorChain(events: DataFrame, delayMs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), date_trunc("second", col("ts")).as("t"),
+        col("user_id"), col("event_type"))
+      .as[KeyedEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapSortedGroups(col("t"), col("event_id")) { (_, it) =>
+        var expiry = Long.MinValue
+        it.filter { e =>
+          val t = e.t.getTime
+          if (t >= expiry) { expiry = t + delayMs; true } else false
+        }
+      }
+      .toDF()
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Int,

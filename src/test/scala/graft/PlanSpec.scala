@@ -118,6 +118,15 @@ class PlanSpec extends TestSpark {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("t08: tf and df share ONE tokenizer pass — dfreq reaggregates the " +
+       "persisted tf stage instead of re-exploding the corpus") {
+    val p = plan("t08_tfidf")
+    // both consumers must read the cached tf relation; without the
+    // persist, column pruning strips `tf` from dfreq's branch and the
+    // explode + (doc_id, term) exchange run twice
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q36: interval pairing is an equi-join on the key, never a " +
        "BroadcastNestedLoopJoin over time") {
     val p = plan("q36_interval_pairs")
@@ -179,6 +188,30 @@ class PlanSpec extends TestSpark {
     val filterLine = p.linesIterator.find(l =>
       l.contains("Filter") && l.contains(">= 4611686018427387904"))
     assert(filterLine.isDefined, p)
+  }
+
+  test("d04/m05: hamming verify runs BELOW the pair-dedup exchange — " +
+       "only surviving pairs are shuffled") {
+    // verify-then-distinct (SURVEY §4): popcount is row-local-cheap, so
+    // the hamming <= maxDist check must sit under the distinct's
+    // Exchange (Catalyst folds it into the segment join condition),
+    // shrinking the dedup shuffle to survivors only
+    for (q <- Seq("d04_simhash", "m05_image_phash")) {
+      val lines = plan(q).linesIterator.toVector
+      val ex = lines.indexWhere(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("hamming"))
+      assert(ex >= 0, s"$q: no dedup exchange over hamming pairs\n" +
+        lines.mkString("\n"))
+      val verify = lines.indexWhere(l =>
+        l.contains("bit_count") && l.contains("<="), ex)
+      assert(verify > ex,
+        s"$q: hamming verify must run below the dedup exchange\n" +
+          lines.mkString("\n"))
+      assert(!lines.take(ex).exists(l =>
+        l.contains("bit_count") && l.contains("<=")),
+        s"$q: hamming predicate found ABOVE the dedup exchange\n" +
+          lines.mkString("\n"))
+    }
   }
 
   test("q46: all percentiles come from ONE histogram pass — a single " +

@@ -77,6 +77,41 @@ class StreamingSpec extends TestSpark {
     assert(spark.table("dedupst").count() === events.count())
   }
 
+  test("st03: multi-batch dropDuplicatesWithinWatermark == deterministic " +
+       "anchor-chain batch face once the watermark passes an anchor's expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    // delay 10m. u1's anchor at t0 expires at t10; the batch-1 sentinel
+    // pushes the watermark to t20 > t10, so u1's state is EVICTED and
+    // t21 starts a new anchor — the exact semantics dedupAnchorChain
+    // models (a kept anchor's expiry is firstTs + delay, duplicates do
+    // not extend it).
+    val evs = Seq(
+      Streams.Event(1, ts(0), 1, "view", 0),
+      Streams.Event(2, ts(5), 1, "view", 0),  // within 10m of anchor 1 → drop
+      Streams.Event(3, ts(0), 2, "view", 0),
+      Streams.Event(4, ts(21), 1, "view", 0), // past expiry → NEW anchor
+      Streams.Event(5, ts(25), 1, "view", 0)) // within 10m of anchor 4 → drop
+    val sentinel = Seq(Streams.Event(100, ts(30), 999, "w", 0)) // wm := t20
+    val ms = MemoryStream[Streams.Event](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.Event](),
+      spark.sqlContext)
+    val q = Streams.dedupStream(ms.toDS().toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_face")
+      .outputMode("append").start()
+    Seq(evs.take(3) ++ sentinel, evs.drop(3)).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("dedup_face").as[Streams.Event].collect()
+      .filter(_.user_id != 999).map(_.event_id).sorted.toSeq
+    val face = Streams.dedupAnchorChain(evs.toDS().toDF(),
+        delayMs = 10 * 60 * 1000L)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(streamed === Seq(1L, 3L, 4L))
+    assert(face === streamed)
+  }
+
   test("sessionize groups events by inactivity gap") {
     def ts(m: Long) = new java.sql.Timestamp(m * 60000)
     val events = Seq(

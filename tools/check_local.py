@@ -1,10 +1,14 @@
 #!/usr/bin/env python3
 """Dev-only local mirror of the driver's correctness gate.
 
-Usage: tools/check_local.py <verify_out_dir> <sf_dir>
+Usage: tools/check_local.py <verify_out_dir> <sf_dir> [json_out]
 Reads each <out>/<name>/ parquet (Spark result) and oracle_sql.json,
 runs the oracle in DuckDB over <sf_dir>/*.parquet views, compares
 schema-insensitively (columns sorted by name) and value-exactly.
+With [json_out], also writes a driver-format CORRECTNESS json
+(per-query rows/schema/hash match). DUCKDB_MEM_LIMIT (e.g. '100GB')
+bounds the oracle engine so a blow-up (d10's recursive CTE at sf1)
+raises a clean per-query error instead of OOM-killing the box.
 Not part of the shipped library.
 """
 import sys, os, json, glob
@@ -19,12 +23,17 @@ def canon(rows, cols):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    mem = os.environ.get("DUCKDB_MEM_LIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    report = {}
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
@@ -33,6 +42,9 @@ def main():
         scols, srows = canon(spark_rel.fetchall(), spark_rel.columns)
         if name not in oracle:
             print(f"  [rows-only] {name}: {len(srows)} rows")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         try:
             orel = con.sql(oracle[name])
@@ -45,11 +57,24 @@ def main():
             if wide:
                 print(f"FAIL {name}: oracle columns need BIGINT/DOUBLE casts: {wide}")
                 n_fail += 1
+                report[name] = {"rows_match": None, "schema_match": False,
+                                "hash_match": None, "spark_rows": len(srows),
+                                "oracle_rows": len(orows),
+                                "err": f"wide oracle types: {wide}"}
                 continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None,
+                            "err": f"oracle error: {type(e).__name__}: {e}"}
             continue
+        report[name] = {"rows_match": len(srows) == len(orows),
+                        "schema_match": scols == ocols,
+                        "hash_match": srows == orows,
+                        "spark_rows": len(srows),
+                        "oracle_rows": len(orows), "err": None}
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1
@@ -63,6 +88,10 @@ def main():
         else:
             n_pass += 1
             print(f"  ok {name} ({len(srows)} rows)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out}")
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -96,10 +96,12 @@ def main():
         # embeddings 20k) come out as ONE group → every Spark scan of
         # them is ONE task, serializing the CPU-heavy text/vector ops —
         # exactly the sf0.1 pathology this generator exists to remove.
-        # Size groups for >= ~48 per table (floor 1024 rows so tiny dims
-        # stay one group), mirroring real multi-block data layout.
+        # Size groups for >= ~48 per table (floor 2048 rows so tiny dims
+        # stay one group — DuckDB rounds ROW_GROUP_SIZE up to vector-size
+        # (2048) multiples, so any floor below 2048 silently behaves as
+        # 2048 anyway), mirroring real multi-block data layout.
         rows = con.sql(f"SELECT count(*) FROM ({q})").fetchone()[0]
-        rg = max(1024, rows // 48)
+        rg = max(2048, rows // 48)
         con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE {rg})")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
         rgs = con.sql(
