@@ -22,10 +22,14 @@ object Relational {
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_quantity") > 45)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // The synthetic lineitem has duplicate (l_orderkey, l_linenumber)
+        // keys, so the sort must cover every output column to be total —
+        // otherwise a multi-split layout (sf1) orders ties differently
+        // than the single-threaded oracle.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
               FROM lineitem WHERE l_quantity > 45
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
 
     Q("q02_filter_pred",
       (s, d) => t(s, d, "lineitem")
@@ -36,7 +40,9 @@ object Relational {
                 col("l_returnflag").isin("A", "R"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * col("l_discount"), 4).as("disc_rev"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // Total sort over all output columns — see q01's note on the
+        // duplicate (l_orderkey, l_linenumber) keys.
+        .orderBy("l_orderkey", "l_linenumber", "disc_rev"),
       Some("""SELECT l_orderkey, l_linenumber,
                      round(l_extendedprice * l_discount, 4) AS disc_rev
               FROM lineitem
@@ -44,7 +50,7 @@ object Relational {
                 AND l_shipdate <  TIMESTAMP '1999-01-01'
                 AND l_discount BETWEEN 0.05 AND 0.07
                 AND l_quantity < 24 AND l_returnflag IN ('A','R')
-              ORDER BY l_orderkey, l_linenumber""")),
+              ORDER BY l_orderkey, l_linenumber, disc_rev""")),
 
     // -- aggregation -------------------------------------------------------
     Q("q03_agg_groupby",

@@ -25,9 +25,16 @@ package object queries {
   val D4: DecimalType = DecimalType(27, 4)
   def dsum(c: Column): Column = sum(c.cast(D4)).cast(DoubleType)
   def davg(c: Column): Column = sum(c.cast(D4)).cast(DoubleType) / count(lit(1))
-  /** Oracle-side spelling of [[dsum]]/[[davg]]. */
+  /** Oracle-side spelling of [[dsum]]/[[davg]].
+    *
+    * The decimal->double hop goes through VARCHAR because DuckDB's direct
+    * `CAST(DECIMAL AS DOUBLE)` double-rounds (hugeint->double, then the
+    * scale divide) and lands 1 ULP off Spark's correctly-rounded
+    * `BigDecimal.doubleValue` once sums reach ~2^46 (measured at sf1 on
+    * the ~1.5B-row skew pair: 76077186492215.75 vs .73). Parsing the
+    * exact digit string rounds once, matching Spark bit-for-bit. */
   def sqlSum(x: String): String =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(27,4))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)"
   def sqlAvg(x: String): String = s"${sqlSum(x)} / COUNT(*)"
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -7,8 +7,10 @@ runs the oracle in DuckDB over <sf_dir>/*.parquet views, compares
 schema-insensitively (columns sorted by name) and value-exactly.
 With [json_out], also writes a driver-format CORRECTNESS json
 (per-query rows/schema/hash match). DUCKDB_MEM_LIMIT (e.g. '100GB')
-bounds the oracle engine so a blow-up (d10's recursive CTE at sf1)
-raises a clean per-query error instead of OOM-killing the box.
+bounds the oracle engine; DUCKDB_SKIP (comma-separated query names)
+records an explicit skip for oracles known not to complete on this
+box (d10's recursive CTE at sf1 spills unboundedly under a memory
+cap and OOMs a 128 GB box without one — measured round 7).
 Not part of the shipped library.
 """
 import sys, os, json, glob
@@ -32,6 +34,7 @@ def main():
         name = os.path.basename(p)[:-len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    skip = set(filter(None, os.environ.get("DUCKDB_SKIP", "").split(",")))
     n_pass = n_fail = 0
     report = {}
     for name in sorted(os.listdir(out_dir)):
@@ -40,8 +43,17 @@ def main():
             continue
         spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
         scols, srows = canon(spark_rel.fetchall(), spark_rel.columns)
+        if name in skip:
+            print(f"  [skipped] {name}: oracle skipped via DUCKDB_SKIP "
+                  f"({len(srows)} spark rows)", flush=True)
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None,
+                            "err": "oracle_skipped: known not to complete "
+                                   "on this box at this SF"}
+            continue
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(srows)} rows")
+            print(f"  [rows-only] {name}: {len(srows)} rows", flush=True)
             report[name] = {"rows_match": None, "schema_match": None,
                             "hash_match": None, "spark_rows": len(srows),
                             "oracle_rows": None, "err": "no_oracle"}
@@ -55,7 +67,7 @@ def main():
             wide = [f"{c}:{t}" for c, t in zip(orel.columns, orel.types)
                     if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
             if wide:
-                print(f"FAIL {name}: oracle columns need BIGINT/DOUBLE casts: {wide}")
+                print(f"FAIL {name}: oracle columns need BIGINT/DOUBLE casts: {wide}", flush=True)
                 n_fail += 1
                 report[name] = {"rows_match": None, "schema_match": False,
                                 "hash_match": None, "spark_rows": len(srows),
@@ -63,7 +75,7 @@ def main():
                                 "err": f"wide oracle types: {wide}"}
                 continue
         except Exception as e:
-            print(f"FAIL {name}: oracle error: {e}")
+            print(f"FAIL {name}: oracle error: {e}", flush=True)
             n_fail += 1
             report[name] = {"rows_match": None, "schema_match": None,
                             "hash_match": None, "spark_rows": len(srows),
@@ -76,18 +88,18 @@ def main():
                         "spark_rows": len(srows),
                         "oracle_rows": len(orows), "err": None}
         if scols != ocols:
-            print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
+            print(f"FAIL {name}: columns spark={scols} oracle={ocols}", flush=True)
             n_fail += 1
         elif srows != orows:
             n_fail += 1
-            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+            print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}", flush=True)
             for i, (a, b) in enumerate(zip(srows, orows)):
                 if a != b:
                     print(f"    first diff row {i}:\n      spark  ={a}\n      oracle ={b}")
                     break
         else:
             n_pass += 1
-            print(f"  ok {name} ({len(srows)} rows)")
+            print(f"  ok {name} ({len(srows)} rows)", flush=True)
     if json_out:
         with open(json_out, "w") as f:
             json.dump(report, f, indent=2)
