@@ -1212,16 +1212,16 @@ object Pipeline {
             explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
           .filter(col("term") =!= "")
         // tf's output IS the distinct (doc_id, term) set, so document
-        // frequency is a reaggregation of tf — deriving it from `terms`
-        // again would re-run the tokenizer explode AND pay a second
-        // full-width (doc_id, term) exchange for the distinct. persist()
-        // is required for the sharing to survive Catalyst: column
-        // pruning strips the unused `tf` count from dfreq's branch,
-        // making the two aggregate subtrees non-identical so
-        // ReuseExchange can never fire (the 100 TB equivalent is
-        // staging term frequencies to a parquet table).
+        // frequency is a reaggregation of tf. Deliberately NOT
+        // persist()ed: caching tf to share one tokenizer pass was
+        // A/B-measured SLOWER at sf1 (BenchOne min 3.46 s cached vs
+        // 2.73 s recomputed, round 8) — building the ~100M-row
+        // InMemoryRelation costs more than re-running dfreq's branch,
+        // which column pruning strips to a term-only explode with
+        // map-side partial aggregation. At 100 TB the same trade is
+        // made explicitly by staging tf to a parquet table if the
+        // recompute ever dominates.
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .persist()
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window

@@ -118,13 +118,21 @@ class PlanSpec extends TestSpark {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("t08: tf and df share ONE tokenizer pass — dfreq reaggregates the " +
-       "persisted tf stage instead of re-exploding the corpus") {
+  test("t08: dfreq derives from tf — pruned to a term-only recompute that " +
+       "broadcasts; tf itself is never cached or shuffled by term") {
     val p = plan("t08_tfidf")
-    // both consumers must read the cached tf relation; without the
-    // persist, column pruning strips `tf` from dfreq's branch and the
-    // explode + (doc_id, term) exchange run twice
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    // Caching tf to share one tokenizer pass was A/B-measured SLOWER at
+    // sf1 (min 3.46 s cached vs 2.73 s recomputed, round 8): the
+    // ~100M-row InMemoryRelation build costs more than re-running
+    // dfreq's branch once column pruning strips it to term-only with
+    // map-side partial aggregation. Pin the measured shape so the cache
+    // can't sneak back without re-measuring:
+    assert(!p.contains("InMemoryTableScan"), p)
+    // dfreq's distinct stage is pruned to term-only...
+    assert("functions=\\[\\], output=\\[term#\\d+\\]".r.findFirstIn(p).nonEmpty, p)
+    // ...and df reaches the join as a broadcast (vocab-sized), so the
+    // full tf never pays a by-term exchange: dfreq + the n_docs scalar
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
   }
 
   test("q36: interval pairing is an equi-join on the key, never a " +
