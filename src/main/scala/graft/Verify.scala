@@ -18,6 +18,7 @@ object Verify {
     // without recomputing the other ~80 results). Default: all.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty means "all", not "none"
     val selected = only.fold(SparkEntry.queries)(
       names => SparkEntry.queries.filter { case (n, _) => names(n) })
     selected.foreach { case (name, fn) =>
