@@ -46,7 +46,7 @@ object Bench {
     // q45 and q48 run the SAME deliberately-skewed join — salted vs
     // plain — so every BENCH_r*.json carries the salted-join win (or
     // lack of it) as a measured side-by-side number
-    "q45_salted_join", "q48_plain_skew",
+    "q45_salted_join", "q48_plain_skew", "q49_factored_skew",
     "q46_histogram_quantile", "q47_bloom_join",
     // d07 is the whole dedup pipeline — exact dedup + d03's mining +
     // label propagation (2 rounds at sf0.1: one that changes labels,

@@ -639,6 +639,40 @@ object Pipeline {
         .orderBy("event_type"),
       Some(skewOracle)),
 
+    // -- the THIRD skew regime: factor the aggregate through the join ------
+    // q45 salts because it models a join whose OUTPUT rows are needed.
+    // When the final aggregate is distributive over the join (as this
+    // benchmark's count+sum is), the right plan is algebraic, not
+    // physical: pre-aggregate each side per key, join the ~unique-key
+    // relations, and multiply — SUM(price) over the pair fan-out equals
+    // SUM(n_events_per_key_and_type * sum_price_per_key). The ~1.5B-row
+    // pair materialization never exists, the hot key carries ONE row per
+    // side, and skew is gone by construction. At 100 TB this rewrite is
+    // the first thing to reach for; salting is for when the join rows
+    // themselves are the product (enrichment, feature joins). All
+    // arithmetic stays exact: counts in LONG, money in DECIMAL(27,4)
+    // sums factored as n_e (exact long->decimal) * sum_o (exact
+    // decimal), so the final correctly-rounded DOUBLE is bit-identical
+    // to q45/q48/the oracle — same skewOracle gates all three regimes.
+    Q("q49_factored_skew",
+      (s, d) => {
+        val e = skewEvents(s, d)
+          .groupBy("skew_uid", "event_type")
+          .agg(count(lit(1)).as("n_e"))
+        val o = skewOrders(s, d)
+          .groupBy("skew_ck")
+          .agg(count(lit(1)).as("n_o"),
+               sum(col("o_totalprice").cast(D4)).as("sum_o"))
+        e.join(o, col("skew_uid") === col("skew_ck"))
+          .groupBy("event_type")
+          .agg(sum(col("n_e") * col("n_o")).as("cnt"),
+               sum(col("n_e").cast(
+                   org.apache.spark.sql.types.DecimalType(10, 0)) *
+                 col("sum_o")).cast("double").as("sum_price"))
+          .orderBy("event_type")
+      },
+      Some(skewOracle)),
+
     // -- bloom-prefiltered join (explicit semi-join reduction) -------------
     // most lineitem rows have no high-value order partner; the probe
     // side is screened row-locally against a broadcast Bloom of the

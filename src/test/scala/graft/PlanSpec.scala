@@ -135,6 +135,18 @@ class PlanSpec extends TestSpark {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q49: the skewed aggregate is factored through the join — money is " +
+       "summed BELOW it and the pair count is a product, never a row set") {
+    val p = plan("q49_factored_skew")
+    // orders' money sum happens in a pre-join partial aggregate...
+    assert(p.contains("partial_sum(cast(o_totalprice"), p)
+    // ...and the pair count/sum are computed algebraically from the two
+    // per-key aggregates (n_e * n_o / n_e * sum_o), so the quadratic
+    // pair set is never materialized — skew gone by construction
+    assert(p.contains("sum((n_e"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+  }
+
   test("q36: interval pairing is an equi-join on the key, never a " +
        "BroadcastNestedLoopJoin over time") {
     val p = plan("q36_interval_pairs")
