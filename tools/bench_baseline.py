@@ -23,7 +23,7 @@ HEADLINE = [
     "q27_range_join", "q29_cube", "q33_sessionize", "q34_stratified_sample",
     "q36_interval_pairs", "q37_grouping_sets", "q40_topk_per_group",
     "q41_doc_embedding_join", "q42_token_pack", "q44_cms_freq",
-    "q45_salted_join", "q48_plain_skew",
+    "q45_salted_join", "q48_plain_skew", "q49_factored_skew",
     "q46_histogram_quantile", "q47_bloom_join",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
     "d07_dedup_corpus", "d08_decontaminate", "d09_bloom_decontaminate",
