@@ -89,6 +89,14 @@ object SkewJoin {
     * `maxHotKeys` caps the detected hot-set size (see the sizing
     * contract above); the first action fails loudly when exceeded.
     *
+    * Salt ONLY joins whose output rows are themselves the product
+    * (enrichment, feature joins). If the join feeds a distributive
+    * aggregate, factor the aggregate through the join instead —
+    * pre-aggregate per key on each side and multiply partial
+    * counts/sums — and the hot key collapses to one row per side
+    * before any shuffle (measured at sf1: 1.4 s factored vs 72.4 s
+    * salted vs 694.6 s plain — q49/q45/q48 in graft.queries).
+    *
     * Output columns = left's then right's (internal salt columns are
     * dropped). */
   def saltedJoin(left: DataFrame, leftKey: Column, saltBy: Column,
