@@ -60,7 +60,12 @@ object Bench {
     "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
-    "q32_hash_sample", "m01_binary_meta", "m05_image_phash")
+    // d13/t13 reuse d02's exact-Jaccard mining and inherit its
+    // deliberate headline exclusion (quadratic on this corpus's tiny
+    // shared vocabulary); m06 is m05's sub-quadratic pigeonhole join
+    // plus CC rounds, so it benches
+    "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
+    "m06_phash_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

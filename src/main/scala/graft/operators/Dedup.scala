@@ -90,6 +90,42 @@ object Dedup {
   def ngramJaccardPairsStaged(df: DataFrame, id: Column, text: Column,
                               minJaccard: Double,
                               maxDocFreq: Option[Long] = None): Staged = {
+    val Staged(sized, stages) = coShinglePairsStaged(df, id, text, maxDocFreq)
+    val result = sized
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    Staged(result, stages)
+  }
+
+  /** Asymmetric shingle containment (overlap coefficient):
+    * C = |A∩B| / min(|A|,|B|) ≥ `minContainment`. Catches a short
+    * document quoted or embedded inside a much longer one — symmetric
+    * Jaccard stays low there because the union is dominated by the long
+    * side, so d02-style mining misses exactly the subset/quote pairs a
+    * training-data pipeline wants flagged. Same inverted-index join as
+    * [[ngramJaccardPairs]] (only docs sharing a shingle ever meet);
+    * `maxDocFreq` is the same mandatory-at-scale fan-out cap.
+    * Output: (id_a, id_b, inter, size_a, size_b, containment), id_a < id_b. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       minContainment: Double,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
+    val Staged(sized, _) = coShinglePairsStaged(df, id, text, maxDocFreq)
+    sized
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
+  }
+
+  /** Shared co-shingle pair stage: explode tokens → self-join on token →
+    * |A∩B| per pair → join both set sizes. The similarity measure
+    * (Jaccard, containment) is a cheap row-local column on top, so each
+    * miner filters AFTER this stage without re-running the join. */
+  private def coShinglePairsStaged(df: DataFrame, id: Column, text: Column,
+                                   maxDocFreq: Option[Long]): Staged = {
     val raw = tokenSet(df, id, text)
     // Optional document-frequency cap: a shingle shared by k docs emits
     // k² candidate pairs, so boilerplate shared by a large fraction of
@@ -107,15 +143,10 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val result = pairs
+    val sized = pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
-    Staged(result, Seq(toks))
+    Staged(sized, Seq(toks))
   }
 
   /** Deterministic per-permutation MinHash: h_i(tok) = min over tokens of

@@ -226,7 +226,14 @@ object Pipeline {
     * payload IS code point i of the text — the 72-sample stride grid,
     * the 64 neighbour-comparison bits and the pigeonhole hamming join
     * all reproduce exactly. */
-  private def m05Oracle(maxDist: Int): String = {
+  private def m05Oracle(maxDist: Int): String =
+    s"""WITH ${m05Ctes(maxDist)}
+        SELECT id_a, id_b, hamming FROM cands
+        WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
+
+  /** The m05 dHash + pigeonhole-candidate CTE chain (ends at `cands`),
+    * shared by the pair miner (m05) and the cluster closure (m06). */
+  private def m05Ctes(maxDist: Int): String = {
     val nSeg = maxDist + 1
     val segBits = 64 / nSeg
     val fpTerms = (for (r <- 0 until 8; c <- 0 until 8) yield
@@ -236,7 +243,7 @@ object Pipeline {
     val segSel = (0 until nSeg).map { sg =>
       s"SELECT id, fp, $sg AS seg, (fp >> ${sg * segBits}) & ${(1L << segBits) - 1} AS skey FROM sims"
     }.mkString("\n               UNION ALL ")
-    s"""WITH base AS (
+    s"""base AS (
             SELECT doc_id, text, length(text) AS len FROM documents
             WHERE CASE WHEN length(text) = octet_length(encode(text))
                        THEN true
@@ -261,10 +268,25 @@ object Pipeline {
             SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                    CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
             FROM segs a JOIN segs b
-              ON a.seg = b.seg AND a.skey = b.skey AND a.id < b.id)
-        SELECT id_a, id_b, hamming FROM cands
-        WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
+              ON a.seg = b.seg AND a.skey = b.skey AND a.id < b.id)"""
   }
+
+  /** DuckDB replica of m06: the m05 hamming pairs closed into clusters
+    * via recursive reachability, cluster_id = min reachable id (the
+    * same label rule [[graft.operators.Dedup.connectedComponents]]
+    * converges to). */
+  private def m06Oracle(maxDist: Int): String =
+    s"""WITH RECURSIVE ${m05Ctes(maxDist)},
+          fpairs AS (
+            SELECT id_a, id_b FROM cands WHERE hamming <= $maxDist),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+                    UNION SELECT id_b AS src, id_a AS dst FROM fpairs),
+          r(id, reach) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach)
+        SELECT id AS doc_id, MIN(reach) AS cluster_id
+        FROM r GROUP BY id ORDER BY doc_id"""
 
   /** DuckDB CTE chain replicating the ENTIRE MinHash-LSH pipeline over
     * `src` (any relation with doc_id + text) — possible because the
@@ -1022,6 +1044,35 @@ object Pipeline {
                WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6
                ORDER BY id_a, id_b""")),
 
+    // -- asymmetric containment (quote/subset detection) --------------------
+    // overlap coefficient |A∩B|/min(|A|,|B|): flags a short doc embedded
+    // in a long one, which symmetric Jaccard (d02) misses because the
+    // union is dominated by the long side
+    Q("d13_containment",
+      (s, d) => Dedup.containmentPairs(
+          t(s, d, "documents"), col("doc_id"), col("text"), 0.8)
+        .withColumn("containment", round(col("containment"), 4))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (
+                 SELECT DISTINCT id, tok FROM (
+                   SELECT doc_id AS id,
+                          unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                   FROM (SELECT doc_id, $tok AS tk FROM documents))
+                 WHERE tok <> ''),
+               sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+               pairs AS (
+                 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                 FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+                 GROUP BY 1, 2)
+               SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+                      round(CAST(inter AS DOUBLE)/least(sa.sz, sb.sz), 4) AS containment
+               FROM pairs
+               JOIN sizes sa ON id_a = sa.id
+               JOIN sizes sb ON id_b = sb.id
+               WHERE CAST(inter AS DOUBLE)/least(sa.sz, sb.sz) >= 0.8
+               ORDER BY id_a, id_b""")),
+
     // -- similarity search -------------------------------------------------
     Q("s01_cosine_topk",
       (s, d) => {
@@ -1233,6 +1284,78 @@ object Pipeline {
                           WHEN bucket < 95 THEN 'val'
                           ELSE 'test' END AS split
               FROM f ORDER BY doc_id""")),
+
+    // -- split-leakage audit (t13) ------------------------------------------
+    // near-dup pairs (d02 mining) whose t12 split assignments differ:
+    // the train→test contamination a content-keyed split prevents for
+    // EXACT dupes but cannot for near-dupes (fingerprints of nearly-
+    // identical texts are independent hashes). The pair side is tiny
+    // relative to the corpus, so at scale the split join is
+    // broadcast-able; mining cost is d02's (inverted index, capped by
+    // maxDocFreq where mandatory).
+    Q("t13_split_leakage",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.6)
+        val splits = docs
+          .select(col("doc_id"),
+            pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("bucket"))
+          .select(col("doc_id"),
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val").otherwise("test").as("split"))
+        pairs
+          .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH toks AS (
+                 SELECT DISTINCT id, tok FROM (
+                   SELECT doc_id AS id,
+                          unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                   FROM (SELECT doc_id, $tok AS tk FROM documents))
+                 WHERE tok <> ''),
+               sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+               cpairs AS (
+                 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                 FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+                 GROUP BY 1, 2),
+               fpairs AS (
+                 SELECT id_a, id_b,
+                        round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+                 FROM cpairs
+                 JOIN sizes sa ON id_a = sa.id
+                 JOIN sizes sb ON id_b = sb.id
+                 WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6),
+               c AS (
+                 SELECT doc_id,
+                        CASE WHEN norm = '' THEN CAST([] AS BIGINT[])
+                             ELSE list_transform(string_split(norm, ''),
+                                    ch -> CAST(unicode(ch) AS BIGINT)) END AS codes
+                 FROM (SELECT doc_id,
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                       FROM documents)),
+               spl AS (
+                 SELECT doc_id,
+                        CASE WHEN bucket < 90 THEN 'train'
+                             WHEN bucket < 95 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT doc_id,
+                         CASE WHEN len(codes) = 0 THEN 0
+                              ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+                                     * 2147483648
+                                   + list_reduce(codes, (a, b) -> (a * 257 + b) % 2147483647)
+                              END % 100 AS bucket
+                       FROM c))
+               SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
+               FROM fpairs
+               JOIN spl sa ON id_a = sa.doc_id
+               JOIN spl sb ON id_b = sb.doc_id
+               WHERE sa.split <> sb.split
+               ORDER BY id_a, id_b""")),
 
     // -- tf-idf top terms (integer-deterministic relevance) ----------------
     // score_milli = tf * 1000 * N / df, floored: pure integer signal,
@@ -1664,6 +1787,22 @@ object Pipeline {
           col("doc_id"), col("payload"), maxDist = 3)
         .orderBy("id_a", "id_b"),
       Some(m05Oracle(maxDist = 3))),
+
+    // -- perceptual near-dup clustering (m06) --------------------------------
+    // m05's hamming pairs closed into clusters with the same
+    // connected-components engine d06 uses (min reachable id — and the
+    // same O(log n) auto-fallback if an image corpus chains): the
+    // "keep one per visual cluster" step an image training pipeline
+    // runs after pair mining.
+    Q("m06_phash_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Multimodal.imagePhashPairs(
+            t(s, d, "documents")
+              .withColumn("payload", encode(col("text"), "UTF-8")),
+            col("doc_id"), col("payload"), maxDist = 3))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id"),
+      Some(m06Oracle(maxDist = 3))),
 
     Q("m03_frame_sample",
       (s, d) => Multimodal.frameSample(

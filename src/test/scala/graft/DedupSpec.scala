@@ -35,6 +35,18 @@ class DedupSpec extends TestSpark {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("containment flags a quoted subset that symmetric jaccard misses") {
+    val short = "alpha beta gamma delta epsilon"              // 3 shingles
+    val long = short + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val quoted = Seq((1L, short), (2L, long)).toDF("id", "text")
+    // jaccard = 3/33 ≈ 0.09 — d02-style mining at 0.6 sees nothing
+    assert(Dedup.ngramJaccardPairs(quoted, col("id"), col("text"), 0.6).isEmpty)
+    val cont = Dedup.containmentPairs(quoted, col("id"), col("text"), 0.9)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "containment")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 3L, 3L, 33L, 1.0)))
+  }
+
   test("doc-frequency cap drops boilerplate shingles but keeps exact dups") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("id"), col("text"), 0.5,
         maxDocFreq = Some(2L))
@@ -67,6 +79,23 @@ class DedupSpec extends TestSpark {
     val pairs = Dedup.simhashPairs(docs, col("id"), col("text"), maxDist = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("split-leakage audit equals near-dup pairs filtered by split assignment") {
+    // t13 wiring check against its own verified building blocks: the
+    // leakage rows must be exactly the d02 pairs whose t12 splits differ
+    val leak = SparkEntry.queries("t13_split_leakage")(spark, sfDir)
+      .select("id_a", "id_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect().toSet
+    val splits = SparkEntry.queries("t12_split_assign")(spark, sfDir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = Dedup.ngramJaccardPairs(
+        Tables(spark, sfDir, "documents"), col("doc_id"), col("text"), 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (a, b, splits(a), splits(b)) }
+      .filter(r => r._3 != r._4).toSet
+    assert(leak === expected)
+    assert(leak.forall(r => r._3 != r._4))
   }
 
   test("minhash-LSH agrees with brute force on the real documents table") {

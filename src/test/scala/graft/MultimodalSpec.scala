@@ -113,6 +113,23 @@ class MultimodalSpec extends TestSpark {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("phash clusters group visual near-dups under the min id (m06 shape)") {
+    val grad = (x: Int, _: Int) => (x * 14, x * 14, x * 14)
+    val inv = (x: Int, _: Int) => (255 - x * 14, 255 - x * 14, 255 - x * 14)
+    val imgs = Seq(
+      1L -> bmp24(18, 16, topDown = false)(grad),
+      2L -> bmp24(18, 16, topDown = false)((x, y) =>
+        if (x == 5 && y == 3) (90, 90, 90) else grad(x, y)),
+      3L -> bmp24(18, 16, topDown = false)(inv),
+      4L -> bmp24(18, 16, topDown = false)((x, y) =>
+        if (x == 5 && y == 3) (160, 160, 160) else inv(x, y))
+    ).toDF("id", "payload")
+    val clusters = graft.operators.Dedup.connectedComponents(
+        Multimodal.imagePhashPairs(imgs, col("id"), col("payload")))
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("decode really parses RIFF/WAV PCM-16 audio (rate, channels, rms, peak)") {
     // hand-built mono 8 kHz PCM-16 WAV: 100 samples of a ±1000 square
     // wave → rms = 1000, peak = 1000
