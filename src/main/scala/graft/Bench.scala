@@ -48,6 +48,7 @@ object Bench {
     // lack of it) as a measured side-by-side number
     "q45_salted_join", "q48_plain_skew", "q49_factored_skew",
     "q46_histogram_quantile", "q47_bloom_join",
+    "q50_funnel", "q51_retention",
     // d07 is the whole dedup pipeline — exact dedup + d03's mining +
     // label propagation (2 rounds at sf0.1: one that changes labels,
     // one that confirms the fixpoint; each a blocking job reading the

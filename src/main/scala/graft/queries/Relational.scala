@@ -421,6 +421,83 @@ object Relational {
       Some("""SELECT CAST(CAST(props->>'$.k' AS INTEGER) % 10 AS INTEGER) AS k_mod,
                      COUNT(*) AS cnt,
                      CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k
-              FROM events GROUP BY 1 ORDER BY k_mod"""))
+              FROM events GROUP BY 1 ORDER BY k_mod""")),
+
+    // -- strict-order conversion funnel (q50) ------------------------------
+    // view → click (after the view) → purchase (after that click), per
+    // user. ONE shuffle total: the three step timestamps are stacked
+    // unbounded-frame windows over the SAME partitionBy(user_id), so
+    // Catalyst plans a single Exchange and chains the Window operators
+    // on it; the step-k minimum conditions on step k-1's column, which
+    // a plain two-level aggregate cannot express in one pass. The final
+    // global count is a few bytes per partition.
+    Q("q50_funnel",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+        t(s, d, "events")
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(byUser))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(byUser))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(byUser))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
+            countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
+            countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+      },
+      Some("""WITH f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id) AS t1,
+                       ts, event_type
+                FROM events),
+              g AS (
+                SELECT user_id, t1,
+                       MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                         OVER (PARTITION BY user_id) AS t2,
+                       ts, event_type
+                FROM f),
+              h AS (
+                SELECT user_id, t1, t2,
+                       MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                         OVER (PARTITION BY user_id) AS t3
+                FROM g)
+              SELECT COUNT(DISTINCT user_id) AS n_users,
+                     COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_view,
+                     COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
+                     COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_full_funnel
+              FROM h""")),
+
+    // -- cohort retention (q51) --------------------------------------------
+    // cohort = the user's first-activity week index, offset = weeks
+    // since that first activity; count distinct active users per
+    // (cohort, offset) cell. Week indices are pure date ARITHMETIC
+    // (days/7 from a fixed epoch), not calendar week-of-year — both
+    // engines compute identical integers with no locale/ISO-week
+    // semantics in play. Two key-reuse shuffles: groupBy(user) then a
+    // co-partitioned join back on user; the cell aggregate is tiny.
+    Q("q51_retention",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+        val firsts = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+        ev.join(firsts, "user_id")
+          .groupBy(
+            floor(datediff(col("d0"), lit("2024-01-01")) / 7).cast("long").as("cohort_week"),
+            floor(datediff(col("day"), col("d0")) / 7).cast("long").as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+              firsts AS (SELECT user_id, MIN(day) AS d0 FROM ev GROUP BY user_id)
+              SELECT CAST(floor(date_diff('day', DATE '2024-01-01', d0) / 7.0) AS BIGINT)
+                       AS cohort_week,
+                     CAST(floor(date_diff('day', d0, day) / 7.0) AS BIGINT)
+                       AS week_offset,
+                     COUNT(DISTINCT ev.user_id) AS n_users
+              FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+              GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
   )
 }

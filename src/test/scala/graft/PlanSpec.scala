@@ -59,6 +59,20 @@ class PlanSpec extends TestSpark {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("q50: the three funnel-step windows share ONE user_id exchange and " +
+      "ONE partition-local sort") {
+    val p = plan("q50_funnel")
+    // the events-sized shuffle: exactly one hashpartitioning(user_id)
+    // exchange feeding all three chained Window operators (the later
+    // exchanges carry only distinct (user, gid) combos post-partial-agg
+    // and the final one-row aggregate)
+    // single-key form only — the countDistinct expand exchange also
+    // leads with user_id but carries the full (user, gid) key list
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 1, p)
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).size === 3, p)
+    assert("Sort \\[user_id".r.findAllIn(p).size === 1, p)
+  }
+
   test("s01: cosine scoring uses the codegen'd native dot expression") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
