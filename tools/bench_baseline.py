@@ -25,6 +25,7 @@ HEADLINE = [
     "q41_doc_embedding_join", "q42_token_pack", "q44_cms_freq",
     "q45_salted_join", "q48_plain_skew", "q49_factored_skew",
     "q46_histogram_quantile", "q47_bloom_join",
+    "q50_funnel", "q51_retention",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
     "d07_dedup_corpus", "d08_decontaminate", "d09_bloom_decontaminate",
     "d10_incremental_dedup",
@@ -32,6 +33,7 @@ HEADLINE = [
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
+    "m06_phash_clusters",
 ]
 
 def main():
