@@ -66,7 +66,7 @@ object Bench {
     // shared vocabulary); m06 is m05's sub-quadratic pigeonhole join
     // plus CC rounds, so it benches
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
-    "m06_phash_clusters")
+    "m06_phash_clusters", "st07_stream_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1725,6 +1725,48 @@ object Pipeline {
                FROM events JOIN customer ON user_id = c_custkey
                GROUP BY 1, 2 ORDER BY bucket, dim_val""")),
 
+    // -- batch face of the streaming funnel (st07) --------------------------
+    // the SAME funnelState fold the streaming specs drive, on a batch
+    // frame: one watermark-final (stage, t1, t2, t3) row per user.
+    // Timestamps truncated to seconds on both sides (q33's convention).
+    Q("st07_stream_funnel",
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.Streams.funnelState(
+            t(s, d, "events")
+              .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+                col("event_type"))
+              .as[graft.streaming.Streams.FunnelEvent])
+          .toDF()
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, date_trunc('second', ts) AS ts, event_type
+                FROM events),
+              f AS (
+                SELECT user_id, ts, event_type,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         OVER (PARTITION BY user_id) AS t1
+                FROM e),
+              g AS (
+                SELECT user_id, ts, event_type, t1,
+                       MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                         OVER (PARTITION BY user_id) AS t2
+                FROM f),
+              h AS (
+                SELECT user_id, t1, t2,
+                       MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                         OVER (PARTITION BY user_id) AS t3
+                FROM g),
+              u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM h)
+              SELECT user_id,
+                     CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                               WHEN t2 IS NOT NULL THEN 2
+                               WHEN t1 IS NOT NULL THEN 1
+                               ELSE 0 END AS INT) AS stage,
+                     t1, t2, t3
+              FROM u ORDER BY user_id""")),
+
     // -- batch face of streaming dedup (st03) ------------------------------
     // dropDuplicatesWithinWatermark's deterministic model: per
     // (user_id, event_type), keep the first event and every later one

@@ -16,6 +16,31 @@ final case class SessionState(n: Int, start: Long, last: Long)
   * bridge it anymore), so at most ~lateness/gap fragments live per key. */
 final case class SessionFrags(frags: Seq[SessionState])
 
+/** Watermark-FINAL funnel progress for [[Streams.funnelState]]: the
+  * strict-order step minima folded from events the watermark has
+  * already sealed. O(1) per user, forever — three optional longs. */
+final case class FunnelProg(t1: Option[Long], t2: Option[Long],
+                            t3: Option[Long]) {
+  def stage: Int =
+    if (t3.isDefined) 3 else if (t2.isDefined) 2
+    else if (t1.isDefined) 1 else 0
+  /** One in-event-time-order fold step. Strict `>` everywhere, so a
+    * click sharing t1's exact timestamp never counts as "after" it —
+    * the same tie rule as q50's `ts > t1` window condition. */
+  def fold(ts: Long, tp: String): FunnelProg = tp match {
+    case "view" if t1.isEmpty => copy(t1 = Some(ts))
+    case "click" if t2.isEmpty && t1.exists(ts > _) => copy(t2 = Some(ts))
+    case "purchase" if t3.isEmpty && t2.exists(ts > _) => copy(t3 = Some(ts))
+    case _ => this
+  }
+}
+
+/** Per-user state for [[Streams.funnelState]]: sealed progress plus the
+  * reorder buffer of (ts, type) events still at-or-above the watermark
+  * — a late-but-in-watermark view can still precede them, so they
+  * cannot be folded yet. Bounded by the lateness window. */
+final case class FunnelBuf(folded: FunnelProg, buf: Seq[(Long, String)])
+
 /** Structured Streaming operators over the events schema
   * (event_id, ts, user_id, event_type, value).
   *
@@ -235,6 +260,80 @@ object Streams {
               }.toList, gapMs)
             state.remove()
             merged.iterator.map(emit)
+          }
+      }
+  }
+
+  /** One funnel input row (timestamps pre-truncated by the caller if
+    * cross-engine comparison is intended — q33's convention). */
+  final case class FunnelEvent(user_id: Long, ts: Timestamp,
+                               event_type: String)
+  /** One funnel transition: the user's watermark-final stage and step
+    * timestamps at the moment the stage advanced. */
+  final case class FunnelUpdate(user_id: Long, stage: Int,
+                                t1: Option[Timestamp], t2: Option[Timestamp],
+                                t3: Option[Timestamp])
+
+  /** Streaming strict-order funnel (the live face of q50): per user,
+    * first `view`, first `click` after it, first `purchase` after that
+    * click. Emits a [[FunnelUpdate]] whenever a user's FINALIZED stage
+    * advances (plus one stage-0 row on first sight), so the per-user
+    * row with the highest stage is always the current truth and rows
+    * are never retracted — emission is gated on the watermark, never on
+    * provisional in-buffer events that a late arrival could reorder.
+    *
+    * Late data is handled exactly, not approximately: events at or
+    * above the watermark wait in a reorder buffer (bounded by the
+    * lateness window) and are folded in EVENT-TIME order only once the
+    * watermark seals them — a late view arriving after a buffered
+    * click still claims t1 and lets that click claim t2, matching what
+    * batch q50 computes over the same data (StreamingSpec proves
+    * multi-batch == single-batch == batch, including that reorder).
+    * Sealed progress is three optional longs per user — O(1) state for
+    * the user's lifetime, which is what a funnel over an unbounded
+    * stream costs by definition (completed-funnel state must persist:
+    * dropping it would let a later stray `view` restart the funnel).
+    *
+    * On a batch Dataset the same fold runs once per user over all
+    * events and emits the final row per user — the gated, DuckDB-
+    * oracled face (st07). */
+  def funnelState(events: Dataset[FunnelEvent],
+                  lateness: String = "10 minutes"): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    def emit(uid: Long, p: FunnelProg) =
+      FunnelUpdate(uid, p.stage, p.t1.map(new Timestamp(_)),
+        p.t2.map(new Timestamp(_)), p.t3.map(new Timestamp(_)))
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuf, FunnelUpdate](
+        OutputMode.Append(), timeoutConf) {
+        (uid: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelBuf]) =>
+          val incoming = it.map(e => (e.ts.getTime, e.event_type)).toSeq
+          if (streaming) {
+            val first = state.getOption.isEmpty
+            val prev = state.getOption.getOrElse(FunnelBuf(FunnelProg(None, None, None), Nil))
+            val wm = state.getCurrentWatermarkMs()
+            // seal strictly-below-watermark events: every future
+            // accepted event has ts > wm, so nothing can reorder them
+            val (ready, pending) = (prev.buf ++ incoming).partition(_._1 <= wm)
+            val folded = ready.sortBy(_._1)
+              .foldLeft(prev.folded)((p, e) => p.fold(e._1, e._2))
+            state.update(FunnelBuf(folded, pending))
+            if (pending.nonEmpty)
+              // wake this key once the watermark can seal its buffer
+              state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+            if (first || folded.stage > prev.folded.stage)
+              Iterator.single(emit(uid, folded))
+            else Iterator.empty
+          } else {
+            val folded = incoming.sortBy(_._1)
+              .foldLeft(FunnelProg(None, None, None))((p, e) => p.fold(e._1, e._2))
+            state.remove()
+            Iterator.single(emit(uid, folded))
           }
       }
   }

@@ -174,6 +174,53 @@ class StreamingSpec extends TestSpark {
     assert(batch === want)
   }
 
+  test("funnelState: a late in-watermark view reorders before a buffered " +
+       "click — multi-batch == single-batch == batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    def ev(u: Long, m: Long, tp: String) = Streams.FunnelEvent(u, ts(m), tp)
+    // user 1: clean full funnel; user 2: click+purchase arrive FIRST,
+    // the view that unlocks them arrives a batch later (late but inside
+    // the 10-min lateness window); user 3: view only
+    val b1 = Seq(ev(1, 0, "view"), ev(1, 4, "click"), ev(1, 8, "purchase"),
+      ev(2, 2, "click"), ev(2, 3, "purchase"), ev(3, 5, "view"))
+    val b2 = Seq(ev(2, 1, "view"))
+    val sent1 = Seq(ev(999, 10000, "w"))
+    val sent2 = Seq(ev(999, 20000, "w"))
+    val evs = b1 ++ b2
+
+    def run(name: String, batches: Seq[Seq[Streams.FunnelEvent]]) = {
+      val ms = MemoryStream[Streams.FunnelEvent](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.FunnelEvent](),
+        spark.sqlContext)
+      val q = Streams.funnelState(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val rows = spark.table(name).as[Streams.FunnelUpdate].collect().toSeq
+        .filter(_.user_id != 999)
+      // stages only advance, so the max-stage row per user is current
+      rows.groupBy(_.user_id).values.map(_.maxBy(_.stage)).toSeq
+        .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+          u.t2.map(_.getTime), u.t3.map(_.getTime)))
+        .sortBy(_._1)
+    }
+
+    val want = Seq(
+      (1L, 3, Some(ts(0).getTime), Some(ts(4).getTime), Some(ts(8).getTime)),
+      (2L, 3, Some(ts(1).getTime), Some(ts(2).getTime), Some(ts(3).getTime)),
+      (3L, 1, Some(ts(5).getTime), None, None))
+    val multi = run("funnel_multi", Seq(b1, b2, sent1, sent2))
+    val single = run("funnel_single", Seq(evs, sent1, sent2))
+    val batch = Streams.funnelState(evs.toDS()).collect().toSeq
+      .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+        u.t2.map(_.getTime), u.t3.map(_.getTime)))
+      .sortBy(_._1)
+    assert(multi === want)
+    assert(single === want)
+    assert(batch === want)
+  }
+
   test("sessionizeNative (session_window) equals explicit-state sessionize " +
        "on the real events table") {
     val base = Tables(spark, sfDir, "events")

@@ -33,7 +33,7 @@ HEADLINE = [
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
-    "m06_phash_clusters",
+    "m06_phash_clusters", "st07_stream_funnel",
 ]
 
 def main():
