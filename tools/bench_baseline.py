@@ -36,13 +36,24 @@ HEADLINE = [
     "m06_phash_clusters", "st07_stream_funnel",
 ]
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+def connect(sf_dir):
+    """Fresh connection with table views; DUCKDB_MEM_LIMIT (e.g. 100GB)
+    caps the engine so a runaway query (d10's recursive CTE at sf1)
+    errors cleanly instead of OOM-killing the box — same convention as
+    tools/check_local.py."""
     con = duckdb.connect()
+    lim = os.environ.get("DUCKDB_MEM_LIMIT")
+    if lim:
+        con.execute(f"SET memory_limit='{lim}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    samples = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    con = connect(sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     per_query = {}
     for name in HEADLINE:
@@ -61,11 +72,7 @@ def main():
                 failed = f"{type(e).__name__}: {e}"
                 print(f"[baseline] {name:22s} FAILED {failed}",
                       file=sys.stderr)
-                con = duckdb.connect()
-                for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-                    t = os.path.basename(p)[: -len(".parquet")]
-                    con.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                con = connect(sf_dir)
                 break
             times.append(time.perf_counter() - t0)
         if failed is not None:
