@@ -66,7 +66,12 @@ object Bench {
     // shared vocabulary); m06 is m05's sub-quadratic pigeonhole join
     // plus CC rounds, so it benches
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
-    "m06_phash_clusters", "st07_stream_funnel")
+    "m06_phash_clusters", "st07_stream_funnel",
+    // round-8 additions: global shard packing (two-phase prefix sum)
+    // and temperature source mixing (broadcast rates, zero fact
+    // shuffle); d14 reuses d02's exact-Jaccard mining and inherits
+    // its headline exclusion like d13/t13
+    "q52_mixture_sample", "q53_shard_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

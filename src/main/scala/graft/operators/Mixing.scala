@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-weighted source mixing — the pretraining data-mixing
+  * step: re-balance a multi-source corpus toward p_s ∝ c_s^α with
+  * α = 1/2, target total = half the corpus, upsampling rare sources by
+  * integer repetition (rates above 1 emit floor copies of every doc
+  * plus a hash-selected fraction with one more).
+  *
+  * Everything is exact integer arithmetic so the per-doc decision is
+  * reproducible across engines, runs, and partitionings:
+  * w_s = isqrt(c_s), rate_ppm_s = (N·10^6·w_s) div (Σw·c_s) with
+  * N = total div 2, and a doc contributes `rate_ppm div 10^6` copies
+  * plus one more iff `fingerprint(text) mod 10^6 < rate_ppm mod 10^6`.
+  * isqrt via floor(sqrt(x)) is exact for counts far beyond any corpus
+  * (IEEE sqrt is correctly rounded; integers < 2^52 are exact doubles).
+  * Content-keyed selection means a doc duplicated across shards samples
+  * identically wherever it lives — same invariance argument as t12's
+  * split assignment. (At exabyte-row counts the ppm products approach
+  * the BIGINT range; widen to DECIMAL then.)
+  *
+  * Plan shape: tiny per-source count aggregate → one-row totals
+  * crossJoin → rates BROADCAST back onto the corpus → row-local
+  * fingerprint decision. The corpus is scanned once and never
+  * shuffled; at 100 TB the only shuffle is the map-side-combined
+  * source-count aggregate whose output is |sources| rows.
+  */
+object Mixing {
+
+  /** Appends (`c_docs`, `rate_ppm`, `copies`) to `docs`, keyed by
+    * `sourceCol`; `copies` may be 0 (drop), 1, or >1 (upsample). */
+  def mixtureCopies(docs: DataFrame, sourceCol: String, text: Column): DataFrame = {
+    val cnt = docs.groupBy(sourceCol).agg(count(lit(1)).as("c_docs"))
+      .withColumn("w", floor(sqrt(col("c_docs"))).cast("long"))
+    val tot = cnt.agg(sum("w").as("sum_w"), sum("c_docs").as("c_total"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm",
+        expr("((c_total div 2) * 1000000 * w) div (sum_w * c_docs)"))
+      .select(col(sourceCol), col("c_docs"), col("rate_ppm"))
+    docs
+      .join(broadcast(rates), sourceCol)
+      .withColumn("u_ppm",
+        pmod(TextAnalysis.fingerprint(text), lit(1000000L)))
+      .withColumn("copies",
+        expr("rate_ppm div 1000000 " +
+          "+ CASE WHEN u_ppm < rate_ppm % 1000000 THEN 1 ELSE 0 END"))
+      .drop("u_ppm")
+  }
+}

@@ -12,6 +12,55 @@ object Pipeline {
 
   private val tok = "string_split_regex(trim(lower(text)), '\\s+')"
 
+  /** DuckDB CTE chain replicating `Dedup.ngramJaccardPairs(0.6)` →
+    * `Dedup.connectedComponents`: 3-token shingles → inverted-index
+    * pair mining → Jaccard ≥ 0.6 filter → undirected edges →
+    * reachability (per-node MIN reach == the CC label). Goes inside a
+    * `WITH RECURSIVE`; shared by d06 and d14. */
+  private val ccJaccardCtes: String =
+    s"""toks AS (
+                   SELECT DISTINCT id, tok FROM (
+                     SELECT doc_id AS id,
+                            unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+                     FROM (SELECT doc_id, $tok AS tk FROM documents))
+                   WHERE tok <> ''),
+                 sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+                 cpairs AS (
+                   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+                   FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+                   GROUP BY 1, 2),
+                 fpairs AS (
+                   SELECT id_a, id_b FROM cpairs
+                   JOIN sizes sa ON id_a = sa.id
+                   JOIN sizes sb ON id_b = sb.id
+                   WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6),
+                 edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
+                           UNION SELECT id_b AS src, id_a AS dst FROM fpairs),
+                 r(id, reach) AS (
+                   SELECT src, src FROM edges
+                   UNION
+                   SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach)"""
+
+  /** t03's quality score as a DuckDB subquery body yielding
+    * (doc_id, n_tokens, quality_bp) from `documents`. Shared by t03
+    * and d14 so the canonical-selection oracle scores with the exact
+    * same formula the gated scorer is checked against. */
+  private val qualitySubquery: String =
+    s"""SELECT doc_id, ntok AS n_tokens,
+                      LEAST(ntok, 50) * 80
+                      + LEAST((nstop * 15000) // GREATEST(ntok, 1), 3000)
+                      + 3000 - LEAST((npunct * 30000) // GREATEST(nchar, 1), 3000)
+                        AS quality_bp
+               FROM (SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok,
+                       CAST(len(list_filter($tok,
+                         w -> w IN ('the','a','an','of','and','to','in','is','it','for'))) AS BIGINT) AS nstop,
+                       CAST(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g')) AS BIGINT) AS npunct,
+                       CAST(length(text) AS BIGINT) AS nchar
+                     FROM documents)"""
+
   /** Shared DuckDB CTEs (`sigs`, `bnd`) replicating the hyperplane-LSH
     * signature + banding: per plane j, the ±1 component for dim d is
     * the parity of ((a_j·(d+1)+b_j) mod p)² mod p with the same LCG
@@ -831,31 +880,55 @@ object Pipeline {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE
-                 toks AS (
-                   SELECT DISTINCT id, tok FROM (
-                     SELECT doc_id AS id,
-                            unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
-                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
-                     FROM (SELECT doc_id, $tok AS tk FROM documents))
-                   WHERE tok <> ''),
-                 sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
-                 cpairs AS (
-                   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-                   FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
-                   GROUP BY 1, 2),
-                 fpairs AS (
-                   SELECT id_a, id_b FROM cpairs
-                   JOIN sizes sa ON id_a = sa.id
-                   JOIN sizes sb ON id_b = sb.id
-                   WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6),
-                 edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
-                           UNION SELECT id_b AS src, id_a AS dst FROM fpairs),
-                 r(id, reach) AS (
-                   SELECT src, src FROM edges
-                   UNION
-                   SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.reach)
+                 $ccJaccardCtes
                SELECT id AS doc_id, MIN(reach) AS cluster_id
                FROM r GROUP BY id ORDER BY doc_id""")),
+
+    // -- canonical selection within near-dup clusters (d14) ----------------
+    // the step a real dedup pipeline runs AFTER clustering: keep exactly
+    // one survivor per cluster, chosen by quality (t03's scorer), doc_id
+    // as the deterministic tiebreak. The cluster side is pair-derived
+    // (tiny vs the corpus) so its join onto documents broadcasts;
+    // scoring is row-local; the ranking window is cluster-partitioned
+    // (bounded by cluster size — never global).
+    Q("d14_cluster_canonical",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.6))
+        val scored = docs
+          .join(broadcast(clusters.select(col("id").as("doc_id"), col("cluster_id"))),
+            "doc_id")
+          .select(col("cluster_id"), col("doc_id"),
+            TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"))
+        val wRk = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(col("quality_bp").desc, col("doc_id"))
+        val wSz = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+        scored
+          .withColumn("rk", row_number().over(wRk))
+          .withColumn("cluster_sz", count(lit(1)).over(wSz))
+          .filter(col("rk") === 1)
+          .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+            col("quality_bp").as("keep_quality_bp"),
+            col("cluster_sz"), (col("cluster_sz") - 1).as("drop_cnt"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE
+                 $ccJaccardCtes,
+                 cl AS (SELECT id, MIN(reach) AS cluster_id FROM r GROUP BY id),
+                 q AS ($qualitySubquery),
+                 sc AS (SELECT cl.cluster_id, cl.id AS doc_id, q.quality_bp
+                        FROM cl JOIN q ON cl.id = q.doc_id),
+                 rk AS (SELECT cluster_id, doc_id, quality_bp,
+                               row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY quality_bp DESC, doc_id) AS rk,
+                               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+                        FROM sc)
+               SELECT cluster_id, doc_id AS keep_doc_id,
+                      quality_bp AS keep_quality_bp,
+                      CAST(cluster_sz AS BIGINT) AS cluster_sz,
+                      CAST(cluster_sz - 1 AS BIGINT) AS drop_cnt
+               FROM rk WHERE rk = 1 ORDER BY cluster_id""")),
 
     // -- end-to-end corpus dedup (exact → LSH pairs → clusters → keep reps)
     Q("d07_dedup_corpus",
@@ -1169,6 +1242,45 @@ object Pipeline {
                     FROM documents)
               ORDER BY doc_id""")),
 
+    // -- GLOBAL shard packing via distributed prefix sum (q53) -------------
+    // q42 packs per-group; shard writers need the CORPUS-WIDE running
+    // token total (shard boundaries fall on the global order), which
+    // naively is a single-reducer global window. Packing.globalRunningSum
+    // is the two-phase fix: bucket by the first hex char of the md5
+    // ordering key (16 contiguous ranges of the global order), cumsum
+    // per bucket in parallel, add 16-row broadcast offsets. The oracle
+    // IS the naive global window — DuckDB checks the decomposition
+    // reproduces it exactly. Content-hash order doubles as the
+    // deterministic global shuffle for training order (engine- and
+    // partitioning-independent).
+    Q("q53_shard_pack",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        Packing.globalRunningSum(
+            docs,
+            bucket = substring(col("h"), 1, 1),
+            ordCols = Seq(col("h"), col("doc_id")),
+            weight = col("n_tokens"),
+            outCol = "cum_tokens")
+          .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 1024"))
+          .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens,
+                     CAST(SUM(n_tokens) OVER (ORDER BY md5(text), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+                     CAST((SUM(n_tokens) OVER (ORDER BY md5(text), doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) // 1024 AS BIGINT)
+                       AS shard_id
+              FROM (SELECT doc_id, text,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END
+                        AS n_tokens
+                    FROM documents)
+              ORDER BY doc_id""")),
+
     Q("t02_lang_id",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
@@ -1207,19 +1319,8 @@ object Pipeline {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"))
         .orderBy("doc_id"),
-      Some(s"""SELECT doc_id, ntok AS n_tokens,
-                      LEAST(ntok, 50) * 80
-                      + LEAST((nstop * 15000) // GREATEST(ntok, 1), 3000)
-                      + 3000 - LEAST((npunct * 30000) // GREATEST(nchar, 1), 3000)
-                        AS quality_bp
-               FROM (SELECT doc_id,
-                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS ntok,
-                       CAST(len(list_filter($tok,
-                         w -> w IN ('the','a','an','of','and','to','in','is','it','for'))) AS BIGINT) AS nstop,
-                       CAST(length(regexp_replace(text, '[^.,!?;:''"]', '', 'g')) AS BIGINT) AS npunct,
-                       CAST(length(text) AS BIGINT) AS nchar
-                     FROM documents)
+      Some(s"""WITH q AS ($qualitySubquery)
+               SELECT doc_id, n_tokens, quality_bp FROM q
                ORDER BY doc_id""")),
 
     // fingerprint is over Unicode code points, so DuckDB reproduces it
@@ -1656,6 +1757,64 @@ object Pipeline {
                          ORDER BY md5(text), doc_id) AS INT) AS rk
                 FROM documents)
               WHERE rk <= 20 ORDER BY lang, rk""")),
+
+    // -- temperature-weighted source mixing (q52) --------------------------
+    // THE pretraining data-mixing op: re-balance sources toward
+    // p_s ∝ count_s^α (α = 0.5 upweights rare sources), target total =
+    // half the corpus. All rates are exact integer ppm (w = isqrt(count);
+    // rate_ppm = (N·10^6·w) div (Σw·c_s)) so both engines compute
+    // identical thresholds — no float summation-order hazards. Selection
+    // is content-keyed (fingerprint mod 10^6 vs the fractional rate), so
+    // a doc's copy count is reproducible across engines, runs, and
+    // partitionings, and rates > 1 upsample by integer repetition.
+    // Plan shape: one tiny source-count aggregate → one-row total
+    // crossJoin → rates BROADCAST back onto the corpus → row-local
+    // copies → map-side-combined final aggregate. The fact table is
+    // scanned once and never shuffled. (At exabyte counts the ppm
+    // products want DECIMAL; BIGINT holds to ~9e18.)
+    Q("q52_mixture_sample",
+      (s, d) => Mixing.mixtureCopies(t(s, d, "documents"), "source", col("text"))
+        .groupBy("source", "c_docs", "rate_ppm")
+        .agg(sum(when(col("copies") > 0, 1L).otherwise(0L)).as("kept_docs"),
+          sum("copies").as("total_copies"))
+        .orderBy("source"),
+      Some("""WITH c AS (
+                SELECT doc_id, source,
+                       CASE WHEN norm = '' THEN CAST([] AS BIGINT[])
+                            ELSE list_transform(string_split(norm, ''),
+                                   ch -> CAST(unicode(ch) AS BIGINT)) END AS codes
+                FROM (SELECT doc_id, source,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                      FROM documents)),
+              u AS (
+                SELECT doc_id, source,
+                       (CASE WHEN len(codes) = 0 THEN 0
+                             ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+                                    * 2147483648
+                                  + list_reduce(codes, (a, b) -> (a * 257 + b) % 2147483647)
+                             END) % 1000000 AS u_ppm
+                FROM c),
+              cnt AS (SELECT source, COUNT(*) AS c_docs FROM documents GROUP BY source),
+              wts AS (SELECT source, c_docs,
+                             CAST(floor(sqrt(c_docs)) AS BIGINT) AS w FROM cnt),
+              tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+                             CAST(SUM(c_docs) AS BIGINT) AS c_total FROM wts),
+              rates AS (SELECT source, c_docs,
+                               ((c_total // 2) * 1000000 * w) // (sum_w * c_docs)
+                                 AS rate_ppm
+                        FROM wts, tot),
+              picked AS (SELECT u.source, r.c_docs, r.rate_ppm,
+                                rate_ppm // 1000000
+                                + CASE WHEN u_ppm < rate_ppm % 1000000
+                                       THEN 1 ELSE 0 END AS copies
+                         FROM u JOIN rates r ON u.source = r.source)
+              SELECT source, c_docs, rate_ppm,
+                     CAST(SUM(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS kept_docs,
+                     CAST(SUM(copies) AS BIGINT) AS total_copies
+              FROM picked
+              GROUP BY source, c_docs, rate_ppm
+              ORDER BY source""")),
 
     // -- bidirectional interval pairing (batch face of st04) ---------------
     // banded batch face (3-bucket candidate pruning); equality with the

@@ -137,6 +137,29 @@ object Streams {
     else flagged.filter(col("hit_milli") >= minHitMilli)
   }
 
+  /** Streaming face of q52's temperature mixing (st08): the per-source
+    * rates are precomputed on the already-seen corpus (the analog of
+    * st06's prebuilt Bloom sketch — at scale they come from the last
+    * batch mixing run and broadcast as a literal map), and every
+    * arriving doc decides its copy count row-locally from its content
+    * fingerprint. Completely stateless: no state store, no watermark,
+    * no shuffle — an unseen source rates 0 and drops (retune upstream
+    * when sources change). Works identically on a batch DataFrame,
+    * emitting exactly Mixing.mixtureCopies' positive-copy rows. */
+  def mixtureStream(docs: DataFrame, sourceCol: String, textCol: String,
+                    ratesPpm: Map[String, Long]): DataFrame =
+    docs
+      .withColumn("rate_ppm",
+        coalesce(element_at(typedLit(ratesPpm), col(sourceCol)), lit(0L)))
+      .withColumn("u_ppm",
+        pmod(graft.operators.TextAnalysis.fingerprint(col(textCol)),
+          lit(1000000L)))
+      .withColumn("copies",
+        expr("rate_ppm div 1000000 " +
+          "+ CASE WHEN u_ppm < rate_ppm % 1000000 THEN 1 ELSE 0 END"))
+      .drop("u_ppm")
+      .filter(col("copies") > 0)
+
   /** Streaming exact dedup on a key with bounded state: watermark on
     * the event time lets Spark drop per-key state once the key can no
     * longer recur within the lateness bound — the streaming counterpart

@@ -289,6 +289,28 @@ class DedupSpec extends TestSpark {
     assert(msgs(e).exists(m => m != null && m.contains("2^62")), e)
   }
 
+  test("d14: one keeper per cluster, argmax quality, doc_id tiebreak") {
+    // cross-check the gated windowed-rank plan with an independent
+    // groupBy-max aggregation over the same cluster membership
+    val out = SparkEntry.queries("d14_cluster_canonical")(spark, sfDir)
+      .select("cluster_id", "keep_doc_id", "keep_quality_bp", "cluster_sz")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length == out.length) // one row per cluster
+    val docs = Tables(spark, sfDir, "documents")
+    val members = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), 0.6))
+      .join(docs.withColumnRenamed("doc_id", "id"), "id")
+      .select(col("cluster_id"), col("id"),
+        operators.TextAnalysis.qualityScoreBp(col("text")).as("q"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    out.foreach { case (cid, keep, kq, sz) =>
+      val m = members(cid)
+      assert(m.length.toLong == sz)
+      val best = m.map { case (_, id, q) => (-q, id) }.min
+      assert((keep, kq) == (best._2, -best._1), s"cluster $cid")
+    }
+  }
+
   test("two-phase CC handles a diameter-50 chain in logarithmic rounds") {
     // a 51-node path: label propagation needs >50 rounds (throws at 10);
     // star contraction collapses it within the default budget

@@ -331,6 +331,33 @@ class StreamingSpec extends TestSpark {
     assert(q.recentProgress.forall(_.stateOperators.isEmpty))
   }
 
+  test("streaming mixture equals batch mixing and stays stateless") {
+    val docs = Tables(spark, sfDir, "documents")
+    // rates precomputed in batch on the seen corpus (st06's pattern)
+    val rates = graft.operators.Mixing.mixtureCopies(docs, "source", col("text"))
+      .select("source", "rate_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+
+    val stageDir = Files.createTempDirectory("stream-mix").toString
+    docs.write.mode("overwrite").parquet(stageDir)
+    val streamed = spark.readStream.schema(docs.schema).parquet(stageDir)
+    val q = Streams.mixtureStream(streamed, "source", "text", rates)
+      .writeStream.format("memory").queryName("mixture").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("mixture")
+      .select("doc_id", "copies").as[(Long, Long)].collect().toSeq.sorted
+    val want = graft.operators.Mixing.mixtureCopies(docs, "source", col("text"))
+      .filter(col("copies") > 0)
+      .select("doc_id", "copies").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+    // stateless: no microbatch registered a state-store operator
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
+
   test("sessionize on the real events table produces bounded sane sessions") {
     val events = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))

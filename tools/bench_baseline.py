@@ -34,6 +34,7 @@ HEADLINE = [
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
     "m06_phash_clusters", "st07_stream_funnel",
+    "q52_mixture_sample", "q53_shard_pack",
 ]
 
 def connect(sf_dir):
