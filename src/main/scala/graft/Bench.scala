@@ -76,6 +76,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_BENCH_ONLY=q50_funnel,q51_retention benches a subset
+    // (mirrors Verify's SPARK_GRAFT_ONLY) — used to refresh expensive
+    // artifacts like BENCH_sf1.json for new queries without re-paying
+    // the full-suite cost (the sf1 skew pair alone is ~40 min).
+    val run: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty value means all, as in Verify
+      .fold(headline)(only => headline.filter(only))
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -86,7 +94,7 @@ object Bench {
     // SF. Generated-code compilation (janino) dominates first execution
     // (~5s for the LSH pipeline) and is amortized to zero on a real
     // cluster; timings below measure data work.
-    SparkEntry.queries.view.filterKeys(headline.contains).foreach { case (_, fn) =>
+    SparkEntry.queries.view.filterKeys(run.contains).foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
@@ -99,8 +107,8 @@ object Bench {
     // the median (a query that starts failing fast would otherwise
     // read as a performance improvement)
     val outcomes =
-      collection.mutable.Map(headline.map(_ -> Vector.empty[Option[Double]]): _*)
-    for (_ <- 1 to samples; name <- headline) {
+      collection.mutable.Map(run.map(_ -> Vector.empty[Option[Double]]): _*)
+    for (_ <- 1 to samples; name <- run) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
@@ -120,7 +128,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       outcomes(name) :+= (if (ok) Some(dt) else None)
     }
-    val all = headline.map { name =>
+    val all = run.map { name =>
       val times = outcomes(name).flatten
       // ANY failed sample marks the query failed: an intermittently
       // erroring query must not masquerade as a healthy median

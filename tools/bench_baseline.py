@@ -56,8 +56,13 @@ def main():
     samples = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     con = connect(sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # BASELINE_ONLY=q50_funnel,q51_retention times a subset (mirrors
+    # SPARK_GRAFT_BENCH_ONLY in graft.Bench) for incremental refreshes
+    # of expensive artifacts like BASELINE_sf1.json
+    only = os.environ.get("BASELINE_ONLY")
+    run = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
     per_query = {}
-    for name in HEADLINE:
+    for name in run:
         if name not in oracle:
             print(f"[baseline] {name:22s} SKIP (no oracle)", file=sys.stderr)
             continue
