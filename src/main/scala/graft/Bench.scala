@@ -58,7 +58,7 @@ object Bench {
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
     "d07_dedup_corpus", "d08_decontaminate", "d09_bloom_decontaminate",
     "d10_incremental_dedup",
-    "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
+    "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann", "s04_pq_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
     // d13/t13 reuse d02's exact-Jaccard mining and inherit its

@@ -69,11 +69,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * corpus (the alternative — explode corpus×nCells through a
   * window-argmax — shuffles every embedding nCells times).
   *
-  * Ordering uses dot(v,c)/|c|, which ranks identically to cosine (|v|
-  * is constant across cells for a row) and avoids NaN for zero vectors;
-  * |c| = 0 scores -MAX. One tight nCells×dims codegen loop per row.
+  * Default ordering uses dot(v,c)/|c|, which ranks identically to
+  * cosine (|v| is constant across cells for a row) and avoids NaN for
+  * zero vectors; |c| = 0 scores -MAX. With `l2 = true` the score is
+  * dot(v,c) - |c|²/2, which ranks identically to ascending L2 distance
+  * (‖v-c‖² = ‖v‖² - 2(dot - ‖c‖²/2) and ‖v‖² is constant per row) —
+  * the product-quantization codeword rule — while reusing the same
+  * dot/norm accumulators. One tight nCells×dims codegen loop per row.
   */
-case class NearestCells(left: Expression, right: Expression, k: Int)
+case class NearestCells(left: Expression, right: Expression, k: Int,
+                        l2: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -107,7 +112,10 @@ case class NearestCells(left: Expression, right: Expression, k: Int)
         nrm += cv * cv
         d += 1
       }
-      val s = if (nrm > 0) dot / math.sqrt(nrm) else -Double.MaxValue
+      val s =
+        if (l2) dot - nrm / 2
+        else if (nrm > 0) dot / math.sqrt(nrm)
+        else -Double.MaxValue
       var pos = filled
       while (pos > 0 && s > ts(pos - 1)) pos -= 1
       if (pos < kk) {
@@ -149,7 +157,8 @@ case class NearestCells(left: Expression, right: Expression, k: Int)
          |    $dot += (double) $v.getFloat($d) * $cv;
          |    $nrm += $cv * $cv;
          |  }
-         |  double $s = ($nrm > 0) ? $dot / Math.sqrt($nrm) : -Double.MAX_VALUE;
+         |  double $s = ${if (l2) s"$dot - $nrm / 2"
+                          else s"($nrm > 0) ? $dot / Math.sqrt($nrm) : -Double.MAX_VALUE"};
          |  int $pos = $filled;
          |  while ($pos > 0 && $s > $ts[$pos - 1]) $pos--;
          |  if ($pos < $kk) {
@@ -178,4 +187,10 @@ object VectorFunctions {
   def nearestCells(vec: Column, cents: Column, k: Int): Column =
     GraftInternal.column(NearestCells(
       GraftInternal.expression(vec), GraftInternal.expression(cents), k))
+
+  /** [[NearestCells]] in L2 mode — the PQ codeword-assignment rule. */
+  def nearestCellsL2(vec: Column, cents: Column, k: Int): Column =
+    GraftInternal.column(NearestCells(
+      GraftInternal.expression(vec), GraftInternal.expression(cents), k,
+      l2 = true))
 }

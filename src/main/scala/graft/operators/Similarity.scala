@@ -164,6 +164,133 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** Product-quantization ANN: split each `dims`-dim vector into
+    * `nSub` contiguous subspaces, train an `nCodes`-word codebook per
+    * subspace (same md5-seeded deterministic Lloyd machinery as
+    * [[ivfTopK]], but with the L2 codeword rule — PQ minimizes
+    * reconstruction error, not angle), encode every corpus vector as
+    * `nSub` small codes, score candidates by asymmetric-distance
+    * computation (ADC) over the codes alone, and exact-cosine re-rank
+    * the top `rerank` candidates per query.
+    *
+    * Scale shape — this is the COMPRESSION path of ANN (IVF/LSH are the
+    * pruning paths): the scan that touches every corpus row reads
+    * (vec_id, nSub codes) ≈ 8 + 4·nSub bytes instead of the 4·dims-byte
+    * embedding — 16× narrower at 64 dims / 4 subspaces — and full
+    * vectors are fetched for only `rerank` candidates per query.
+    * Codebooks and queries travel by broadcast (the per-query LUT
+    * `lut[m][code] = dot(q_m, c_{m,code})` turns each candidate's
+    * approximate score into nSub array lookups, no float math on the
+    * corpus side); encoding is row-local with ZERO corpus shuffle; each
+    * Lloyd step is one corpus scan whose (m, code, dim) partial sums
+    * shrink map-side to nSub·nCodes·dims/nSub rows. The only
+    * corpus-wide shuffle is the per-query top-`rerank` window over
+    * (query_id, vec_id, score) triples.
+    *
+    * ADC scores cosine with both factors reconstructed from the
+    * codebook: dot(q,v) ≈ Σ_m lut[m][code_m] and |v|² ≈ Σ_m
+    * |c_{m,code_m}|² (exact if v equalled its reconstruction); sums run
+    * m = 0..nSub-1 left-to-right so the oracle can replicate them
+    * bit-for-bit. Assumes no zero-norm codeword (true for real
+    * embeddings; a zero centroid would need a cell whose members sum to
+    * exactly zero in every dimension). Determinism contract matches
+    * [[ivfTopK]]: decimal-exact centroid means rounded through float,
+    * score-then-lower-code tie rule, positional renumbering monotone in
+    * the oracle's kept seed ids. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dims: Int, nSub: Int = 4, nCodes: Int = 16,
+             lloydIters: Int = 1, rerank: Int = 50): DataFrame = {
+    require(dims % nSub == 0, s"dims=$dims not divisible by nSub=$nSub")
+    val ds = dims / nSub
+    def sub(m: Int): Column = slice(col("embedding"), m * ds + 1, ds)
+    def assign1(m: Int, cents: Column): Column = element_at(
+      graft.functions.VectorFunctions.nearestCellsL2(
+        sub(m), element_at(cents, m + 1), 1), 1)
+
+    // seed codebooks: the md5-ordered top-nCodes corpus rows, sliced —
+    // one row holding array-by-m of array-by-code of subvector
+    val seeds = corpus
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+        col("vec_id").asc)
+      .limit(nCodes)
+      .agg(transform(
+        array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+        s => s.getField("embedding")).as("seedArr"))
+      .select(array((0 until nSub).map(m =>
+        transform(col("seedArr"), e => slice(e, m * ds + 1, ds))): _*)
+        .as("cents"))
+
+    // one Lloyd step over ALL subspaces in a single corpus scan:
+    // assignment is row-local against the broadcast codebooks, the
+    // exploded (m, code, pos) partials combine map-side, and codes are
+    // renumbered positionally per subspace (empty cells drop out)
+    def step1(centsRow: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(centsRow))
+        .select(explode(array((0 until nSub).map(m => struct(
+          lit(m).as("m"), assign1(m, col("cents")).as("code"),
+          sub(m).as("sv"))): _*)).as("a"))
+        .select(col("a.m").as("m"), col("a.code").as("code"),
+          posexplode(col("a.sv")))
+        .groupBy("m", "code", "pos")
+        .agg((sum(col("col").cast(DecimalType(27, 8))).cast("double") /
+          count(lit(1))).as("x"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x").cast("float")).as("centroid"))
+        .groupBy("m")
+        .agg(transform(array_sort(collect_list(struct(col("code"), col("centroid")))),
+          s => s.getField("centroid")).as("cm"))
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("cm")))),
+          s => s.getField("cm")).as("cents"))
+
+    val cents = (0 until lloydIters).foldLeft(seeds)((c, _) => step1(c))
+
+    // encode: nSub row-local argmins per corpus vector — the compressed
+    // corpus the ANN scan actually reads
+    val codes = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        array((0 until nSub).map(m => assign1(m, col("cents"))): _*)
+          .as("codes"))
+
+    // per-query LUT + codeword norms (tiny: |Q| rows × nSub×nCodes
+    // doubles; HOF lambdas run interpreted but only over these rows)
+    val qlut = queries.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("qnorm"),
+        array((0 until nSub).map(m =>
+          transform(element_at(col("cents"), m + 1),
+            c => dot(slice(col("embedding"), m * ds + 1, ds), c))): _*)
+          .as("lut"),
+        transform(col("cents"), cm => transform(cm, c => dot(c, c)))
+          .as("cnorm2"))
+
+    // ADC scan: codes-only corpus side × broadcast LUTs; the score is
+    // nSub array lookups summed in fixed m-order
+    def lookupSum(tbl: String): Column = (0 until nSub).map(m =>
+      element_at(element_at(col(tbl), m + 1),
+        element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (lookupSum("lut") / (col("qnorm") * sqrt(lookupSum("cnorm2"))))
+          .as("ascore"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("ascore").desc, col("vec_id").asc)
+    val cand = scored.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= rerank).select("query_id", "vec_id")
+
+    // exact re-rank: full vectors fetched for rerank·|Q| rows only
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val qvecs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val exact = cand.join(vecs, "vec_id").join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus on
     * per-band slices of the hyperplane signature, verify cosine >=
     * minCos inside buckets only.

@@ -215,6 +215,109 @@ object Pipeline {
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replica of the product-quantization ANN pipeline (s04):
+    * per-subspace md5-seeded Lloyd with the L2 codeword rule
+    * (dot - |c|²/2, the score [[graft.functions.NearestCells]] uses in
+    * l2 mode), decimal-exact centroid means rounded through FLOAT,
+    * ADC scoring with the per-subspace terms summed in explicit
+    * left-to-right m-order (bit-identical to the Spark side's fixed
+    * reduce), top-`rerank` by (ascore DESC, vec_id), exact cosine
+    * re-rank. The replica keeps seed vec_ids as codes while Spark
+    * renumbers positionally — both monotone in the previous step's id,
+    * so the ASC tie rule picks the same codeword (the s03 argument). */
+  private def s04Oracle(k: Int, dims: Int, nSub: Int, nCodes: Int,
+                        lloydIters: Int, rerank: Int): String = {
+    val ds = dims / nSub
+    val l2 = "list_dot_product(v.se, s.ce) - list_dot_product(s.ce, s.ce)/2"
+    val steps = (1 to lloydIters).map { i =>
+      val prev = if (i == 1) "seeds" else s"cent${i - 1}"
+      s"""a$i AS (
+            SELECT vec_id, m, code FROM (
+              SELECT v.vec_id, v.m, s.code,
+                     row_number() OVER (PARTITION BY v.vec_id, v.m
+                       ORDER BY $l2 DESC, s.code ASC) AS rn
+              FROM subs v JOIN $prev s ON s.m = v.m)
+            WHERE rn = 1),
+          comp$i AS (
+            SELECT a.m, a.code, unnest(v.se) AS x,
+                   unnest(range(1, ${ds + 1})) AS pos
+            FROM a$i a JOIN subs v ON v.vec_id = a.vec_id AND v.m = a.m),
+          cent$i AS (
+            SELECT m, code, list(cd ORDER BY pos) AS ce FROM (
+              SELECT m, code, pos,
+                     CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(*) AS FLOAT) AS DOUBLE) AS cd
+              FROM comp$i GROUP BY m, code, pos)
+            GROUP BY m, code)"""
+    }.mkString(",\n          ") match {
+      case "" => ""
+      case s  => s + ","
+    }
+    val cent = if (lloydIters == 0) "seeds" else s"cent$lloydIters"
+    val codeCols = (0 until nSub)
+      .map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m")
+      .mkString(",\n                 ")
+    val cbJoins = (0 until nSub)
+      .map(m => s"JOIN cb b$m ON b$m.m = $m AND b$m.code = c.c$m")
+      .mkString("\n          ")
+    val adot = (0 until nSub).map(m =>
+      s"list_dot_product(list_slice(q.e, ${m * ds + 1}, ${(m + 1) * ds}), b$m.ce)")
+      .mkString("\n                   + ")
+    val anrm = (0 until nSub).map(m => s"b$m.nrm2").mkString(" + ")
+    s"""WITH emb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          subs AS (
+            SELECT vec_id, m, list_slice(e, m * $ds + 1, m * $ds + $ds) AS se
+            FROM emb CROSS JOIN (SELECT unnest(range(0, $nSub)) AS m)),
+          seeds AS (
+            SELECT m, vec_id AS code, se AS ce FROM subs
+            WHERE vec_id IN (SELECT vec_id FROM emb
+                             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                             LIMIT $nCodes)),
+          $steps
+          afin AS (
+            SELECT vec_id, m, code FROM (
+              SELECT v.vec_id, v.m, s.code,
+                     row_number() OVER (PARTITION BY v.vec_id, v.m
+                       ORDER BY $l2 DESC, s.code ASC) AS rn
+              FROM subs v JOIN $cent s ON s.m = v.m)
+            WHERE rn = 1),
+          codes AS (
+            SELECT vec_id,
+                 $codeCols
+            FROM afin GROUP BY vec_id),
+          cb AS (
+            SELECT m, code, ce, list_dot_product(ce, ce) AS nrm2 FROM $cent),
+          q AS (
+            SELECT vec_id AS query_id, e,
+                   sqrt(list_dot_product(e, e)) AS qnorm
+            FROM emb WHERE vec_id < 5),
+          adc AS (
+            SELECT q.query_id, c.vec_id,
+                   ($adot)
+                     / (q.qnorm * sqrt($anrm)) AS ascore
+            FROM codes c
+            $cbJoins
+            JOIN q ON c.vec_id <> q.query_id),
+          cand AS (
+            SELECT query_id, vec_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY ascore DESC, vec_id ASC) AS rn
+              FROM adc)
+            WHERE rn <= $rerank),
+          exact AS (
+            SELECT t.query_id, t.vec_id, ${cosSql("qe.e", "ce.e")} AS cos
+            FROM cand t
+            JOIN emb ce ON ce.vec_id = t.vec_id
+            JOIN emb qe ON qe.vec_id = t.query_id),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM exact)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
   /** DuckDB replica of the SimHash pipeline: 62-bit rolling-fingerprint
     * feature hashes, per-bit ±1 votes with the same strict `> 0` sign
     * rule as the native SimHash64 expression, pigeonhole segment join,
@@ -1191,6 +1294,17 @@ object Pipeline {
           .orderBy("query_id", "rank")
       },
       Some(s03Oracle(k = 10, nCells = 16, nProbe = 4, lloydIters = 2))),
+
+    Q("s04_pq_ann",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+            dims = 64, nSub = 4, nCodes = 16, lloydIters = 1, rerank = 50)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("query_id", "rank")
+      },
+      Some(s04Oracle(k = 10, dims = 64, nSub = 4, nCodes = 16,
+        lloydIters = 1, rerank = 50))),
 
     // -- text analysis -----------------------------------------------------
     Q("t01_token_count",

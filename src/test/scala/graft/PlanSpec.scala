@@ -123,6 +123,37 @@ class PlanSpec extends TestSpark {
     }
   }
 
+  test("s04: PQ candidate scan shuffles codes-only rows — no embeddings, " +
+       "LUTs, or codebooks through either ranking window") {
+    // the ADC scan's per-query top-rerank window and the exact re-rank's
+    // top-k window are the only corpus-wide shuffles; both must carry
+    // narrow (query_id, vec_id, score) rows. The 4*dims-byte embedding
+    // and the nSub×nCodes LUT/codebook arrays are consumed row-locally
+    // below them (see Similarity.pqTopK's scale contract).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val opt = SparkEntry.queries("s04_pq_ann")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val wins = opt.collect {
+      case w: LWindow if w.partitionSpec.exists(
+        _.references.exists(_.name == "query_id")) => w
+    }
+    assert(wins.size >= 2, opt.toString)
+    wins.foreach { w =>
+      val bad = w.child.output.filter(a =>
+        Set("embedding", "qe", "lut", "cnorm2", "cents")(a.name))
+      assert(bad.isEmpty,
+        s"ranking window must shuffle narrow rows, carries: ${bad.mkString(", ")}")
+    }
+    val adcJoins = opt.collect {
+      case j: Join if j.output.exists(_.name == "codes") => j
+    }
+    assert(adcJoins.nonEmpty, opt.toString)
+    adcJoins.foreach { j =>
+      assert(!j.output.exists(_.name == "embedding"),
+        s"ADC join must not carry embeddings: ${j.output.mkString(", ")}")
+    }
+  }
+
   test("q40: per-stratum top-k runs as WindowGroupLimit, not a full sort") {
     assert(plan("q40_topk_per_group").contains("WindowGroupLimit"))
   }

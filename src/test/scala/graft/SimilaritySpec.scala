@@ -74,6 +74,22 @@ class SimilaritySpec extends TestSpark {
     assert(recall >= 0.8, s"IVF lloydIters=2 recall $recall too low")
   }
 
+  test("PQ ANN reaches high recall vs brute force on clustered data") {
+    val corpus = clustered
+    val queries = clustered.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, 10, dims = 16, nSub = 4,
+        nCodes = 6, lloydIters = 1, rerank = 30)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(pq.size === exact.size)
+    val recall = (exact & pq).size.toDouble / exact.size
+    // quantization error only affects CANDIDATE selection — the exact
+    // re-rank restores true cosines, so with rerank covering half the
+    // corpus the clustered neighbours must survive
+    assert(recall >= 0.8, s"PQ recall $recall too low")
+  }
+
   test("near-dup pairs finds intra-cluster pairs only") {
     val pairs = Similarity.nearDupPairs(clustered, minCos = 0.95)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -29,7 +29,7 @@ HEADLINE = [
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash", "d05_embed_neardup",
     "d07_dedup_corpus", "d08_decontaminate", "d09_bloom_decontaminate",
     "d10_incremental_dedup",
-    "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann",
+    "s01_cosine_topk", "s02_ann_lsh", "s03_ivf_ann", "s04_pq_ann",
     "t01_token_count", "t03_quality_score", "t05_ngram_stats",
     "t06_subword_stats", "t08_tfidf", "t10_repetition", "t11_pii_redact",
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
