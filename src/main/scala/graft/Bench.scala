@@ -83,7 +83,14 @@ object Bench {
     val run: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // empty value means all, as in Verify
-      .fold(headline)(only => headline.filter(only))
+      .fold(headline) { only =>
+        // a typo'd subset name would otherwise silently shrink the run
+        // and the merged artifact would silently lack the intended query
+        val unknown = only -- headline
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in headline: ${unknown.toSeq.sorted.mkString(", ")}")
+        headline.filter(only)
+      }
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))

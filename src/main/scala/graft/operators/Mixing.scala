@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * (IEEE sqrt is correctly rounded; integers < 2^52 are exact doubles).
   * Content-keyed selection means a doc duplicated across shards samples
   * identically wherever it lives — same invariance argument as t12's
-  * split assignment. (At exabyte-row counts the ppm products approach
-  * the BIGINT range; widen to DECIMAL then.)
+  * split assignment. The rate numerator (N·10^6·w) passes through
+  * DECIMAL(38,0): in BIGINT it would overflow near 10^9 total docs
+  * with a dominant source (5·10^8 · 10^6 · ~3·10^4 ≈ 1.5·10^19 >
+  * Long.Max), and a 100 TB corpus is ~10^11 docs. The final rate_ppm
+  * itself is small (≤ 10^6 · w_max) and lands back in BIGINT.
   *
   * Plan shape: tiny per-source count aggregate → one-row totals
   * crossJoin → rates BROADCAST back onto the corpus → row-local
@@ -37,7 +40,8 @@ object Mixing {
     val tot = cnt.agg(sum("w").as("sum_w"), sum("c_docs").as("c_total"))
     val rates = cnt.crossJoin(broadcast(tot))
       .withColumn("rate_ppm",
-        expr("((c_total div 2) * 1000000 * w) div (sum_w * c_docs)"))
+        expr("CAST((CAST(c_total div 2 AS DECIMAL(38,0)) * 1000000 * w) " +
+          "div (CAST(sum_w AS DECIMAL(38,0)) * c_docs) AS BIGINT)"))
       .select(col(sourceCol), col("c_docs"), col("rate_ppm"))
     docs
       .join(broadcast(rates), sourceCol)

@@ -39,7 +39,12 @@ object Packing {
     * a prefix of the first ordering key (same collation), so that
     * bucket order == global order of the ranges; that contract is the
     * whole trick and is the caller's to honor (q53 derives both from
-    * one md5 call, so it holds by construction).
+    * one md5 call, so it holds by construction). `ordCols` must also
+    * form a UNIQUE total order over the rows: with duplicate ordering
+    * tuples the ROWS-frame cumsum is peer-order dependent, so results
+    * (and equality with the naive-window oracle) become
+    * nondeterministic (q53 guarantees uniqueness via its doc_id
+    * tiebreak).
     */
   def globalRunningSum(
       df: DataFrame,

@@ -60,7 +60,16 @@ def main():
     # SPARK_GRAFT_BENCH_ONLY in graft.Bench) for incremental refreshes
     # of expensive artifacts like BASELINE_sf1.json
     only = os.environ.get("BASELINE_ONLY")
-    run = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    if only:
+        req = {s.strip() for s in only.split(",") if s.strip()}
+        # a typo'd name would silently time fewer queries than intended
+        unknown = req - set(HEADLINE)
+        if unknown:
+            sys.exit(f"[baseline] BASELINE_ONLY names not in HEADLINE: "
+                     f"{sorted(unknown)}")
+        run = [q for q in HEADLINE if q in req]
+    else:
+        run = HEADLINE
     per_query = {}
     for name in run:
         if name not in oracle:
