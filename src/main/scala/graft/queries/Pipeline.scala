@@ -1579,27 +1579,31 @@ object Pipeline {
     Q("t08_tfidf",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val terms = docs
-          .select(col("doc_id"),
-            explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-          .filter(col("term") =!= "")
-        // tf's output IS the distinct (doc_id, term) set, so document
-        // frequency is a reaggregation of tf. Deliberately NOT
-        // persist()ed: caching tf to share one tokenizer pass was
-        // A/B-measured SLOWER at sf1 (BenchOne min 3.46 s cached vs
-        // 2.73 s recomputed, round 8) — building the ~100M-row
-        // InMemoryRelation costs more than re-running dfreq's branch,
-        // which column pruning strips to a term-only explode with
-        // map-side partial aggregation. At 100 TB the same trade is
-        // made explicitly by staging tf to a parquet table if the
-        // recompute ever dominates.
-        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // tf in ONE row-local pass: term_counts builds the per-doc
+        // (term → count) map inside the scan (TermCountMap), so
+        // exploding it yields the exact (doc_id, term, tf) rows the
+        // old explode + GROUP BY (doc_id, term) produced WITHOUT the
+        // distinct-pairs exchange — that exchange moved strictly
+        // row-local information and was t08's largest shuffle (the
+        // round-8 A/B showed caching tf couldn't pay for itself;
+        // round 9 removed the aggregation instead: sf1 BenchOne min
+        // 2.73 s → measured below).
+        val toks = split(trim(lower(col("text"))), "\\s+")
+        val tfm = docs.select(col("doc_id"),
+          graft.functions.TermCountFunctions.termCounts(toks).as("tfm"))
+        val tf = tfm.select(col("doc_id"),
+          explode(col("tfm")).as(Seq("term", "tf")))
+        // df: per-doc distinct terms are the map's keys — recomputing
+        // the row-local map is cheaper than sharing tf via cache (the
+        // pinned round-8 result), and the count combines map-side to a
+        // vocab-sized broadcast.
+        val dfreq = tfm.select(explode(map_keys(col("tfm"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
         val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
           .orderBy(col("score_milli").desc, col("term").asc)
-        tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nDocs))
           // integer `div`, matching DuckDB's `//`: both engines stay in
           // long arithmetic end to end (double-division + floor agrees
           // only while tf*1000*n_docs < 2^53, and would round instead

@@ -163,20 +163,20 @@ class PlanSpec extends TestSpark {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
-  test("t08: dfreq derives from tf — pruned to a term-only recompute that " +
-       "broadcasts; tf itself is never cached or shuffled by term") {
+  test("t08: tf is row-local (term_counts map in the scan) — the " +
+       "(doc_id, term) pairs never shuffle; df broadcasts") {
     val p = plan("t08_tfidf")
-    // Caching tf to share one tokenizer pass was A/B-measured SLOWER at
-    // sf1 (min 3.46 s cached vs 2.73 s recomputed, round 8): the
-    // ~100M-row InMemoryRelation build costs more than re-running
-    // dfreq's branch once column pruning strips it to term-only with
-    // map-side partial aggregation. Pin the measured shape so the cache
-    // can't sneak back without re-measuring:
+    // Round-9 shape: tf = explode(term_counts(tokens)) — the per-doc
+    // counting happens inside the row, so the old GROUP BY
+    // (doc_id, term) exchange (t08's largest shuffle, moving strictly
+    // row-local information) is gone. Round 8 pinned "no cache" after
+    // the cache A/B lost; keep that too.
+    assert(p.contains("term_counts"), p)
     assert(!p.contains("InMemoryTableScan"), p)
-    // dfreq's distinct stage is pruned to term-only...
-    assert("functions=\\[\\], output=\\[term#\\d+\\]".r.findFirstIn(p).nonEmpty, p)
-    // ...and df reaches the join as a broadcast (vocab-sized), so the
-    // full tf never pays a by-term exchange: dfreq + the n_docs scalar
+    // no exchange keyed by the (doc_id, term) pair anywhere
+    assert("hashpartitioning\\(doc_id#\\d+, term#\\d+".r.findFirstIn(p).isEmpty, p)
+    // df reaches the join as a broadcast (vocab-sized), so the full tf
+    // never pays a by-term exchange: dfreq + the n_docs scalar
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
   }
 
