@@ -477,13 +477,17 @@ object Relational {
     // (cohort, offset) cell. Week indices are pure date ARITHMETIC
     // (days/7 from a fixed epoch), not calendar week-of-year — both
     // engines compute identical integers with no locale/ISO-week
-    // semantics in play. Two key-reuse shuffles: groupBy(user) then a
-    // co-partitioned join back on user; the cell aggregate is tiny.
+    // semantics in play. d0 is an unbounded min window over the SAME
+    // user partition the fold needs anyway — ONE exchange of the fact
+    // table instead of the groupBy+join-back pair (A/B'd at sf1,
+    // round 9; the countDistinct's own cell exchange carries only
+    // (cell, user) pairs either way).
     Q("q51_retention",
       (s, d) => {
         val ev = t(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
-        val firsts = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
-        ev.join(firsts, "user_id")
+        ev.withColumn("d0",
+            min(col("day")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
           .groupBy(
             floor(datediff(col("d0"), lit("2024-01-01")) / 7).cast("long").as("cohort_week"),
             floor(datediff(col("day"), col("d0")) / 7).cast("long").as("week_offset"))

@@ -73,6 +73,17 @@ class PlanSpec extends TestSpark {
     assert("Sort \\[user_id".r.findAllIn(p).size === 1, p)
   }
 
+  test("q51: d0 is a window over the user partition — the fact table pays " +
+      "ONE user_id exchange and there is no join back") {
+    val p = plan("q51_retention")
+    // round-9 A/B (sf1, run-paired): groupBy(user)+join-back min 1.73 s
+    // vs window min 0.89 s — the window folds d0 into the same
+    // partitioning the distinct-dedup aggregate then consumes locally
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 1, p)
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).size === 1, p)
+  }
+
   test("s01: cosine scoring uses the codegen'd native dot expression") {
     val p = plan("s01_cosine_topk")
     assert(p.contains("float_vector_dot"), p)
