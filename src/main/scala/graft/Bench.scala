@@ -71,7 +71,9 @@ object Bench {
     // and temperature source mixing (broadcast rates, zero fact
     // shuffle); d14 reuses d02's exact-Jaccard mining and inherits
     // its headline exclusion like d13/t13
-    "q52_mixture_sample", "q53_shard_pack")
+    "q52_mixture_sample", "q53_shard_pack",
+    // round-9: per-domain caps (broadcast caps + one window exchange)
+    "d15_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -52,4 +52,45 @@ object Mixing {
           "+ CASE WHEN u_ppm < rate_ppm % 1000000 THEN 1 ELSE 0 END"))
       .drop("u_ppm")
   }
+
+  /** Per-domain document caps — the C4/RefinedWeb curation shape: no
+    * single registrable domain may contribute more than its
+    * temperature-weighted share of the output budget. Budget
+    * N = total div 2 splits across domains ∝ isqrt(c_d) (the same
+    * α = 1/2 temperature as [[mixtureCopies]], flattening the
+    * head-domain dominance a raw-proportional cap would keep), with a
+    * floor of `minPerDomain` so tail domains survive. Within a domain
+    * the kept docs are the cap smallest by (md5(text), id) — content-
+    * keyed like q34's stratified sample, so selection is reproducible
+    * across engines, runs, and partitionings.
+    *
+    * All cap arithmetic is exact integers (isqrt via floor∘sqrt is
+    * exact below 2^52; the cap product (N div 2)·w stays ≤ ~10^17 for
+    * a 10^11-doc corpus, far inside BIGINT — unlike the ppm rates
+    * above, no decimal widening needed). Plan shape: tiny domain-count
+    * aggregate → one-row total → caps BROADCAST back; the corpus pays
+    * ONE exchange, the ranking window by domain. A pathological
+    * mega-domain makes that window's sort partition-heavy; since
+    * selection is hash-ordered, a scale deployment pre-prunes with an
+    * md5-threshold filter (keep ≈ 2·cap_d/c_d of the domain by hash
+    * prefix, then rank survivors) — probabilistic, so the exact form
+    * stays the reference semantics here.
+    */
+  def domainCap(docs: DataFrame, domainCol: String, text: Column,
+                idCol: String, minPerDomain: Long = 4L): DataFrame = {
+    val cnt = docs.groupBy(domainCol).agg(count(lit(1)).as("c_docs"))
+      .withColumn("w", floor(sqrt(col("c_docs"))).cast("long"))
+    val tot = cnt.agg(sum("w").as("sum_w"), sum("c_docs").as("c_total"))
+    val caps = cnt.crossJoin(broadcast(tot))
+      .withColumn("cap",
+        greatest(lit(minPerDomain),
+          expr("((c_total div 2) * w) div sum_w")))
+      .select(col(domainCol), col("cap"))
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(domainCol).orderBy(md5(text), col(idCol))
+    docs
+      .withColumn("rk", row_number().over(byDomain))
+      .join(broadcast(caps), domainCol)
+      .filter(col("rk") <= col("cap"))
+  }
 }

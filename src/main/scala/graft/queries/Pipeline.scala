@@ -1033,6 +1033,39 @@ object Pipeline {
                       CAST(cluster_sz - 1 AS BIGINT) AS drop_cnt
                FROM rk WHERE rk = 1 ORDER BY cluster_id""")),
 
+    // -- per-domain document caps (d15) -------------------------------------
+    // C4/RefinedWeb-style domain curation: budget = half the corpus,
+    // split across domains ∝ isqrt(count) with a floor of 4; within a
+    // domain keep the cap smallest by (md5(text), doc_id) — the same
+    // content-keyed determinism contract as q34. Caps broadcast; the
+    // corpus pays one domain-partitioned window exchange.
+    Q("d15_domain_cap",
+      (s, d) => Mixing.domainCap(
+          t(s, d, "documents"), "source", col("text"), "doc_id")
+        .select(col("source"), col("cap"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk"),
+      Some("""WITH cnt AS (SELECT source, COUNT(*) AS c_docs
+                           FROM documents GROUP BY source),
+                   wts AS (SELECT source, c_docs,
+                                  CAST(floor(sqrt(c_docs)) AS BIGINT) AS w
+                           FROM cnt),
+                   tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+                                  CAST(SUM(c_docs) AS BIGINT) AS c_total
+                           FROM wts),
+                   caps AS (SELECT source,
+                                   GREATEST(CAST(4 AS BIGINT),
+                                     ((c_total // 2) * w) // sum_w) AS cap
+                            FROM wts, tot),
+                   ranked AS (SELECT source, doc_id,
+                                     CAST(row_number() OVER (
+                                       PARTITION BY source
+                                       ORDER BY md5(text), doc_id) AS INT) AS rk
+                              FROM documents)
+              SELECT r.source, c.cap, r.rk, r.doc_id
+              FROM ranked r JOIN caps c ON r.source = c.source
+              WHERE r.rk <= c.cap
+              ORDER BY r.source, rk""")),
+
     // -- end-to-end corpus dedup (exact → LSH pairs → clusters → keep reps)
     Q("d07_dedup_corpus",
       (s, d) => Dedup.dedupCorpus(

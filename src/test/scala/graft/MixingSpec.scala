@@ -54,4 +54,48 @@ class MixingSpec extends TestSpark {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  // domainCap on the same skew: c=(400,16) → w=(20,4), Σw=24, N=208
+  // → cap_common = 208·20/24 = 173 (floor), cap_rare = max(4, 208·4/24
+  // = 34) = 34, but only 16 rare docs exist → all 16 kept.
+  private def withIds = skewed.withColumn("doc_id",
+    xxhash64(col("text")))
+
+  test("domainCap: caps match the closed form; kept = min(cap, count)") {
+    val kept = Mixing.domainCap(withIds, "src", col("text"), "doc_id")
+    val caps = kept.select("src", "cap").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(caps("common") == 173L, caps)
+    assert(caps("rare") == 34L, caps)
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("common") == 173L, counts)
+    assert(counts("rare") == 16L, counts)
+  }
+
+  test("domainCap: the floor keeps tail domains alive") {
+    // a 2-doc tail domain: share-cap would be 208·1/25 = 8 ≥ floor
+    // here, so shrink the budget instead: 3 domains of 3 docs each →
+    // N = 4, w = 1 each, share = 4·1/3 = 1 < floor 4 → floor binds,
+    // every domain keeps all 3 docs.
+    val tiny = (1 to 9).map(i => (s"doc $i", s"dom${i % 3}"))
+      .toDF("text", "src").withColumn("doc_id", xxhash64(col("text")))
+    val kept = Mixing.domainCap(tiny, "src", col("text"), "doc_id")
+    assert(kept.count() == 9L)
+    assert(kept.select("cap").distinct().as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("domainCap: selection is content-keyed — invariant under partitioning") {
+    val a = Mixing.domainCap(withIds, "src", col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Mixing.domainCap(withIds.repartition(7), "src", col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("d15 plan: caps broadcast back — the corpus is never shuffle-joined") {
+    val p = SparkEntry.queries("d15_domain_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
