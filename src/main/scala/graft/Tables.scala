@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Catalog over a testdata directory: one parquet file per table.
   *
@@ -18,12 +18,22 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS): read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros.
-    if (name == "events" &&
-        df.schema.find(_.name == "ts").exists(_.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // Timestamp columns arrive in whatever physical form the
+    // generator's arrow version chose; normalize every one to
+    // session-UTC TIMESTAMP (the type watermarks and Timestamp
+    // encoders require; the session timezone is pinned to UTC so
+    // wall-clock values are unchanged):
+    //  - TIMESTAMP(NANOS) events.ts: read as long nanos
+    //    (spark.sql.legacy.parquet.nanosAsLong), truncate to micros;
+    //  - naive micros (isAdjustedToUTC=false → TIMESTAMP_NTZ): cast.
+    val nanosFixed =
+      if (name == "events" &&
+          df.schema.find(_.name == "ts").exists(_.dataType == LongType))
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed)((d, f) =>
+        d.withColumn(f.name, col(f.name).cast("timestamp")))
   }
 
   /** Register every table as a temp view so spark.sql(...) works —

@@ -320,6 +320,31 @@ object Streams {
     * On a batch Dataset the same fold runs once per user over all
     * events and emits the final row per user — the gated, DuckDB-
     * oracled face (st07). */
+  /** One watermark-seal step of [[funnelState]]'s per-key state
+    * machine, factored out so its two invariants are directly
+    * testable (StreamingSpec drives it under a stalled watermark):
+    *
+    *  - the reorder buffer holds EXACTLY the events with `ts > wm` —
+    *    never more (everything at-or-below the watermark folds now),
+    *    never fewer (a late in-watermark arrival may still precede
+    *    them). Since the watermark trails the max seen event time by
+    *    the lateness window, the buffer is bounded by the key's event
+    *    count inside that window, whatever order batches arrive in;
+    *  - sealed progress (`folded`) only ever advances by folding
+    *    below-watermark events in event-time order, so it is
+    *    independent of arrival order and batch boundaries.
+    */
+  private[graft] def funnelSeal(prev: FunnelBuf,
+                                incoming: Seq[(Long, String)],
+                                wm: Long): FunnelBuf = {
+    // seal strictly-below-watermark events: every future accepted
+    // event has ts > wm, so nothing can reorder them
+    val (ready, pending) = (prev.buf ++ incoming).partition(_._1 <= wm)
+    val folded = ready.sortBy(_._1)
+      .foldLeft(prev.folded)((p, e) => p.fold(e._1, e._2))
+    FunnelBuf(folded, pending)
+  }
+
   def funnelState(events: Dataset[FunnelEvent],
                   lateness: String = "10 minutes"): Dataset[FunnelUpdate] = {
     import events.sparkSession.implicits._
@@ -340,17 +365,13 @@ object Streams {
             val first = state.getOption.isEmpty
             val prev = state.getOption.getOrElse(FunnelBuf(FunnelProg(None, None, None), Nil))
             val wm = state.getCurrentWatermarkMs()
-            // seal strictly-below-watermark events: every future
-            // accepted event has ts > wm, so nothing can reorder them
-            val (ready, pending) = (prev.buf ++ incoming).partition(_._1 <= wm)
-            val folded = ready.sortBy(_._1)
-              .foldLeft(prev.folded)((p, e) => p.fold(e._1, e._2))
-            state.update(FunnelBuf(folded, pending))
-            if (pending.nonEmpty)
+            val next = funnelSeal(prev, incoming, wm)
+            state.update(next)
+            if (next.buf.nonEmpty)
               // wake this key once the watermark can seal its buffer
-              state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
-            if (first || folded.stage > prev.folded.stage)
-              Iterator.single(emit(uid, folded))
+              state.setTimeoutTimestamp(math.max(next.buf.map(_._1).min, wm + 1))
+            if (first || next.folded.stage > prev.folded.stage)
+              Iterator.single(emit(uid, next.folded))
             else Iterator.empty
           } else {
             val folded = incoming.sortBy(_._1)

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.streaming.Streams
+import graft.streaming.{FunnelBuf, FunnelProg, Streams}
 
 class StreamingSpec extends TestSpark {
   import spark.implicits._
@@ -356,6 +356,108 @@ class StreamingSpec extends TestSpark {
     // stateless: no microbatch registered a state-store operator
     assert(q.recentProgress.nonEmpty)
     assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
+
+  test("funnelSeal: stalled watermark — buffer holds exactly the above-" +
+       "watermark events, folds nothing provisionally, drains as wm advances") {
+    val empty = FunnelBuf(FunnelProg(None, None, None), Nil)
+    // 40 events in adversarial (reversed, interleaved) arrival order,
+    // all above the stalled watermark wm=0
+    val ts = (1L to 40L)
+    val evs = ts.map { t =>
+      val tp = if (t % 10 == 1) "view" else if (t % 10 == 4) "click"
+               else if (t % 10 == 7) "purchase" else "noise"
+      (t * 60000L, tp)
+    }
+    val arrival = evs.reverse.grouped(7).toSeq // 6 stalled batches
+    var st = empty
+    var fed = 0
+    arrival.foreach { batch =>
+      st = Streams.funnelSeal(st, batch, wm = 0L)
+      fed += batch.size
+      // buffer == everything fed so far (all events are above wm);
+      // nothing folded provisionally while the watermark stalls
+      assert(st.buf.size === fed)
+      assert(st.folded.stage === 0)
+    }
+    // advance the watermark stepwise: after each step the buffer holds
+    // EXACTLY the still-above-watermark events (the lateness-window
+    // bound), and sealed progress equals the clean in-order fold of
+    // everything at-or-below wm
+    Seq(5L, 11L, 23L, 40L).foreach { wmMin =>
+      val wm = wmMin * 60000L
+      st = Streams.funnelSeal(st, Nil, wm)
+      assert(st.buf.size === evs.count(_._1 > wm))
+      val want = evs.filter(_._1 <= wm).sortBy(_._1)
+        .foldLeft(FunnelProg(None, None, None))((p, e) => p.fold(e._1, e._2))
+      assert(st.folded === want)
+    }
+    assert(st.buf.isEmpty)
+    assert(st.folded.stage === 3)
+    // arrival order is irrelevant: the same events fed in one sorted
+    // batch seal to the identical state
+    assert(Streams.funnelSeal(empty, evs.sortBy(_._1), 40L * 60000L) === st)
+  }
+
+  test("funnelState adversarial: many keys buffer across a stalled " +
+       "watermark, then each seals and times out exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val K = 40
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    def ev(u: Long, m: Long, tp: String) = Streams.FunnelEvent(u, ts(m), tp)
+    // every key's funnel lives inside a 9-minute band < the 10-minute
+    // lateness window, so while no later data arrives the watermark
+    // (max ts - lateness) stays below ALL of it: every key holds its
+    // whole funnel in the reorder buffer across batches
+    val users = (1L to K.toLong)
+    val b1 = users.flatMap(u => Seq(ev(u, (u % 5) + 2, "click"),
+                                    ev(u, (u % 5) + 4, "purchase")))
+    val b2 = users.map(u => ev(u, u % 5, "view")) // unlocking views, later batch
+    val sent1 = Seq(ev(999, 10000, "w")) // advances the watermark
+    val sent2 = Seq(ev(999, 20000, "w")) // batch in which timeouts fire
+    val sent3 = Seq(ev(999, 30000, "w")) // must produce NO further rows
+
+    val ms = MemoryStream[Streams.FunnelEvent](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.FunnelEvent](),
+      spark.sqlContext)
+    val q = Streams.funnelState(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode("append").start()
+    def rows() = spark.table("funnel_adv").as[Streams.FunnelUpdate]
+      .collect().toSeq.filter(_.user_id != 999)
+
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    // stalled: every key has emitted only its first-sight stage-0 row —
+    // nothing provisional leaked out of the buffers
+    val stalled = rows()
+    assert(stalled.size === K)
+    assert(stalled.forall(_.stage === 0))
+
+    ms.addData(sent1); q.processAllAvailable()
+    ms.addData(sent2); q.processAllAvailable()
+    val sealedRows = rows()
+    ms.addData(sent3); q.processAllAvailable()
+    val after = rows()
+    q.stop()
+
+    // each key sealed 0→3 in ONE timeout wakeup: exactly one advance
+    // row per key beyond first sight, and the extra sentinel batch
+    // re-fired nothing (the drained buffer cleared its timeout)
+    assert(after.size === sealedRows.size)
+    users.foreach { u =>
+      val mine = after.filter(_.user_id == u)
+      assert(mine.size === 2)
+      assert(mine.map(_.stage).sorted === Seq(0, 3))
+    }
+    // and the sealed rows equal the batch face on the same events
+    val batch = Streams.funnelState((b1 ++ b2).toDS()).collect().toSeq
+      .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+        u.t2.map(_.getTime), u.t3.map(_.getTime))).sortBy(_._1)
+    val live = after.groupBy(_.user_id).values.map(_.maxBy(_.stage)).toSeq
+      .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+        u.t2.map(_.getTime), u.t3.map(_.getTime))).sortBy(_._1)
+    assert(live === batch)
   }
 
   test("sessionize on the real events table produces bounded sane sessions") {
