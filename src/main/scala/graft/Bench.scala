@@ -72,8 +72,10 @@ object Bench {
     // shuffle); d14 reuses d02's exact-Jaccard mining and inherits
     // its headline exclusion like d13/t13
     "q52_mixture_sample", "q53_shard_pack",
-    // round-9: per-domain caps (broadcast caps + one window exchange)
-    "d15_domain_cap")
+    // round-9: per-domain caps (broadcast caps + one window exchange);
+    // trained-BPE apply (merges table as a codegen literal, zero
+    // corpus shuffle)
+    "d15_domain_cap", "t14_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1605,6 +1605,65 @@ object Pipeline {
                WHERE sa.split <> sb.split
                ORDER BY id_a, id_b""")),
 
+    // -- trained-BPE tokenizer apply (t14) ---------------------------------
+    // The real-tokenizer upgrade over t06's letter/digit/symbol runs:
+    // apply the pretrained merges table (graft.tools.TrainBpe artifact,
+    // operators/Bpe.scala) to every document, row-locally. The table
+    // rides as a codegen reference object — zero corpus shuffle, the
+    // d09 Bloom-literal distribution path — and per-task word memoing
+    // makes the Zipfian common case a map lookup. The oracle replays
+    // the SAME fixed-point merge loop as a recursive CTE over the
+    // DISTINCT words (vocabulary-sized state, not corpus-sized) and
+    // joins tokenizations back positionally — bit-exact cross-engine.
+    Q("t14_bpe_apply",
+      (s, d) => {
+        val toks = graft.functions.BpeFunctions.bpeEncode(col("text"), Bpe.pretrained)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_bpe_tokens"),
+            array_join(toks, " ").as("bpe_text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+               merges(rnk, l, r) AS (
+                 SELECT * FROM (VALUES ${Bpe.mergesSqlValues(Bpe.pretrained)}) m(rnk, l, r)),
+               docw AS (
+                 SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
+                 FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+') AS ws
+                       FROM documents)),
+               vocab AS (SELECT DISTINCT w FROM docw),
+               enc(w, toks) AS (
+                 SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') FROM vocab
+                 UNION ALL
+                 SELECT w, replace(toks, pat, rep) FROM (
+                   SELECT e.w, e.toks,
+                          (SELECT ' '||m.l||' '||m.r||' ' FROM merges m
+                            WHERE contains(e.toks, ' '||m.l||' '||m.r||' ')
+                            ORDER BY m.rnk LIMIT 1) AS pat,
+                          (SELECT ' '||m.l||m.r||' ' FROM merges m
+                            WHERE contains(e.toks, ' '||m.l||' '||m.r||' ')
+                            ORDER BY m.rnk LIMIT 1) AS rep
+                   FROM enc e) s
+                 WHERE pat IS NOT NULL),
+               final AS (
+                 SELECT w, trim(toks) AS toks FROM enc e
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM merges m
+                   WHERE contains(e.toks, ' '||m.l||' '||m.r||' '))),
+               perdoc AS (
+                 SELECT d.doc_id,
+                        CAST(SUM(len(string_split(f.toks, ' '))) AS BIGINT)
+                          AS n_bpe_tokens,
+                        string_agg(f.toks, ' ' ORDER BY d.wi) AS bpe_text
+                 FROM docw d JOIN final f USING (w)
+                 GROUP BY d.doc_id)
+               SELECT doc_id,
+                      COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
+                      COALESCE(bpe_text, '') AS bpe_text
+               FROM documents LEFT JOIN perdoc USING (doc_id)
+               ORDER BY doc_id""")),
+
     // -- tf-idf top terms (integer-deterministic relevance) ----------------
     // score_milli = tf * 1000 * N / df, floored: pure integer signal,
     // bit-identical across engines (log-based idf differs in the last

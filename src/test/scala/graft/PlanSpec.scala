@@ -52,6 +52,15 @@ class PlanSpec extends TestSpark {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("t14: BPE application is row-local — no hash Exchange anywhere " +
+       "(the merges table is a plan literal, the corpus never shuffles)") {
+    val p = plan("t14_bpe_apply")
+    assert(p.contains("bpe_encode"), p)
+    // only the gate's output orderBy may move rows (rangepartitioning);
+    // tokenization itself introduces no hashpartitioning Exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q26: asof join is a single shuffle — one Exchange feeding the window") {
     val p = plan("q26_asof_join")
     // exchanges: union→window shuffle + final orderBy range partition;
