@@ -74,8 +74,9 @@ object Bench {
     "q52_mixture_sample", "q53_shard_pack",
     // round-9: per-domain caps (broadcast caps + one window exchange);
     // trained-BPE apply (merges table as a codegen literal, zero
-    // corpus shuffle)
-    "d15_domain_cap", "t14_bpe_apply")
+    // corpus shuffle); duplicated-span removal (segment-count agg +
+    // hot-set literal rebuild, zero corpus shuffle)
+    "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -812,4 +812,51 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Duplicated-span removal (d16): drop every non-overlapping
+    * `segTokens`-token segment whose EXACT text occurs more than
+    * `maxCount` times across the corpus, then reassemble each document
+    * from its surviving segments in order — the within-document
+    * counterpart of whole-doc dedup (the ExactSubstr observation of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", discretized to aligned segments so membership is
+    * a set lookup instead of a suffix-array query; on corpora with
+    * newlines the same operator with line splitting is
+    * RefinedWeb-style line dedup).
+    *
+    * Two corpus SCANS, zero corpus SHUFFLES:
+    *  1. segment-count aggregation (map-side combined; only (segment,
+    *     partial-count) pairs move) → the over-`maxCount` "hot" set,
+    *     which is boilerplate by definition and tiny relative to the
+    *     corpus — bounded by total_tokens / (segTokens · maxCount);
+    *  2. a second scan rebuilds each doc row-locally, filtering its
+    *     own segments against the hot set carried as a plan literal
+    *     (d09's Bloom-literal distribution path; for a hot set too big
+    *     to inline, that Bloom + verify pattern is the drop-in).
+    *
+    * Output: (doc_id, n_seg, n_dropped, cleaned_text), one row per
+    * input document. */
+  def segmentDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                   segTokens: Int = 8, maxCount: Long = 2): DataFrame = {
+    def segmentsOf(text: Column): Column = {
+      val t = split(text, " ")
+      val nseg = ceil(size(t).cast("double") / segTokens).cast("int")
+      transform(sequence(lit(0), nseg - 1),
+        j => array_join(slice(t, j * segTokens + 1, lit(segTokens)), " "))
+    }
+    val hot: Array[String] = docs
+      .select(explode(segmentsOf(textCol)).as("seg"))
+      .groupBy("seg").count()
+      .filter(col("count") > maxCount)
+      .select("seg").collect().map(_.getString(0)).sorted
+    val hotLit =
+      if (hot.isEmpty) array().cast("array<string>")
+      else array(hot.map(lit(_)): _*)
+    val segs = segmentsOf(textCol)
+    val kept = filter(segs, s => !array_contains(hotLit, s))
+    docs.select(idCol.as("doc_id"),
+      size(segs).cast("long").as("n_seg"),
+      (size(segs) - size(kept)).cast("long").as("n_dropped"),
+      array_join(kept, " ").as("cleaned_text"))
+  }
 }

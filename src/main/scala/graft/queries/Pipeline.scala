@@ -1066,6 +1066,43 @@ object Pipeline {
               WHERE r.rk <= c.cap
               ORDER BY r.source, rk""")),
 
+    // -- duplicated-span removal (d16) -------------------------------------
+    // ExactSubstr-style within-document dedup (Lee et al. 2022),
+    // discretized to aligned 8-token segments: segments occurring > 2
+    // times corpus-wide are boilerplate and are cut from EVERY doc,
+    // which is what whole-doc dedup (d01/d07) structurally cannot do.
+    // Two corpus scans, zero corpus shuffles: a map-side-combined
+    // segment count builds the tiny hot set, which rides back as a
+    // plan literal for the row-local rebuild (operators/Dedup.scala
+    // segmentDedup).
+    Q("d16_segment_dedup",
+      (s, d) => Dedup.segmentDedup(
+          t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                   segs AS (
+                     SELECT doc_id, generate_subscripts(ss, 1) AS si,
+                            unnest(ss) AS seg
+                     FROM (SELECT doc_id,
+                             list_transform(
+                               range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                               j -> array_to_string(
+                                 t[j*8+1 : least((j+1)*8, len(t))], ' ')) AS ss
+                           FROM tk)),
+                   hot AS (SELECT seg FROM segs
+                           GROUP BY seg HAVING count(*) > 2)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_seg,
+                     CAST(count(*) FILTER (
+                       WHERE seg IN (SELECT seg FROM hot)) AS BIGINT)
+                       AS n_dropped,
+                     COALESCE(string_agg(seg, ' ' ORDER BY si) FILTER (
+                       WHERE seg NOT IN (SELECT seg FROM hot)), '')
+                       AS cleaned_text
+              FROM segs GROUP BY doc_id
+              ORDER BY doc_id""")),
+
     // -- end-to-end corpus dedup (exact → LSH pairs → clusters → keep reps)
     Q("d07_dedup_corpus",
       (s, d) => Dedup.dedupCorpus(

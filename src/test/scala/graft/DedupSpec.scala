@@ -311,6 +311,44 @@ class DedupSpec extends TestSpark {
     }
   }
 
+  test("segmentDedup cuts over-threshold segments from every doc, " +
+       "preserves order, and leaves the rest byte-identical") {
+    // an 8-token boilerplate header shared by 3 docs (count 3 > 2 →
+    // hot), unique bodies, one short doc, one doc that is ONLY header
+    val header = "copyright acme corp all rights strictly reserved forever"
+    val corpus = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$header one two three four five six seven eight extra"),
+      (3L, header),
+      (4L, "just a tiny doc"),
+      (5L, s"unique start padding words here fill the whole segment $header"))
+    // doc 5's header is NOT segment-aligned (9 tokens precede it), so
+    // its occurrences split differently and stay cold — alignment is
+    // part of the operator's contract (discretized ExactSubstr)
+    val got = Dedup.segmentDedup(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, 3L, 1L, "one two three four five six seven eight extra"),
+      (3L, 1L, 1L, ""),
+      (4L, 1L, 0L, "just a tiny doc"),
+      (5L, 3L, 0L, s"unique start padding words here fill the whole segment $header")))
+    // every input doc produced exactly one output row
+    assert(got.map(_._1) === corpus.map(_._1).sorted)
+  }
+
+  test("segmentDedup with nothing hot is the identity on text") {
+    val corpus = (1L to 6L).map(i =>
+      (i, s"doc $i words only appear once each time ever token$i"))
+    val got = Dedup.segmentDedup(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got === corpus.map { case (i, t) => (i, 0L, t) })
+  }
+
   test("two-phase CC handles a diameter-50 chain in logarithmic rounds") {
     // a 51-node path: label propagation needs >50 rounds (throws at 10);
     // star contraction collapses it within the default budget

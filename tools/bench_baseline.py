@@ -35,7 +35,7 @@ HEADLINE = [
     "q32_hash_sample", "m01_binary_meta", "m05_image_phash",
     "m06_phash_clusters", "st07_stream_funnel",
     "q52_mixture_sample", "q53_shard_pack",
-    "d15_domain_cap", "t14_bpe_apply",
+    "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup",
 ]
 
 def connect(sf_dir):
