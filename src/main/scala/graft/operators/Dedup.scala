@@ -830,9 +830,13 @@ object Dedup {
     *     which is boilerplate by definition and tiny relative to the
     *     corpus — bounded by total_tokens / (segTokens · maxCount);
     *  2. a second scan rebuilds each doc row-locally, filtering its
-    *     own segments against the hot set carried as a plan literal
-    *     (d09's Bloom-literal distribution path; for a hot set too big
-    *     to inline, that Bloom + verify pattern is the drop-in).
+    *     own segments against the hot set carried as a hashed plan
+    *     reference object (functions.InStringSet — d09's literal
+    *     distribution path, but O(1) per probe and out of the
+    *     generated code: the hot set GROWS with corpus size, 128 →
+    *     12.8k across sf0.1 → sf10, and an inlined array_contains
+    *     scan measured 121 s at sf10 where the hashed probe holds the
+    *     operator at its flat two-job floor).
     *
     * Output: (doc_id, n_seg, n_dropped, cleaned_text), one row per
     * input document. */
@@ -849,14 +853,20 @@ object Dedup {
       .groupBy("seg").count()
       .filter(col("count") > maxCount)
       .select("seg").collect().map(_.getString(0)).sorted
-    val hotLit =
-      if (hot.isEmpty) array().cast("array<string>")
-      else array(hot.map(lit(_)): _*)
-    val segs = segmentsOf(textCol)
-    val kept = filter(segs, s => !array_contains(hotLit, s))
-    docs.select(idCol.as("doc_id"),
-      size(segs).cast("long").as("n_seg"),
-      (size(segs) - size(kept)).cast("long").as("n_dropped"),
-      array_join(kept, " ").as("cleaned_text"))
+    // staged projections so each array materializes ONCE per row:
+    // higher-order functions are CodegenFallback (outside codegen CSE),
+    // so a single select referencing `segs` three times would rebuild
+    // the segment array three times per document — Catalyst's
+    // CollapseProject keeps these stages apart because inlining would
+    // duplicate non-cheap expressions
+    docs.select(idCol.as("doc_id"), segmentsOf(textCol).as("segs"))
+      .select(col("doc_id"), col("segs"),
+        filter(col("segs"),
+          s => !graft.functions.SetFunctions.inStringSet(s, hot.toSeq))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_seg"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("cleaned_text"))
   }
 }

@@ -61,6 +61,15 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("d16: the rebuild scan is row-local — hot-set probe is a hashed " +
+       "reference (in_string_set), no hash Exchange, arrays staged once") {
+    val p = plan("d16_segment_dedup")
+    assert(p.contains("in_string_set"), p)
+    // the hot-set aggregation ran eagerly as its own job; the returned
+    // plan is scan → staged projects → gate orderBy only
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("q26: asof join is a single shuffle — one Exchange feeding the window") {
     val p = plan("q26_asof_join")
     // exchanges: union→window shuffle + final orderBy range partition;
