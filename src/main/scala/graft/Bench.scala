@@ -76,7 +76,11 @@ object Bench {
     // trained-BPE apply (merges table as a codegen literal, zero
     // corpus shuffle); duplicated-span removal (segment-count agg +
     // hot-set literal rebuild, zero corpus shuffle)
-    "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup")
+    "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup",
+    // round-9 vocabulary filters: top-K / bigram model trained by a
+    // vocab-sized aggregate, applied row-locally as a hashed plan
+    // reference — zero corpus shuffle
+    "t15_oov_rate", "t16_bigram_surprise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained vocabulary filters — the CCNet/Gopher quality-model
+  * shape: a small model is TRAINED with one map-side-combined
+  * aggregation over the corpus (output is vocabulary-sized, not
+  * corpus-sized), then APPLIED row-locally with the model riding the
+  * plan as a hashed reference object (functions/VocabExpressions).
+  *
+  * Scale contract: the train step's collect moves only the top-K /
+  * vocabulary-sized model to the driver — the same adjudicated
+  * pattern as d16's hot-segment set and d09's Bloom literal (SURVEY
+  * §4): it is how Spark's own runtime filters distribute small
+  * data-derived state. The apply step scans the corpus ONCE with zero
+  * shuffles. At 100 TB both models are capped (top-K by frequency
+  * with deterministic ties) so driver memory is bounded by K, not by
+  * corpus vocabulary.
+  */
+object Vocab {
+
+  /** Whitespace tokens, lowercased — the corpus-wide tokenization every
+    * text op shares (t01's convention; oracle form
+    * `string_split_regex(trim(lower(text)), '\s+')`). */
+  def toks(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Top-K tokens by corpus frequency; ties broken by token ascending
+    * so the vocabulary is deterministic across engines and runs. */
+  def topTokens(docs: DataFrame, textCol: Column, k: Int): Seq[String] =
+    docs.select(explode(toks(textCol)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(k)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Full unigram occurrence counts. On real corpora this is capped
+    * top-K exactly like [[topTokens]] (absent prefixes fall back to
+    * count 1 in the scorer); the tables here are vocabulary-sized
+    * either way. */
+  def unigramCounts(docs: DataFrame, textCol: Column): Seq[(String, Long)] =
+    docs.select(explode(toks(textCol)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+
+  /** Top-K adjacent-pair (bigram) counts, key = "w1 w2"; deterministic
+    * (count desc, w1 asc, w2 asc) ties. The pair stream is produced
+    * row-locally (zip of the token array with its own tail) — no
+    * positional self-join. */
+  def topBigrams(docs: DataFrame, textCol: Column, k: Int): Seq[(String, Long)] = {
+    val t = toks(textCol)
+    val pairs = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(explode(pairs).as("bg"))
+      // a "" token only occurs alone (split of blank text), so it never
+      // forms a pair — no filter needed; guard anyway for direct calls
+      // on pre-tokenized input
+      .filter(!col("bg").startsWith(" ") && !col("bg").endsWith(" "))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg").asc)
+      .limit(k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+  }
+
+  /** Out-of-vocabulary rate per document against the top-`k` token
+    * list: (n_tok, n_oov, integer per-mille). One corpus scan to
+    * train (vocab-sized output), one zero-shuffle scan to score. */
+  def oovRate(docs: DataFrame, idCol: Column, textCol: Column,
+              k: Int = 16): DataFrame = {
+    val vocab = topTokens(docs, textCol, k)
+    docs.select(idCol.as("doc_id"),
+        graft.functions.VocabFunctions.vocabStats(toks(textCol), vocab).as("st"))
+      .select(col("doc_id"),
+        col("st.n_tok").as("n_tok"),
+        col("st.n_oov").as("n_oov"),
+        expr("(1000 * st.n_oov) div greatest(st.n_tok, 1)").as("oov_milli"))
+  }
+
+  /** Bigram-LM surprise per document — the perplexity-filter proxy:
+    * per adjacent pair, `floor(log2(c_uni(w1) div c_big(w1 w2)))` bits
+    * (integer-exact; see functions/VocabExpressions.scala), summed and
+    * averaged as integer milli-bits. Train = two vocabulary-sized
+    * aggregates; apply = one zero-shuffle corpus scan. */
+  def bigramSurprise(docs: DataFrame, idCol: Column, textCol: Column,
+                     k: Int = 64): DataFrame = {
+    val uni = unigramCounts(docs, textCol)
+    val big = topBigrams(docs, textCol, k)
+    docs.select(idCol.as("doc_id"),
+        graft.functions.VocabFunctions.bigramSurprise(toks(textCol), uni, big).as("st"))
+      .select(col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.total_bits").as("total_bits"),
+        expr("(1000 * st.total_bits) div greatest(st.n_bigrams, 1)").as("milli_bits"))
+  }
+}

@@ -1701,6 +1701,81 @@ object Pipeline {
                FROM documents LEFT JOIN perdoc USING (doc_id)
                ORDER BY doc_id""")),
 
+    // -- OOV-rate quality filter (t15) -------------------------------------
+    // Gopher-style "fraction of words in the top word list": train a
+    // top-K vocabulary (one map-side-combined aggregate, K rows to the
+    // driver), score every doc row-locally against it as a hashed
+    // reference object (operators/Vocab.scala). Integer per-mille —
+    // bit-identical across engines. Zero corpus shuffle on apply.
+    Q("t15_oov_rate",
+      (s, d) => Vocab.oovRate(
+          t(s, d, "documents"), col("doc_id"), col("text"), k = 16)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($tok) AS w FROM documents),
+                 t2 AS (SELECT doc_id, w FROM tk WHERE w <> ''),
+                 vocab AS (SELECT w FROM (
+                     SELECT w, row_number() OVER (
+                       ORDER BY count(*) DESC, w) AS rk
+                     FROM t2 GROUP BY w) WHERE rk <= 16),
+                 st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                               CAST(count(*) FILTER (WHERE w NOT IN (
+                                 SELECT w FROM vocab)) AS BIGINT) AS n_oov
+                        FROM t2 GROUP BY doc_id)
+               SELECT d.doc_id, COALESCE(n_tok, 0) AS n_tok,
+                      COALESCE(n_oov, 0) AS n_oov,
+                      (1000 * COALESCE(n_oov, 0))
+                        // GREATEST(COALESCE(n_tok, 0), 1) AS oov_milli
+               FROM documents d LEFT JOIN st USING (doc_id)
+               ORDER BY doc_id""")),
+
+    // -- bigram-LM surprise (t16) ------------------------------------------
+    // The CCNet perplexity-filter proxy, made integer-exact: per
+    // adjacent pair, surprise = floor(log2(c_uni(w1) div c_big)) bits
+    // — the integer exponent of the inverse conditional frequency —
+    // with the bigram table pruned to top-K (absent pair → count 1 =
+    // max surprise for its prefix). floor(log2) never touches doubles:
+    // 63-numberOfLeadingZeros in the expression, length(bin(x))-1 in
+    // the oracle (a double log2 misrounds near exact powers of two).
+    // Train = two vocabulary-sized aggregates; apply = one zero-
+    // shuffle corpus scan with both tables as hashed plan references.
+    Q("t16_bigram_surprise",
+      (s, d) => Vocab.bigramSurprise(
+          t(s, d, "documents"), col("doc_id"), col("text"), k = 64)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi,
+                        unnest(ws) AS w
+                 FROM (SELECT doc_id, $tok AS ws FROM documents)),
+                 t2 AS (SELECT doc_id, wi, w FROM tk WHERE w <> ''),
+                 uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                         FROM t2 GROUP BY w),
+                 pr AS (SELECT doc_id,
+                          lag(w) OVER (PARTITION BY doc_id ORDER BY wi) AS w1,
+                          w AS w2
+                        FROM t2),
+                 pairs AS (SELECT doc_id, w1, w2 FROM pr WHERE w1 IS NOT NULL),
+                 bigc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                          FROM pairs GROUP BY w1, w2),
+                 big AS (SELECT w1, w2, c FROM (
+                     SELECT w1, w2, c, row_number() OVER (
+                       ORDER BY c DESC, w1, w2) AS rk
+                     FROM bigc) WHERE rk <= 64),
+                 sc AS (SELECT p.doc_id,
+                          length(bin(GREATEST(
+                            u.c // COALESCE(b.c, 1), 1))) - 1 AS bits
+                        FROM pairs p
+                        JOIN uni u ON u.w = p.w1
+                        LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2),
+                 pd AS (SELECT doc_id,
+                          CAST(count(*) AS BIGINT) AS n_bigrams,
+                          CAST(sum(bits) AS BIGINT) AS total_bits
+                        FROM sc GROUP BY doc_id)
+               SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+                      COALESCE(total_bits, 0) AS total_bits,
+                      (1000 * COALESCE(total_bits, 0))
+                        // GREATEST(COALESCE(n_bigrams, 0), 1) AS milli_bits
+               FROM documents d LEFT JOIN pd USING (doc_id)
+               ORDER BY doc_id""")),
+
     // -- tf-idf top terms (integer-deterministic relevance) ----------------
     // score_milli = tf * 1000 * N / df, floored: pure integer signal,
     // bit-identical across engines (log-based idf differs in the last

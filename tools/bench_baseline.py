@@ -36,6 +36,7 @@ HEADLINE = [
     "m06_phash_clusters", "st07_stream_funnel",
     "q52_mixture_sample", "q53_shard_pack",
     "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup",
+    "t15_oov_rate", "t16_bigram_surprise",
 ]
 
 def connect(sf_dir):
