@@ -80,7 +80,10 @@ object Bench {
     // round-9 vocabulary filters: top-K / bigram model trained by a
     // vocab-sized aggregate, applied row-locally as a hashed plan
     // reference — zero corpus shuffle
-    "t15_oov_rate", "t16_bigram_surprise")
+    "t15_oov_rate", "t16_bigram_surprise",
+    // round-9: kNN join (banded self-join blocking, pair-once scoring)
+    // and the streaming as-of join's gated batch face
+    "s05_knn_join", "st09_stream_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

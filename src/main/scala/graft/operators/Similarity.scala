@@ -335,4 +335,50 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .distinct()
   }
+
+  /** k-NN JOIN: top-k neighbours for EVERY corpus vector — the kNN
+    * graph that embedding-level curation (SemDeDup-style cluster
+    * pruning, graph-based diversity sampling) is built on. Differs
+    * from [[lshTopK]] in that the query set IS the corpus, so nothing
+    * broadcasts: candidates come from the banded signature SELF-join
+    * ([[nearDupPairs]]'s blocking — at 100 TB the d11 mega-bucket cap
+    * applies unchanged if a bucket degenerates).
+    *
+    * Each unordered candidate pair is scored ONCE (cosine is
+    * symmetric: a<b join + distinct, then both directions are emitted
+    * by a union — half the dot products of the naive id≠id self-join).
+    * Per-vector ranking is one key-partitioned window whose
+    * WindowGroupLimit partial pre-trims to k rows per vector before
+    * the final exchange. */
+  def knnJoin(corpus: DataFrame, k: Int,
+              nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val bits = nBits / bands
+    val sig = hyperplaneSignature(col("embedding"), nBits)
+    val banded = corpus
+      .select(col("vec_id").as("id"), sig.as("sig"))
+      .select(col("id"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bits)
+            .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+    val scored = pairs
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va.embedding"), col("vb.embedding")).as("cos"))
+    val both = scored
+      .select(col("id_a").as("query_id"), col("id_b").as("vec_id"), col("cos"))
+      .union(scored
+        .select(col("id_b").as("query_id"), col("id_a").as("vec_id"), col("cos")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    both.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "vec_id", "cos")
+  }
 }

@@ -131,6 +131,26 @@ object Pipeline {
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** DuckDB replica of the kNN join (s05): identical banded blocking,
+    * each unordered pair scored once, both directions ranked. */
+  private def s05Oracle(k: Int, nBits: Int, bands: Int, seed: Long): String =
+    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+          pairs AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ${cosSql("a.e", "b.e")} AS cos
+            FROM bnd a JOIN bnd b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+          dirs AS (
+            SELECT id_a AS query_id, id_b AS vec_id, cos FROM pairs
+            UNION ALL
+            SELECT id_b AS query_id, id_a AS vec_id, cos FROM pairs),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM dirs)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+        FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
   /** DuckDB replica of embedding near-dup pairs (d05). */
   private def d05Oracle(minCos: Double, nBits: Int, bands: Int, seed: Long): String =
     s"""WITH ${hyperBandCtes(nBits, bands, seed)},
@@ -1376,6 +1396,18 @@ object Pipeline {
       Some(s04Oracle(k = 10, dims = 64, nSub = 4, nCodes = 16,
         lloydIters = 1, rerank = 50))),
 
+    // -- kNN join (s05): top-k neighbours for EVERY vector ------------------
+    // the kNN-graph primitive embedding-level curation builds on
+    // (SemDeDup cluster pruning, diversity sampling). Query set = the
+    // corpus, so nothing broadcasts: banded-signature SELF-join
+    // blocking (d05's), each unordered pair scored once + union'd both
+    // ways, per-vector top-k via a WindowGroupLimit-pre-trimmed window.
+    Q("s05_knn_join",
+      (s, d) => Similarity.knnJoin(t(s, d, "embeddings"), k = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank"),
+      Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
+
     // -- text analysis -----------------------------------------------------
     Q("t01_token_count",
       (s, d) => t(s, d, "documents")
@@ -2247,6 +2279,46 @@ object Pipeline {
                                ELSE 0 END AS INT) AS stage,
                      t1, t2, t3
               FROM u ORDER BY user_id""")),
+
+    // -- batch face of the streaming as-of join (st09) ---------------------
+    // the live feature-store join: every purchase (fact) picks up the
+    // latest view's value (dimension state) at or below its event
+    // time, per user. Streams.asofState runs the SAME per-key fold on
+    // a stream (watermark-sealed, late-reorder-exact — StreamingSpec)
+    // and on this batch Dataset; the oracle is DuckDB's native ASOF
+    // LEFT JOIN over dims deduped to arg_max(value, event_id) per
+    // (user, second) — the fold's equal-ts highest-id rule.
+    Q("st09_stream_asof",
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id").as("key"),
+            date_trunc("second", col("ts")).as("ts"),
+            when(col("event_type") === "view", lit("d"))
+              .otherwise(lit("f")).as("side"),
+            col("event_id").as("id"), col("value"))
+          .as[graft.streaming.Streams.AsofEvent]
+        graft.streaming.Streams.asofState(ev).toDF()
+          .select(col("key").as("user_id"), col("fact_id"),
+            col("fact_ts"), col("dim_ts"), col("dim_value"))
+          .orderBy("user_id", "fact_ts", "fact_id")
+      },
+      Some("""WITH e AS (
+                SELECT user_id, date_trunc('second', ts) AS ts,
+                       event_id, event_type, value
+                FROM events),
+              d0 AS (
+                SELECT user_id, ts, arg_max(value, event_id) AS dim_value
+                FROM e WHERE event_type = 'view'
+                GROUP BY user_id, ts),
+              f AS (SELECT user_id, ts, event_id FROM e
+                    WHERE event_type = 'purchase')
+              SELECT f.user_id AS user_id, f.event_id AS fact_id,
+                     f.ts AS fact_ts, d0.ts AS dim_ts, d0.dim_value
+              FROM f ASOF LEFT JOIN d0
+                ON f.user_id = d0.user_id AND f.ts >= d0.ts
+              ORDER BY f.user_id, fact_ts, fact_id""")),
 
     // -- batch face of streaming dedup (st03) ------------------------------
     // dropDuplicatesWithinWatermark's deterministic model: per

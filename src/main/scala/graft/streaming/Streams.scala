@@ -41,6 +41,17 @@ final case class FunnelProg(t1: Option[Long], t2: Option[Long],
   * cannot be folded yet. Bounded by the lateness window. */
 final case class FunnelBuf(folded: FunnelProg, buf: Seq[(Long, String)])
 
+/** Per-key state for [[Streams.asofState]]: the LATEST sealed dimension
+  * row (sealed dims collapse — an as-of probe can only ever match the
+  * most recent one at or below its timestamp), plus the reorder buffer
+  * of (ts, side, id, value) rows the watermark has not sealed.
+  * `dimTs = None` means no dim sealed yet; then dimId/dimVal are
+  * meaningless placeholders (encoders reject Option-less nulls more
+  * cheaply than Option[Double] boxes per row). O(1) + lateness-window
+  * state per key. */
+final case class AsofBuf(dimTs: Option[Long], dimId: Long, dimVal: Double,
+                         buf: Seq[(Long, String, Long, Double)])
+
 /** Structured Streaming operators over the events schema
   * (event_id, ts, user_id, event_type, value).
   *
@@ -378,6 +389,95 @@ object Streams {
               .foldLeft(FunnelProg(None, None, None))((p, e) => p.fold(e._1, e._2))
             state.remove()
             Iterator.single(emit(uid, folded))
+          }
+      }
+  }
+
+  /** One as-of input row: side `"d"` (dimension update — `value` is
+    * the new dimension state) or `"f"` (fact probe). Timestamps
+    * pre-truncated by the caller if cross-engine comparison is
+    * intended (q33's convention). */
+  final case class AsofEvent(key: Long, ts: Timestamp, side: String,
+                             id: Long, value: Double)
+  /** One sealed fact with the dimension state in effect at its
+    * timestamp (None = no dim at or before it). */
+  final case class AsofOut(key: Long, fact_id: Long, fact_ts: Timestamp,
+                           dim_ts: Option[Timestamp],
+                           dim_value: Option[Double])
+
+  /** One watermark-seal step of [[asofState]]'s per-key machine,
+    * factored out like [[funnelSeal]] so its invariants are directly
+    * testable:
+    *
+    *  - rows with `ts <= wm` seal NOW, in (ts, side, id) order — side
+    *    `"d" < "f"`, so a dim sharing a fact's exact timestamp applies
+    *    to it (the ASOF `fact.ts >= dim.ts` tie rule), and equal-ts
+    *    dims resolve to the highest id (`arg_max(value, id)`);
+    *  - every accepted row has ts above the watermark the previous
+    *    seal ran at, and the sealed dim was at or below it — so the
+    *    unconditional overwrite inside the ts-ordered fold is exactly
+    *    "latest dim at-or-below each fact";
+    *  - sealed dims collapse to ONE (ts, id, value) triple: a future
+    *    fact has ts > wm and can only match the latest of them.
+    */
+  private[graft] def asofSeal(prev: AsofBuf,
+                              incoming: Seq[(Long, String, Long, Double)],
+                              wm: Long): (AsofBuf, Seq[AsofOut]) = {
+    val (ready, pending) = (prev.buf ++ incoming).partition(_._1 <= wm)
+    var dTs = prev.dimTs
+    var dId = prev.dimId
+    var dVal = prev.dimVal
+    val out = Seq.newBuilder[AsofOut]
+    ready.sortBy(r => (r._1, r._2, r._3)).foreach { case (ts, side, id, v) =>
+      if (side == "d") { dTs = Some(ts); dId = id; dVal = v }
+      else out += AsofOut(0L, id, new Timestamp(ts),
+        dTs.map(new Timestamp(_)), dTs.map(_ => dVal))
+    }
+    (AsofBuf(dTs, dId, dVal, pending), out.result())
+  }
+
+  /** Streaming AS-OF join — the live feature-store join (the streaming
+    * face of q26): facts ("f") pick up the latest dimension update
+    * ("d") at or below their event time, per key. Spark has no
+    * stream-stream as-of join; the composition here is the st07
+    * reorder machinery on a two-sided input: both streams union into
+    * one keyed stream, rows wait in a lateness-bounded buffer, and
+    * once the watermark seals a fact's timestamp NO dim at or below it
+    * can still be accepted — so each fact emits exactly once, with
+    * exactly the dim a batch as-of join over the same data matches
+    * (StreamingSpec proves multi-batch == batch through late
+    * cross-side reorderings).
+    *
+    * State per key is the latest SEALED dim (sealed dims collapse —
+    * O(1) forever) plus the reorder buffer (bounded by the lateness
+    * window). On a batch Dataset the same fold runs once per key —
+    * the gated, DuckDB-ASOF-JOIN-oracled face (st09). */
+  def asofState(events: Dataset[AsofEvent],
+                lateness: String = "10 minutes"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofBuf, AsofOut](
+        OutputMode.Append(), timeoutConf) {
+        (key: Long, it: Iterator[AsofEvent], state: GroupState[AsofBuf]) =>
+          val incoming = it.map(e => (e.ts.getTime, e.side, e.id, e.value)).toSeq
+          val empty = AsofBuf(None, 0L, 0.0, Nil)
+          if (streaming) {
+            val prev = state.getOption.getOrElse(empty)
+            val wm = state.getCurrentWatermarkMs()
+            val (next, outs) = asofSeal(prev, incoming, wm)
+            state.update(next)
+            if (next.buf.nonEmpty)
+              state.setTimeoutTimestamp(math.max(next.buf.map(_._1).min, wm + 1))
+            outs.iterator.map(_.copy(key = key))
+          } else {
+            val (_, outs) = asofSeal(empty, incoming, Long.MaxValue)
+            state.remove()
+            outs.iterator.map(_.copy(key = key))
           }
       }
   }

@@ -70,6 +70,16 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("t15/t16: vocabulary scoring is row-local — models are hashed plan " +
+       "references, the corpus scan pays no hash Exchange") {
+    val p15 = plan("t15_oov_rate")
+    assert(p15.contains("vocab_stats"), p15)
+    assert(!p15.contains("Exchange hashpartitioning"), p15)
+    val p16 = plan("t16_bigram_surprise")
+    assert(p16.contains("bigram_surprise"), p16)
+    assert(!p16.contains("Exchange hashpartitioning"), p16)
+  }
+
   test("q26: asof join is a single shuffle — one Exchange feeding the window") {
     val p = plan("q26_asof_join")
     // exchanges: union→window shuffle + final orderBy range partition;

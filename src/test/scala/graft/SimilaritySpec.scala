@@ -113,4 +113,35 @@ class SimilaritySpec extends TestSpark {
       .as[Double].head()
     assert(math.abs(got - expected) < 1e-9)
   }
+
+  test("knnJoin ranks same-cluster neighbours for EVERY vector") {
+    val out = Similarity.knnJoin(clustered, k = 3)
+      .select("query_id", "rank", "vec_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    // every one of the 60 vectors is a query (tight clusters of 20 —
+    // LSH blocking cannot isolate anybody)
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size === 60, s"queries: ${byQuery.size}")
+    for ((q, rows) <- byQuery) {
+      val sorted = rows.sortBy(_._2)
+      // ranks contiguous from 1, cos non-increasing
+      assert(sorted.map(_._2).toSeq === (1 to sorted.size).toSeq)
+      assert(sorted.map(_._4).toSeq.reverse.sorted.reverse ===
+        sorted.map(_._4).toSeq)
+      // all neighbours of a clustered vector are same-cluster
+      assert(rows.forall { case (_, _, v, _) => v / 100 === q / 100 },
+        s"query $q pulled cross-cluster neighbours")
+    }
+  }
+
+  test("knnJoin agrees with brute force where candidates exist") {
+    // with 3 tight clusters every exact top-3 neighbour shares all
+    // bands with its query, so the kNN graph must equal brute force
+    val exact = Similarity.bruteForceTopK(clustered, clustered, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val knn = Similarity.knnJoin(clustered, 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & knn).size.toDouble / exact.size
+    assert(recall >= 0.9, s"knn-graph recall $recall too low")
+  }
 }

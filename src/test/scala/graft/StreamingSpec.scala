@@ -470,4 +470,76 @@ class StreamingSpec extends TestSpark {
     // every event lands in exactly one session
     assert(sessions.map(_.n_events.toLong).sum === events.count())
   }
+
+  test("asofState: a late dim claims a buffered fact; equal-ts dim applies; " +
+       "multi-batch == single-batch == batch, each fact exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    def dim(k: Long, m: Long, id: Long, v: Double) =
+      Streams.AsofEvent(k, ts(m), "d", id, v)
+    def fact(k: Long, m: Long, id: Long) =
+      Streams.AsofEvent(k, ts(m), "f", id, 0.0)
+    // key 1: fact at t5 arrives FIRST; the dim at t3 that should match
+    // it arrives a batch later (late but inside the lateness window) —
+    // a naive "match on arrival" join would emit (fact@5, dim@1).
+    // key 2: dim shares the fact's exact timestamp (asof >= applies it)
+    // and a second equal-ts dim with higher id wins (arg_max rule).
+    // key 3: fact before any dim → null match.
+    val b1 = Seq(dim(1, 1, 10, 1.0), fact(1, 5, 11),
+      dim(2, 4, 20, 5.0), fact(3, 2, 30))
+    val b2 = Seq(dim(1, 3, 12, 3.0), fact(2, 4, 21), dim(2, 4, 22, 7.0))
+    val sent1 = Seq(fact(999, 10000, 990))
+    val sent2 = Seq(fact(999, 20000, 991))
+    val evs = b1 ++ b2
+
+    def run(name: String, batches: Seq[Seq[Streams.AsofEvent]]) = {
+      val ms = MemoryStream[Streams.AsofEvent](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.AsofEvent](),
+        spark.sqlContext)
+      val q = Streams.asofState(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).as[Streams.AsofOut].collect().toSeq
+        .filter(_.key != 999)
+        .map(o => (o.key, o.fact_id, o.fact_ts.getTime,
+          o.dim_ts.map(_.getTime), o.dim_value))
+        .sortBy(x => (x._1, x._2))
+    }
+
+    val want = Seq(
+      (1L, 11L, ts(5).getTime, Some(ts(3).getTime), Some(3.0)),
+      (2L, 21L, ts(4).getTime, Some(ts(4).getTime), Some(7.0)),
+      (3L, 30L, ts(2).getTime, None, None))
+    val multi = run("asof_multi", Seq(b1, b2, sent1, sent2))
+    val single = run("asof_single", Seq(evs, sent1, sent2))
+    val batch = Streams.asofState(evs.toDS()).collect().toSeq
+      .map(o => (o.key, o.fact_id, o.fact_ts.getTime,
+        o.dim_ts.map(_.getTime), o.dim_value))
+      .sortBy(x => (x._1, x._2))
+    // exactly-once: one output row per fact, no retractions/duplicates
+    assert(multi === want)
+    assert(single === want)
+    assert(batch === want)
+  }
+
+  test("asofSeal: buffer holds exactly the above-watermark rows; sealed " +
+       "dims collapse to one triple under a stalled watermark") {
+    val e0 = graft.streaming.AsofBuf(None, 0L, 0.0, Nil)
+    // watermark stalled at 100: everything above buffers, nothing emits
+    val rows = (1 to 40).map(i => (100L + i, if (i % 2 == 0) "d" else "f",
+      i.toLong, i * 1.0))
+    val (s1, out1) = Streams.asofSeal(e0, rows, wm = 100L)
+    assert(out1.isEmpty)
+    assert(s1.buf.size === 40 && s1.dimTs.isEmpty)
+    // watermark jumps past all: every fact emits once, dims collapse
+    // to the single latest triple (ts=140, id=40, v=40.0)
+    val (s2, out2) = Streams.asofSeal(s1, Nil, wm = 1000L)
+    assert(s2.buf.isEmpty)
+    assert(out2.size === 20)
+    assert(s2.dimTs === Some(140L) && s2.dimId === 40L && s2.dimVal === 40.0)
+    // a fact between two dims matched the dim below it, not above
+    val f103 = out2.find(_.fact_id == 3L).get
+    assert(f103.dim_ts.map(_.getTime) === Some(102L) && f103.dim_value === Some(2.0))
+  }
 }
