@@ -81,9 +81,10 @@ object Bench {
     // vocab-sized aggregate, applied row-locally as a hashed plan
     // reference — zero corpus shuffle
     "t15_oov_rate", "t16_bigram_surprise",
-    // round-9: kNN join (banded self-join blocking, pair-once scoring)
-    // and the streaming as-of join's gated batch face
-    "s05_knn_join", "st09_stream_asof")
+    // round-9: kNN join (banded self-join blocking, pair-once scoring),
+    // the streaming as-of join's gated batch face, and the audio
+    // envelope fingerprint (row-local mapPartitions codec)
+    "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

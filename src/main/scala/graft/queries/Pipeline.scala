@@ -151,6 +151,36 @@ object Pipeline {
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
+  /** DuckDB replica of m07's audio energy-delta fingerprint over the
+    * ASCII stub path (bytes == code points, m05's guard): 65
+    * exact-boundary window means over the byte stream, delta bits,
+    * integer window stats. */
+  private def m07Oracle: String = {
+    val fpTerms = (0 until 64).map { f =>
+      s"CASE WHEN e[${f + 2}] > e[${f + 1}] THEN ${1L << f} ELSE 0 END"
+    }.mkString("\n                 + ")
+    s"""WITH base AS (
+          SELECT doc_id, text, length(text) AS len FROM documents
+          WHERE CASE WHEN length(text) = octet_length(encode(text))
+                     THEN true
+                     ELSE error('m07 oracle requires a pure-ASCII corpus: doc '
+                                || doc_id || ' has multi-byte text') END),
+        en AS (
+          SELECT doc_id,
+                 list_transform(range(0, 65), f ->
+                   CASE WHEN ((f+1)*len)//65 > (f*len)//65 THEN
+                     list_sum(list_transform(range((f*len)//65, ((f+1)*len)//65),
+                       i -> unicode(substr(text, CAST(i+1 AS INT), 1))))
+                       // (((f+1)*len)//65 - (f*len)//65)
+                   ELSE 0 END) AS e
+          FROM base)
+        SELECT doc_id,
+               $fpTerms AS fp,
+               CAST(list_max(e) AS BIGINT) AS e_peak,
+               CAST(list_sum(e) // 65 AS BIGINT) AS e_mean
+        FROM en ORDER BY doc_id"""
+  }
+
   /** DuckDB replica of embedding near-dup pairs (d05). */
   private def d05Oracle(minCos: Double, nBits: Int, bands: Int, seed: Long): String =
     s"""WITH ${hyperBandCtes(nBits, bands, seed)},
@@ -2398,6 +2428,21 @@ object Pipeline {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id"),
       Some(m06Oracle(maxDist = 3))),
+
+    // -- audio energy-delta fingerprint (m07) ------------------------------
+    // the audio face of m05's recipe: RIFF/WAV PCM-16 decode (real
+    // path, spec'd) or unsigned bytes (stub path, gated here), 65
+    // exact-boundary window means, bit f = E(f+1) > E(f). The pair
+    // JOIN face (audioNearDupPairs, the shared pigeonhole hamming
+    // machinery) is spec-verified on real WAVs — on non-audio byte
+    // payloads envelope distances are noise (measured >= 11 on this
+    // corpus), so a pair gate would assert an empty set.
+    Q("m07_audio_fingerprint",
+      (s, d) => Multimodal.audioStats(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"))
+        .orderBy("doc_id"),
+      Some(m07Oracle)),
 
     Q("m03_frame_sample",
       (s, d) => Multimodal.frameSample(

@@ -150,4 +150,66 @@ class MultimodalSpec extends TestSpark {
     nonPcm(20) = 85 // fmt audioFormat -> not 1
     assert(Multimodal.decode(nonPcm).length === 16)
   }
+
+  /** Mono 8 kHz PCM-16 WAV with the given samples. */
+  private def wav16(samples: Seq[Int]): Array[Byte] = {
+    def le32(v: Int) = Array(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff,
+      (v >> 24) & 0xff)
+    def le16(v: Int) = Array(v & 0xff, (v >> 8) & 0xff)
+    val pcm = samples.flatMap(le16)
+    val fmt = Array('f'.toInt, 'm', 't', ' ') ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = Array('d'.toInt, 'a', 't', 'a') ++ le32(pcm.length) ++ pcm
+    val body = Array('W'.toInt, 'A', 'V', 'E') ++ fmt ++ data
+    (Array('R'.toInt, 'I', 'F', 'F') ++ le32(body.length) ++ body).map(_.toByte)
+  }
+
+  test("audioFingerprint: monotone envelopes hit the delta-bit extremes; " +
+       "WAV decode feeds |samples|, not bytes") {
+    // strictly rising |sample| envelope: every window mean above the
+    // previous -> all 64 delta bits set
+    val rising = wav16((0 until 650).map(i => i * 10))
+    assert(Multimodal.audioFingerprint(rising) === -1L)
+    // strictly falling -> no bits
+    val falling = wav16((0 until 650).map(i => (650 - i) * 10))
+    assert(Multimodal.audioFingerprint(falling) === 0L)
+    // NEGATIVE rising magnitudes: |s| rises even though s falls — the
+    // WAV path fingerprints magnitudes (a byte reading would see the
+    // two's-complement sawtooth instead)
+    val negRising = wav16((0 until 650).map(i => -i * 10))
+    assert(Multimodal.audioFingerprint(negRising) === -1L)
+  }
+
+  test("audioNearDupPairs: jittered re-encode pairs with its original; " +
+       "a different envelope does not (real WAVs)") {
+    import spark.implicits._
+    def env(i: Int) = 500 + 400 * math.sin(i / 20.0)
+    val a = wav16((0 until 1300).map(i => env(i).toInt))
+    // the same audio, slightly jittered per sample (re-encode noise)
+    val b = wav16((0 until 1300).map(i => env(i).toInt + (i % 3) - 1))
+    // same amplitude range, different envelope shape
+    val c = wav16((0 until 1300).map(i => (500 + 400 * math.sin(i / 7.0)).toInt))
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "payload")
+    val pairs = Multimodal.audioNearDupPairs(df, col("id"), col("payload"),
+        maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"jittered pair missed: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated envelope paired: $pairs")
+  }
+
+  test("audioStats matches a hand-computed byte-path envelope") {
+    import spark.implicits._
+    // 130-byte payload, 2 bytes per window, byte i holds unsigned
+    // value i: window f mean = (2f + 2f+1)/2 = 2f — strictly rising
+    val rising = (0 until 130).map(_.toByte).toArray
+    val df = Seq((7L, rising)).toDF("doc_id", "payload")
+    val r = Multimodal.audioStats(df, col("doc_id"), col("payload"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 === 7L)
+    assert(r._2 === -1L) // all 64 delta bits
+    assert(r._3 === (128 + 129) / 2) // peak = last window mean
+    val means = (0 until 65).map(f => (2 * f + 2 * f + 1) / 2L)
+    assert(r._4 === means.sum / 65)
+  }
 }

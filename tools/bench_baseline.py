@@ -37,7 +37,7 @@ HEADLINE = [
     "q52_mixture_sample", "q53_shard_pack",
     "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup",
     "t15_oov_rate", "t16_bigram_surprise",
-    "s05_knn_join", "st09_stream_asof",
+    "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint",
 ]
 
 def connect(sf_dir):
