@@ -84,7 +84,10 @@ object Bench {
     // round-9: kNN join (banded self-join blocking, pair-once scoring),
     // the streaming as-of join's gated batch face, and the audio
     // envelope fingerprint (row-local mapPartitions codec)
-    "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint")
+    "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint",
+    // round-9: incremental rollup maintenance (algebraic-state merge)
+    // and scene-cut detection (frame-energy deltas, row-local)
+    "q54_incremental_rollup", "m08_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -332,6 +332,48 @@ object Multimodal {
     Dedup.hamming64Pairs(withFp, maxDist)
   }
 
+  /** Shot-boundary (scene-cut) detection over a binary payload (m08):
+    * m03's fixed-size frame windows, integer mean energy per frame, a
+    * CUT wherever consecutive frame energies jump by more than `tau` —
+    * the video scene-detect row shape, with a real per-frame decoder
+    * slotting into the same energy position. Entirely row-local
+    * (mapPartitions codec dispatch, m02's convention); integer
+    * arithmetic only, so the gate oracle reproduces it bit-exactly
+    * over the ASCII stub path. */
+  def sceneCuts(df: DataFrame, id: Column, bin: Column,
+                frameBytes: Int = 64, tau: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), bin.as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val n = bytes.length
+          val nf = math.max((n + frameBytes - 1) / frameBytes, 1)
+          var prev = 0L
+          var cuts = 0L
+          var first: Option[Long] = None
+          var f = 0
+          while (f < nf) {
+            val i0 = f * frameBytes
+            val i1 = math.min((f + 1) * frameBytes, n)
+            var sum = 0L
+            var i = i0
+            while (i < i1) { sum += bytes(i) & 0xff; i += 1 }
+            val e = if (i1 > i0) sum / (i1 - i0) else 0L
+            if (f > 0 && math.abs(e - prev) > tau) {
+              cuts += 1
+              if (first.isEmpty) first = Some(f.toLong)
+            }
+            prev = e
+            f += 1
+          }
+          (docId, nf.toLong, cuts, first)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_cuts", "first_cut")
+  }
+
   /** Near-duplicate images: dHash per payload (mapPartitions — a real
     * codec would init once per partition), then the shared pigeonhole
     * hamming join ([[Dedup.hamming64Pairs]]). Never all-pairs. */

@@ -2444,6 +2444,47 @@ object Pipeline {
         .orderBy("doc_id"),
       Some(m07Oracle)),
 
+    // -- scene-cut detection (m08) -----------------------------------------
+    // the video face of the frame pipeline: m03's 64-byte frame
+    // windows, integer mean energy per frame, a cut where consecutive
+    // energies jump by > 4 (real per-frame decoders slot into the
+    // same energy position). Row-local; bit-exact oracle via the
+    // ASCII stub path (m05's guard).
+    Q("m08_scene_cuts",
+      (s, d) => Multimodal.sceneCuts(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"), frameBytes = 64, tau = 4)
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+                SELECT doc_id, text, length(text) AS len FROM documents
+                WHERE CASE WHEN length(text) = octet_length(encode(text))
+                           THEN true
+                           ELSE error('m08 oracle requires a pure-ASCII corpus: doc '
+                                      || doc_id || ' has multi-byte text') END),
+              fr AS (
+                SELECT doc_id, len, text,
+                       unnest(range(0, GREATEST((len + 63)//64, 1))) AS fi
+                FROM base),
+              en AS (
+                SELECT doc_id, fi,
+                       CASE WHEN LEAST((fi+1)*64, len) > fi*64 THEN
+                         list_sum(list_transform(
+                           range(fi*64, LEAST((fi+1)*64, len)),
+                           i -> unicode(substr(text, CAST(i+1 AS INT), 1))))
+                           // (LEAST((fi+1)*64, len) - fi*64)
+                       ELSE 0 END AS e
+                FROM fr),
+              dd AS (
+                SELECT doc_id, fi, e,
+                       lag(e) OVER (PARTITION BY doc_id ORDER BY fi) AS pe
+                FROM en)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                     CAST(count(*) FILTER (WHERE pe IS NOT NULL
+                       AND abs(e - pe) > 4) AS BIGINT) AS n_cuts,
+                     CAST(min(fi) FILTER (WHERE pe IS NOT NULL
+                       AND abs(e - pe) > 4) AS BIGINT) AS first_cut
+              FROM dd GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("m03_frame_sample",
       (s, d) => Multimodal.frameSample(
           t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),

@@ -502,6 +502,38 @@ object Relational {
                        AS week_offset,
                      COUNT(DISTINCT ev.user_id) AS n_users
               FROM ev JOIN firsts ON ev.user_id = firsts.user_id
-              GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""))
+              GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
+    // -- incremental rollup maintenance (q54) ------------------------------
+    // materialized-view maintenance without rescanning the corpus: a
+    // daily rollup SNAPSHOT (events before the cutoff — yesterday's
+    // artifact, at 100 TB read back rollup-sized from storage) merges
+    // with the DELTA partition's rollup by re-aggregating the
+    // ALGEBRAIC state (counts add; decimal sums add exactly — the
+    // merge is associative precisely because the per-row doubles were
+    // lifted to DECIMAL(27,4), q24's determinism recipe, so
+    // snapshot+delta is bit-identical to the full recompute the
+    // oracle runs). Merge cost is |rollup| + |delta|, never |corpus|.
+    Q("q54_incremental_rollup",
+      (s, d) => {
+        val cutoff = lit("2024-01-21").cast("timestamp")
+        def part(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D4)).as("sv"))
+        val ev = t(s, d, "events")
+        val snap = part(ev.filter(col("ts") < cutoff))
+        val delta = part(ev.filter(col("ts") >= cutoff))
+        snap.unionByName(delta)
+          .groupBy("day", "event_type")
+          .agg(sum("cnt").as("cnt"),
+            sum("sv").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+          .orderBy("day", "event_type")
+      },
+      // CAST: DuckDB's date_trunc('day') yields DATE where Spark (and
+      // its own 'hour') yield TIMESTAMP
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      event_type,
+                      COUNT(*) AS cnt, ${sqlSum("value")} AS sum_value
+               FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
   )
 }

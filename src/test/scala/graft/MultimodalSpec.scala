@@ -212,4 +212,28 @@ class MultimodalSpec extends TestSpark {
     val means = (0 until 65).map(f => (2 * f + 2 * f + 1) / 2L)
     assert(r._4 === means.sum / 65)
   }
+
+  test("sceneCuts: energy jumps between frames are cuts; flat payloads " +
+       "and sub-frame payloads are not") {
+    import spark.implicits._
+    // frames of 64 bytes: [10]*64, [100]*64, [100]*64, [12]*64 →
+    // cuts at frames 1 and 3; first_cut = 1
+    val jumpy = (Array.fill(64)(10) ++ Array.fill(64)(100) ++
+      Array.fill(64)(100) ++ Array.fill(64)(12)).map(_.toByte)
+    // flat: one energy everywhere → 0 cuts
+    val flat = Array.fill(200)(42.toByte)
+    // sub-frame: single partial frame, no previous frame to cut from
+    val tiny = Array.fill(10)(99.toByte)
+    val empty = Array.empty[Byte]
+    val df = Seq((1L, jumpy), (2L, flat), (3L, tiny), (4L, empty))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.sceneCuts(df, col("doc_id"), col("payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(1L) === ((4L, 2L, Some(1L))))
+    assert(out(2L) === ((4L, 0L, None)))   // 200/64 → 4 frames, all 42
+    assert(out(3L) === ((1L, 0L, None)))
+    assert(out(4L) === ((1L, 0L, None)))   // empty payload = 1 zero frame
+  }
 }
