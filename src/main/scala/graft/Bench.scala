@@ -85,9 +85,10 @@ object Bench {
     // the streaming as-of join's gated batch face, and the audio
     // envelope fingerprint (row-local mapPartitions codec)
     "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint",
-    // round-9: incremental rollup maintenance (algebraic-state merge)
-    // and scene-cut detection (frame-energy deltas, row-local)
-    "q54_incremental_rollup", "m08_scene_cuts")
+    // round-9: incremental rollup maintenance (algebraic-state merge),
+    // scene-cut detection (frame-energy deltas, row-local), and
+    // content-defined-chunking span removal (CDC boundaries)
+    "q54_incremental_rollup", "m08_scene_cuts", "d17_cdc_segment_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

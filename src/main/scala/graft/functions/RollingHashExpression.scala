@@ -64,7 +64,70 @@ object RollingFingerprintUtil {
   }
 }
 
+/** Content-defined segmentation of a token array (the rsync/LBFS
+  * chunking idea lifted to tokens, d17): token i CLOSES its segment
+  * iff `rolling_fingerprint(token) % modB == 0` (the final token
+  * always closes), giving expected segment length modB. Because
+  * boundaries depend only on CONTENT, an insertion or deletion
+  * re-keys at most the segment it lands in — the boundaries
+  * downstream resynchronize. d16's aligned windows cannot do this:
+  * one token prepended shifts every later window and re-keys the
+  * whole document. One codegen'd pass per row; segments come back
+  * space-joined. */
+case class CdcSegments(child: Expression, modB: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_segments"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_segments needs array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcSegmentUtil.segments(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], modB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcSegmentUtil.segments($c, $modB);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcSegmentUtil {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static (codegen-callable) core of [[CdcSegments]]. */
+  def segments(tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+               modB: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[AnyRef]()
+    var segStart = 0
+    var i = 0
+    while (i < n) {
+      val tok = tokens.getUTF8String(i)
+      val fp = if (tok == null) 0L else RollingFingerprintUtil.compute(tok)
+      if (fp % modB == 0 || i == n - 1) {
+        val parts = new Array[UTF8String](i - segStart + 1)
+        var j = segStart
+        while (j <= i) { parts(j - segStart) = tokens.getUTF8String(j); j += 1 }
+        out.add(UTF8String.concatWs(SPACE, parts: _*))
+        segStart = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object RollingHashFunctions {
   def fingerprint(text: Column): Column =
     GraftInternal.column(RollingFingerprint(GraftInternal.expression(text)))
+  def cdcSegments(tokens: Column, modB: Int): Column =
+    GraftInternal.column(CdcSegments(GraftInternal.expression(tokens), modB))
 }

@@ -869,4 +869,38 @@ object Dedup {
         (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
         array_join(col("kept"), " ").as("cleaned_text"))
   }
+
+  /** Duplicated-span removal with CONTENT-DEFINED boundaries (d17) —
+    * the rsync/LBFS chunking upgrade over [[segmentDedup]]'s aligned
+    * windows: a token closes its segment iff
+    * `rolling_fingerprint(token) % modB == 0` (expected length modB,
+    * one codegen'd pass — functions/RollingHashExpression.scala
+    * `CdcSegments`). Aligned windows re-key EVERY later segment when
+    * one token is inserted upstream, so a shifted copy of boilerplate
+    * never reaches the hot count; CDC boundaries depend only on
+    * content and resynchronize right after the edit — the shifted
+    * copies produce the SAME segments and dedup together
+    * (DedupSpec proves exactly this split). Same two-scan shape as
+    * d16: a map-side-combined segment count builds the tiny hot set,
+    * which rides back as a hashed plan reference for the row-local
+    * rebuild — zero corpus shuffle. */
+  def cdcSegmentDedup(docs: DataFrame, idCol: Column, textCol: Column,
+                      modB: Int = 8, maxCount: Long = 2): DataFrame = {
+    def segmentsOf(text: Column): Column =
+      graft.functions.RollingHashFunctions.cdcSegments(split(text, " "), modB)
+    val hot: Array[String] = docs
+      .select(explode(segmentsOf(textCol)).as("seg"))
+      .groupBy("seg").count()
+      .filter(col("count") > maxCount)
+      .select("seg").collect().map(_.getString(0)).sorted
+    docs.select(idCol.as("doc_id"), segmentsOf(textCol).as("segs"))
+      .select(col("doc_id"), col("segs"),
+        filter(col("segs"),
+          s => !graft.functions.SetFunctions.inStringSet(s, hot.toSeq))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_seg"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
 }

@@ -1153,6 +1153,60 @@ object Pipeline {
               FROM segs GROUP BY doc_id
               ORDER BY doc_id""")),
 
+    // -- content-defined-chunking span removal (d17) -----------------------
+    // d16 with rsync/LBFS boundaries: a token closes its segment iff
+    // rolling_fingerprint(token) % 8 == 0, so segment boundaries
+    // depend only on content and RESYNCHRONIZE after an upstream
+    // insertion — the duplicated span a shifted copy carries still
+    // produces identical segments and reaches the hot count, where
+    // d16's aligned windows re-key the whole document (DedupSpec
+    // proves the split). Same zero-corpus-shuffle two-scan shape.
+    // The oracle re-derives the per-token fingerprint (t04's
+    // list_reduce form), marks closers, assigns segments by an
+    // exclusive running sum of closers, and replays the hot-set cut.
+    Q("d17_cdc_segment_dedup",
+      (s, d) => Dedup.cdcSegmentDedup(
+          t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+                   tok AS (SELECT doc_id, generate_subscripts(t, 1) AS ti,
+                                  unnest(t) AS tokv
+                           FROM tk),
+                   fps AS (SELECT doc_id, ti, tokv,
+                             CASE WHEN tokv = '' THEN 0 ELSE
+                               list_reduce(list_transform(string_split(tokv, ''),
+                                   ch -> CAST(unicode(ch) AS BIGINT)),
+                                 (a, b) -> (a * 131 + b) % 2147483647)
+                                 * 2147483648
+                               + list_reduce(list_transform(string_split(tokv, ''),
+                                   ch -> CAST(unicode(ch) AS BIGINT)),
+                                 (a, b) -> (a * 257 + b) % 2147483647)
+                             END AS fp
+                           FROM tok),
+                   sg AS (SELECT doc_id, ti, tokv,
+                            COALESCE(SUM(CASE WHEN fp % 8 = 0 THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY ti
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS segid
+                           FROM fps),
+                   segs AS (SELECT doc_id, segid,
+                                   string_agg(tokv, ' ' ORDER BY ti) AS seg,
+                                   min(ti) AS si
+                            FROM sg GROUP BY doc_id, segid),
+                   hot AS (SELECT seg FROM segs
+                           GROUP BY seg HAVING count(*) > 2)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_seg,
+                     CAST(count(*) FILTER (
+                       WHERE seg IN (SELECT seg FROM hot)) AS BIGINT)
+                       AS n_dropped,
+                     COALESCE(string_agg(seg, ' ' ORDER BY si) FILTER (
+                       WHERE seg NOT IN (SELECT seg FROM hot)), '')
+                       AS cleaned_text
+              FROM segs GROUP BY doc_id
+              ORDER BY doc_id""")),
+
     // -- end-to-end corpus dedup (exact → LSH pairs → clusters → keep reps)
     Q("d07_dedup_corpus",
       (s, d) => Dedup.dedupCorpus(

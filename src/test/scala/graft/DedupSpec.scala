@@ -339,6 +339,45 @@ class DedupSpec extends TestSpark {
     assert(got.map(_._1) === corpus.map(_._1).sorted)
   }
 
+  test("cdcSegmentDedup: SHIFTED boilerplate resynchronizes and dedups — " +
+       "the exact split aligned windows cannot make") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(w: String) = graft.functions.RollingFingerprintUtil
+      .compute(UTF8String.fromString(w))
+    // derive anchor (fp%8==0, closes a segment) and non-anchor words
+    // from the operator's own fingerprint — no magic constants
+    val pool = (1 to 500).map(i => s"w$i")
+    val anchors = pool.filter(w => fp(w) % 8 == 0)
+    val nons = pool.filter(w => fp(w) % 8 != 0)
+    assert(anchors.size >= 2 && nons.size >= 8)
+    val (a1, a2) = (anchors(0), anchors(1))
+    val n = nons
+    // boilerplate = two content-defined segments: [n0 n1 a1] [n2 n3 a2]
+    val boiler = s"${n(0)} ${n(1)} $a1 ${n(2)} ${n(3)} $a2"
+    val corpus = Seq(
+      (1L, s"$boiler ${n(4)}"),
+      (2L, s"$boiler ${n(5)}"),
+      (3L, s"${n(6)} $boiler ${n(7)}")) // boilerplate SHIFTED one token
+    // doc 3's prefix corrupts only the FIRST boilerplate segment (it
+    // lands inside it); the second segment's boundary resynchronizes
+    // at a1, so [n2 n3 a2] reaches count 3 > 2 and is cut EVERYWHERE
+    val cdc = Dedup.cdcSegmentDedup(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(cdc === Seq(
+      (1L, 3L, 1L, s"${n(0)} ${n(1)} $a1 ${n(4)}"),
+      (2L, 3L, 1L, s"${n(0)} ${n(1)} $a1 ${n(5)}"),
+      (3L, 3L, 1L, s"${n(6)} ${n(0)} ${n(1)} $a1 ${n(7)}")))
+    // the aligned-window operator on the SAME corpus cuts nothing:
+    // docs 1/2 and the shifted doc 3 window differently, every
+    // whole-window segment is unique
+    val aligned = Dedup.segmentDedup(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(_.getLong(2)).sum
+    assert(aligned === 0L)
+  }
+
   test("segmentDedup with nothing hot is the identity on text") {
     val corpus = (1L to 6L).map(i =>
       (i, s"doc $i words only appear once each time ever token$i"))

@@ -38,7 +38,7 @@ HEADLINE = [
     "d15_domain_cap", "t14_bpe_apply", "d16_segment_dedup",
     "t15_oov_rate", "t16_bigram_surprise",
     "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint",
-    "q54_incremental_rollup", "m08_scene_cuts",
+    "q54_incremental_rollup", "m08_scene_cuts", "d17_cdc_segment_dedup",
 ]
 
 def connect(sf_dir):
