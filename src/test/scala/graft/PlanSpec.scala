@@ -80,6 +80,23 @@ class PlanSpec extends TestSpark {
     assert(!p16.contains("Exchange hashpartitioning"), p16)
   }
 
+  test("d17: CDC rebuild is row-local — cdc_segments in the scan, hashed " +
+       "hot-set probe, no hash Exchange") {
+    val p = plan("d17_cdc_segment_dedup")
+    assert(p.contains("cdc_segments"), p)
+    assert(p.contains("in_string_set"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q54: the rollup merge re-aggregates DECIMAL partial state — " +
+       "both branches partial-aggregate before their exchanges") {
+    val p = plan("q54_incremental_rollup")
+    // snapshot + delta each combine map-side; the merge is a third
+    // (rollup-sized) aggregate — no corpus-sized rows cross twice
+    assert("partial_sum".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("decimal(27,4)") || p.contains("DecimalType(27,4)"), p)
+  }
+
   test("q26: asof join is a single shuffle — one Exchange feeding the window") {
     val p = plan("q26_asof_join")
     // exchanges: union→window shuffle + final orderBy range partition;
