@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BloomHitCount, BloomSketch, CmsEstimate, CmsSketch,
-  FloatVectorDot, HashedShingles, HyperplaneSignature, KmvSketch,
-  MinHashSignature, NearestCells, RollingFingerprint, SimHash64}
+import graft.functions.{BloomHitCount, BloomSketch, CdcSegments,
+  CmsEstimate, CmsSketch, FloatVectorDot, HashedShingles,
+  HyperplaneSignature, KmvSketch, MinHashSignature, NearestCells,
+  RollingFingerprint, SimHash64, TermCountMap}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * SQL: `spark.sql.extensions=graft.GraftExtensions` →
@@ -161,6 +162,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         arity("nearest_cells", args, 2, 3)
         NearestCells(args(0), args(1), intArg("nearest_cells", args, 2, 1L).toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("term_counts"),
+      info("term_counts",
+        "_FUNC_(tokens) - per-row (term -> count) map of a string array, " +
+          "keys sorted bytewise, empty tokens skipped"),
+      (args: Seq[Expression]) => {
+        arity("term_counts", args, 1, 1); TermCountMap(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_segments"),
+      info("cdc_segments",
+        "_FUNC_(tokens[, modB]) - content-defined segmentation of a string " +
+          "array: a token closes its segment iff rolling_fingerprint(token) " +
+          "% modB == 0; segments come back space-joined"),
+      (args: Seq[Expression]) => {
+        arity("cdc_segments", args, 1, 2)
+        val modB = intArg("cdc_segments", args, 1, 8L).toInt
+        if (modB < 1) throw new IllegalArgumentException(
+          s"cdc_segments: modB must be >= 1, got $modB")
+        CdcSegments(args.head, modB)
       }))
   }
 }

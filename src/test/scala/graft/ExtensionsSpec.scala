@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The SQL surface of the native expressions: everything registered by
@@ -114,5 +115,31 @@ class ExtensionsSpec extends TestSpark {
         .hashedShingles(col("toks"), n = 3).as("h"))
       .head().getSeq[Long](0)
     assert(withNull === withEmpty)
+  }
+
+  test("term_counts and cdc_segments are callable from pure SQL and agree " +
+       "with the library column API") {
+    val tc = spark.sql(
+      "SELECT term_counts(array('b', 'a', 'b', '')) AS m")
+      .head().getMap[String, Long](0)
+    assert(tc === Map("a" -> 1L, "b" -> 2L))
+    // library form produces the identical map
+    val lib = spark.sql("SELECT array('b', 'a', 'b', '') AS t")
+      .select(graft.functions.TermCountFunctions.termCounts(col("t")).as("m"))
+      .head().getMap[String, Long](0)
+    assert(tc === lib)
+    // cdc_segments: modB=1 means every token closes its own segment
+    val segs = spark.sql(
+      "SELECT cdc_segments(array('x', 'y', 'z'), 1) AS s")
+      .head().getSeq[String](0)
+    assert(segs === Seq("x", "y", "z"))
+    // default modB=8 agrees with the library builder
+    val sql8 = spark.sql("SELECT cdc_segments(array('w1','w2','w3','w4')) AS s")
+      .head().getSeq[String](0)
+    val lib8 = spark.sql("SELECT array('w1','w2','w3','w4') AS t")
+      .select(graft.functions.RollingHashFunctions
+        .cdcSegments(col("t"), 8).as("s"))
+      .head().getSeq[String](0)
+    assert(sql8 === lib8)
   }
 }
