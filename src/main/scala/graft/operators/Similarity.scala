@@ -110,17 +110,22 @@ object Similarity {
     * one corpus scan whose exploded (cell, dim) partial sums shrink
     * map-side to nCells×dims rows. Centroid means use decimal-exact
     * sums so cell boundaries are identical across runs/partitionings. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 1): DataFrame = {
-    // deterministic pseudo-random seeds: top-nCells by hashed id (md5
-    // of the decimal id string — same hex, and so the same order, in
-    // any engine, which keeps the whole pipeline oracle-checkable).
-    // Collapsed straight to the one-row positional array: cell_id =
-    // index in the vec_id-sorted seed array, so no global window runs
-    // anywhere in the pipeline (row_number over an unpartitioned
-    // Window drags every row to one partition and warns on every run,
-    // even for the 16 seed rows it was bounded to here).
+  /** Deterministic IVF centroid training shared by [[ivfTopK]] and
+    * [[semDedup]]: md5-hash-ordered seeding (top-nCells by md5 of the
+    * decimal id string — same hex, and so the same order, in any
+    * engine, which keeps every consumer oracle-checkable), then
+    * `lloydIters` k-means steps. Collapsed straight to the one-row
+    * positional array: cell_id = index in the vec_id-sorted seed
+    * array, so no global window runs anywhere in the pipeline
+    * (row_number over an unpartitioned Window drags every row to one
+    * partition and warns on every run, even for the 16 seed rows it
+    * was bounded to here). Each Lloyd step is one corpus scan whose
+    * exploded (cell, dim) partial sums shrink map-side to
+    * nCells×dims rows; element-wise decimal-exact means keep cell
+    * boundaries identical across runs/partitionings; cells are
+    * renumbered by position each step (empty cells drop out). */
+  private def trainCentroids(corpus: DataFrame, nCells: Int,
+                             lloydIters: Int): DataFrame = {
     val seeds = corpus
       .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
         col("vec_id").asc)
@@ -129,8 +134,6 @@ object Similarity {
         array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
         s => s.getField("embedding")).as("cents"))
 
-    // one Lloyd step: element-wise decimal-exact mean per cell; cells
-    // are renumbered by position each step (empty cells drop out)
     def step1(centsArr: DataFrame): DataFrame =
       centsArray(assignCells(corpus, centsArr, 1)
         .select(element_at(col("cells"), 1).as("cell_id"),
@@ -142,7 +145,13 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid")))
 
-    val centroids = (0 until lloydIters).foldLeft(seeds)((c, _) => step1(c))
+    (0 until lloydIters).foldLeft(seeds)((c, _) => step1(c))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, lloydIters)
 
     val corpusCells = assignCells(corpus, centroids, 1)
       .select(col("vec_id"), col("embedding"),
@@ -380,5 +389,48 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     both.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "vec_id", "cos")
+  }
+
+  /** SEMANTIC dedup (the SemDeDup shape): cluster embeddings into IVF
+    * cells, mine cosine >= `eps` pairs INSIDE cells only, and drop the
+    * higher id of every such pair — keeping, per epsilon-clique, the
+    * lowest-id member. Returns the survivors with their cluster
+    * representative (the min surviving vec_id of the cell — a label
+    * both engines can derive, unlike the positional cell id, which
+    * this pipeline renumbers per Lloyd step while the oracle keeps
+    * seed ids).
+    *
+    * This is the embedding-level complement of d05: d05 finds ALL
+    * near-dup pairs via signature banding (pairs can cross any
+    * bucket); semDedup trades that recall for a clustering the
+    * curation pipelines prune with — candidate generation is one
+    * cell-keyed self-join, so a pair is considered exactly when both
+    * members land in the same cell (the published SemDeDup design).
+    *
+    * Scale shape: centroids train on map-side-shrinking corpus scans
+    * and travel by broadcast ([[trainCentroids]]); assignment is
+    * row-local; the corpus then shuffles ONCE keyed by cell (exactly
+    * a groupBy-sized exchange), and the quadratic pair stage is
+    * bounded per cell — at 100 TB, nCells scales with corpus size
+    * (cells of ~constant size) and a d11-style mega-cell cap bounds
+    * the worst cell. The drop rule needs no CC iteration: membership
+    * of the drop set is decided per pair, so one anti-join finishes
+    * the job. */
+  def semDedup(corpus: DataFrame, eps: Double, nCells: Int = 16,
+               lloydIters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, lloydIters)
+    val cells = assignCells(corpus, centroids, 1)
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cells"), 1).as("cell_id"))
+    val drops = cells.as("a").join(cells.as("b"),
+        col("a.cell_id") === col("b.cell_id") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) >= eps)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+    val kept = cells.join(drops, Seq("vec_id"), "left_anti")
+    val w = Window.partitionBy("cell_id")
+    kept.withColumn("cell_rep", min(col("vec_id")).over(w))
+      .select(col("vec_id"), col("cell_rep"))
   }
 }

@@ -202,8 +202,12 @@ object Pipeline {
     * monotone in the previous step's id, so the ASC tie rule picks the
     * same winner. Assumes no zero-norm centroid (true for real
     * embeddings). */
-  private def s03Oracle(k: Int, nCells: Int, nProbe: Int,
-                        lloydIters: Int = 1): String = {
+  /** The s03/q55-shared IVF CTE chain: `emb` (double-cast corpus),
+    * `seeds` (md5-ordered), one assign+mean CTE pair per Lloyd
+    * iteration, and `afin` (every vector assigned to its final cell).
+    * Returns (ctes, finalCentroidCteName) — the caller appends its
+    * own probe/pair stages. */
+  private def ivfAssignCtes(nCells: Int, lloydIters: Int): (String, String) = {
     val score = "list_dot_product(v.e, s.ce) / sqrt(list_dot_product(s.ce, s.ce))"
     val steps = (1 to lloydIters).map { i =>
       val prev = if (i == 1) "seeds" else s"cent${i - 1}"
@@ -230,7 +234,7 @@ object Pipeline {
       case s  => s + ","
     }
     val cent = if (lloydIters == 0) "seeds" else s"cent$lloydIters"
-    s"""WITH emb AS (
+    (s"""emb AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
           seeds AS (
             SELECT vec_id AS cell, e AS ce FROM emb
@@ -242,7 +246,14 @@ object Pipeline {
                      row_number() OVER (PARTITION BY v.vec_id
                        ORDER BY $score DESC, s.cell ASC) AS rn
               FROM emb v CROSS JOIN $cent s)
-            WHERE rn = 1),
+            WHERE rn = 1)""", cent)
+  }
+
+  private def s03Oracle(k: Int, nCells: Int, nProbe: Int,
+                        lloydIters: Int = 1): String = {
+    val score = "list_dot_product(v.e, s.ce) / sqrt(list_dot_product(s.ce, s.ce))"
+    val (ctes, cent) = ivfAssignCtes(nCells, lloydIters)
+    s"""WITH $ctes,
           qp AS (
             SELECT vec_id, cell FROM (
               SELECT v.vec_id, s.cell,
@@ -263,6 +274,28 @@ object Pipeline {
             FROM cand)
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+  }
+
+  /** DuckDB replica of semantic dedup (q55): the shared IVF assign
+    * chain, then in-cell `cos >= eps` pairs with the higher id
+    * dropped, survivors labeled by the min surviving vec_id of their
+    * cell (the positional-vs-seed cell-numbering difference cancels
+    * out — min-id is numbering-independent). */
+  private def q55Oracle(eps: Double, nCells: Int, lloydIters: Int): String = {
+    val (ctes, _) = ivfAssignCtes(nCells, lloydIters)
+    s"""WITH $ctes,
+          drops AS (
+            SELECT DISTINCT b.vec_id AS vec_id
+            FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN emb ea ON ea.vec_id = a.vec_id
+            JOIN emb eb ON eb.vec_id = b.vec_id
+            WHERE ${cosSql("ea.e", "eb.e")} >= $eps),
+          kept AS (
+            SELECT f.vec_id, f.cell FROM afin f
+            WHERE f.vec_id NOT IN (SELECT vec_id FROM drops))
+        SELECT vec_id, CAST(MIN(vec_id) OVER (PARTITION BY cell) AS BIGINT)
+                 AS cell_rep
+        FROM kept ORDER BY vec_id"""
   }
 
   /** DuckDB replica of the product-quantization ANN pipeline (s04):
@@ -1491,6 +1524,22 @@ object Pipeline {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
+
+    // -- semantic dedup (q55): the SemDeDup shape --------------------------
+    // cluster embeddings into IVF cells (s03's deterministic Lloyd
+    // machinery), mine cos >= eps pairs INSIDE cells only, drop the
+    // higher id of each pair — the published cluster-then-prune
+    // curation design. The corpus shuffles exactly once (keyed by
+    // cell); the quadratic stage is bounded per cell, with nCells
+    // scaling at corpus size so cells stay ~constant-sized (d11's cap
+    // logic applies to a degenerate cell). Survivors are labeled by
+    // their cell's min surviving id — a cell-numbering-independent
+    // representative both engines derive identically.
+    Q("q55_semdedup",
+      (s, d) => Similarity.semDedup(t(s, d, "embeddings"),
+          eps = 0.4, nCells = 16, lloydIters = 1)
+        .orderBy("vec_id"),
+      Some(q55Oracle(eps = 0.4, nCells = 16, lloydIters = 1))),
 
     // -- text analysis -----------------------------------------------------
     Q("t01_token_count",

@@ -144,4 +144,37 @@ class SimilaritySpec extends TestSpark {
     val recall = (exact & knn).size.toDouble / exact.size
     assert(recall >= 0.9, s"knn-graph recall $recall too low")
   }
+
+  test("semDedup collapses tight clusters to their lowest-id member") {
+    // eps=0.9: the three synthetic clusters are ~0.99 within and ~0.1
+    // across, so whenever a cell holds several same-cluster vectors
+    // only the lowest id survives. Across cells recall is bounded by
+    // the clustering (the SemDeDup contract) — so assert the DROP
+    // rule's invariants, not a fixed survivor set:
+    val cells = 6
+    val out = Similarity.semDedup(clustered, eps = 0.9, nCells = cells,
+        lloydIters = 1)
+      .as[(Long, Long)].collect()
+    val survivors = out.map(_._1).toSet
+    // survivors are unique and each cluster keeps >= 1 member
+    assert(out.length === survivors.size)
+    for (c <- 0 until 3)
+      assert(survivors.exists(_ / 100 === c), s"cluster $c wiped out")
+    // cell_rep is a surviving member and the min of its group
+    val byRep = out.groupBy(_._2)
+    for ((rep, members) <- byRep) {
+      assert(survivors.contains(rep))
+      assert(members.map(_._1).min === rep)
+    }
+    // the drop rule actually fired: 60 near-identical-in-cluster
+    // vectors cannot all survive a 6-cell clustering at eps=0.9
+    assert(survivors.size < 60, s"nothing dropped: ${survivors.size}")
+    // and every dropped vector really has a lower-id survivor it is
+    // near-identical to (same cluster — the only source of cos>=0.9)
+    val dropped = (clustered.select("vec_id").as[Long].collect().toSet
+      -- survivors)
+    for (d <- dropped)
+      assert(survivors.exists(s => s < d && s / 100 === d / 100),
+        s"dropped $d has no lower-id same-cluster survivor")
+  }
 }
