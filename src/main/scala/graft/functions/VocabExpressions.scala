@@ -120,6 +120,50 @@ case class BigramSurprise(child: Expression,
     copy(child = newChild)
 }
 
+/** `bigram_info(tokens)` → struct(n_bigrams, total_bits): per adjacent
+  * pair, the UNCONDITIONAL information content
+  * `floor(log2(max(N div c_big(w1 w2), 1)))` bits, where `N` is the
+  * total bigram-occurrence count of the model corpus — the integer
+  * exponent of the inverse pair frequency p(w1 w2). Differs from
+  * [[BigramSurprise]] (conditional p(w2|w1)) in the fallback
+  * direction: a pair ABSENT from the (top-K-pruned) table costs the
+  * maximum `floor(log2(N))` bits rather than 0 — which is what a
+  * cross-model importance weight needs (an unseen-in-target pair must
+  * read as "improbable under target", not "free"). Same integer-only
+  * discipline: floor(log2) via numberOfLeadingZeros here,
+  * `length(bin(x)) - 1` in the oracle.
+  */
+case class BigramInfo(child: Expression,
+                      big: Seq[(String, Long)],
+                      n: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("total_bits", LongType, nullable = false)))
+  override def prettyName: String = "bigram_info"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_info needs array<string>, got ${other.simpleString}")
+  }
+
+  private lazy val bigRef = new StringLongMapRef(big.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VocabUtil.bigramInfo(input.asInstanceOf[ArrayData], bigRef, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("bigMap", bigRef, classOf[StringLongMapRef].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VocabUtil.bigramInfo($c, $b, ${n}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VocabUtil {
 
   private val SPACE = UTF8String.fromString(" ")
@@ -172,6 +216,33 @@ object VocabUtil {
     }
     new GenericInternalRow(Array[Any](nBigrams, totalBits))
   }
+
+  /** Static (codegen-callable) core of [[BigramInfo]]. */
+  def bigramInfo(tokens: ArrayData, big: StringLongMapRef,
+                 n: Long): InternalRow = {
+    val m = tokens.numElements()
+    val ws = new java.util.ArrayList[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      if (!tokens.isNullAt(i)) {
+        val us = tokens.getUTF8String(i)
+        if (us != null && us.numBytes() > 0) ws.add(us)
+      }
+      i += 1
+    }
+    var nBigrams = 0L
+    var totalBits = 0L
+    var j = 1
+    while (j < ws.size()) {
+      val key = UTF8String.concat(ws.get(j - 1), SPACE, ws.get(j))
+      val q0 = n / big.getOrElse(key, 1L)
+      val q = if (q0 < 1L) 1L else q0
+      totalBits += 63 - java.lang.Long.numberOfLeadingZeros(q)
+      nBigrams += 1L
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](nBigrams, totalBits))
+  }
 }
 
 object VocabFunctions {
@@ -182,4 +253,8 @@ object VocabFunctions {
                      big: Seq[(String, Long)]): Column =
     GraftInternal.column(
       BigramSurprise(GraftInternal.expression(tokens), uni, big))
+
+  def bigramInfo(tokens: Column, big: Seq[(String, Long)], n: Long): Column =
+    GraftInternal.column(
+      BigramInfo(GraftInternal.expression(tokens), big, n))
 }

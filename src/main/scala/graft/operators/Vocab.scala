@@ -96,4 +96,50 @@ object Vocab {
         col("st.total_bits").as("total_bits"),
         expr("(1000 * st.total_bits) div greatest(st.n_bigrams, 1)").as("milli_bits"))
   }
+
+  /** Total adjacent-pair (bigram) occurrence count — the `N` of a
+    * [[graft.functions.BigramInfo]] model. One map-side-combined
+    * aggregate; `max(ntok - 1, 0)` per doc matches exactly the pair
+    * count the scorer walks (non-empty tokens only). */
+  def totalBigrams(docs: DataFrame, textCol: Column): Long =
+    docs.select(TextAnalysis.tokenCount(textCol).as("nt"))
+      .agg(sum(greatest(col("nt") - 1, lit(0L))).as("n"))
+      .collect()(0).getLong(0)
+
+  /** DSIR-style data-selection importance score (Xie et al.'s hashed
+    * n-gram importance resampling, made integer-exact): per document,
+    * `score_bits = raw_bits - tgt_bits`, where each side is the
+    * total UNCONDITIONAL bigram information of the doc under that
+    * corpus's model — `Σ floor(log2(max(N_X div c_X(pair), 1)))` with
+    * `N_X` the model corpus's total bigram count and `c_X` its
+    * top-K-pruned pair table ([[graft.functions.BigramInfo]]; a pair
+    * absent from a table costs the max `floor(log2(N_X))` bits, so
+    * unseen-in-target reads as improbable-under-target). A high score
+    * means the doc is cheaper to encode under the TARGET distribution
+    * than under the raw corpus — the docs importance resampling
+    * upweights. Plain subtraction, no division: negative scores stay
+    * exact on both engines (integer `div` rounding conventions
+    * differ; `-` does not).
+    *
+    * Train = two vocabulary-sized aggregates + two scalar counts
+    * (one pass each over raw and target); apply = ONE zero-shuffle
+    * corpus scan with both models riding the plan as hashed
+    * references. At 100 TB the target is typically sampled — both
+    * tables stay top-K-bounded regardless. */
+  def dsirScore(docs: DataFrame, idCol: Column, textCol: Column,
+                targetFilter: Column, k: Int = 64): DataFrame = {
+    val tgt = docs.filter(targetFilter)
+    val nRaw = totalBigrams(docs, textCol)
+    val nTgt = totalBigrams(tgt, textCol)
+    val bigRaw = topBigrams(docs, textCol, k)
+    val bigTgt = topBigrams(tgt, textCol, k)
+    docs.select(idCol.as("doc_id"),
+        graft.functions.VocabFunctions.bigramInfo(toks(textCol), bigRaw, nRaw).as("r"),
+        graft.functions.VocabFunctions.bigramInfo(toks(textCol), bigTgt, nTgt).as("g"))
+      .select(col("doc_id"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.total_bits").as("raw_bits"),
+        col("g.total_bits").as("tgt_bits"),
+        (col("r.total_bits") - col("g.total_bits")).as("score_bits"))
+  }
 }

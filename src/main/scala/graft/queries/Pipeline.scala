@@ -1941,6 +1941,68 @@ object Pipeline {
                FROM documents d LEFT JOIN pd USING (doc_id)
                ORDER BY doc_id""")),
 
+    // -- DSIR importance score (t17) ---------------------------------------
+    // Xie et al.'s hashed-n-gram importance resampling signal, made
+    // integer-exact: score_bits = raw_bits - tgt_bits, each side the
+    // doc's total unconditional bigram information under that model
+    // (floor(log2(max(N div c, 1))) per pair; absent-from-table pairs
+    // cost the max floor(log2(N)) — unseen-under-target must read as
+    // improbable, not free). Target = the lang='en' slice. Train =
+    // two vocab-sized aggregates + two scalar counts; apply = ONE
+    // zero-shuffle corpus scan with both models as hashed plan
+    // references. Plain subtraction keeps negatives exact (integer
+    // division rounding conventions differ between engines; `-`
+    // does not).
+    Q("t17_dsir_score",
+      (s, d) => Vocab.dsirScore(
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          targetFilter = col("lang") === "en", k = 64)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi,
+                        unnest(ws) AS w
+                 FROM (SELECT doc_id, $tok AS ws FROM documents)),
+                 t2 AS (SELECT doc_id, wi, w FROM tk WHERE w <> ''),
+                 pr AS (SELECT doc_id,
+                          lag(w) OVER (PARTITION BY doc_id ORDER BY wi) AS w1,
+                          w AS w2
+                        FROM t2),
+                 pairs AS (SELECT doc_id, w1, w2 FROM pr WHERE w1 IS NOT NULL),
+                 tp AS (SELECT p.* FROM pairs p
+                        JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+                 nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+                 ng AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tp),
+                 bigrc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                           FROM pairs GROUP BY w1, w2),
+                 bigr AS (SELECT w1, w2, c FROM (
+                     SELECT w1, w2, c, row_number() OVER (
+                       ORDER BY c DESC, w1, w2) AS rk
+                     FROM bigrc) WHERE rk <= 64),
+                 bigtc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                           FROM tp GROUP BY w1, w2),
+                 bigt AS (SELECT w1, w2, c FROM (
+                     SELECT w1, w2, c, row_number() OVER (
+                       ORDER BY c DESC, w1, w2) AS rk
+                     FROM bigtc) WHERE rk <= 64),
+                 sc AS (SELECT p.doc_id,
+                          length(bin(GREATEST(nr.n // COALESCE(br.c, 1), 1)))
+                            - 1 AS rbits,
+                          length(bin(GREATEST(ng.n // COALESCE(bt.c, 1), 1)))
+                            - 1 AS tbits
+                        FROM pairs p CROSS JOIN nr CROSS JOIN ng
+                        LEFT JOIN bigr br ON br.w1 = p.w1 AND br.w2 = p.w2
+                        LEFT JOIN bigt bt ON bt.w1 = p.w1 AND bt.w2 = p.w2),
+                 pd AS (SELECT doc_id,
+                          CAST(count(*) AS BIGINT) AS nb,
+                          CAST(sum(rbits) AS BIGINT) AS rb,
+                          CAST(sum(tbits) AS BIGINT) AS tb
+                        FROM sc GROUP BY doc_id)
+               SELECT d.doc_id, COALESCE(nb, 0) AS n_bigrams,
+                      COALESCE(rb, 0) AS raw_bits,
+                      COALESCE(tb, 0) AS tgt_bits,
+                      COALESCE(rb, 0) - COALESCE(tb, 0) AS score_bits
+               FROM documents d LEFT JOIN pd USING (doc_id)
+               ORDER BY doc_id""")),
+
     // -- tf-idf top terms (integer-deterministic relevance) ----------------
     // score_milli = tf * 1000 * N / df, floored: pure integer signal,
     // bit-identical across engines (log-based idf differs in the last

@@ -71,4 +71,37 @@ class VocabSpec extends TestSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(a == b)
   }
+
+  // target = docs 1-4 ("the cat ..."): 8 target bigrams, 18 raw.
+  // a doc full of target-frequent pairs must outscore one whose pairs
+  // only the raw corpus knows.
+  private def dsirCorpus = Seq(
+    (1L, "the cat sat", 1), (2L, "the cat sat", 1),
+    (3L, "the cat ran", 1), (4L, "the cat ran", 1),
+    (5L, "the dog sat", 0), (6L, "the dog sat", 0),
+    (7L, "the dog ran", 0), (8L, "the dog ran", 0),
+    (9L, "the cat sat", 0), (10L, "the dog sat", 0),
+    (11L, "", 0)
+  ).toDF("doc_id", "text", "is_tgt")
+
+  test("dsirScore upweights target-like docs, exact integer bits") {
+    val out = Vocab.dsirScore(dsirCorpus, col("doc_id"), col("text"),
+        targetFilter = col("is_tgt") === 1, k = 64)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // raw model: N=20 pairs; c(the cat)=5, c(cat sat)=3, c(the dog)=5,
+    // c(dog sat)=4 ... target model: N=8; c(the cat)=4, c(cat sat)=2,
+    // c(cat ran)=2, c(dog *)=absent → cost floor(log2(8))=3 bits each.
+    // doc 1 "the cat sat": raw = fl(20/5)+fl(20/3) = 2+2 = 4;
+    // tgt = fl(8/4)+fl(8/2) = 1+2 = 3 → score 1
+    assert(out(1L) == ((2L, 4L, 3L, 1L)))
+    // doc 5 "the dog sat": raw = fl(20/5)+fl(20/4) = 2+2 = 4;
+    // tgt = fl(8/1)+fl(8/1) = 3+3 = 6 → score -2 (negative stays exact)
+    assert(out(5L) == ((2L, 4L, 6L, -2L)))
+    // target-like beats target-unlike
+    assert(out(1L)._4 > out(5L)._4)
+    // blank doc: zero pairs, zero bits
+    assert(out(11L) == ((0L, 0L, 0L, 0L)))
+  }
 }
