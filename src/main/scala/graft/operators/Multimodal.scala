@@ -374,6 +374,77 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "n_cuts", "first_cut")
   }
 
+  /** Scene SIGNATURE (m09): the video near-dup key built on
+    * [[sceneCuts]]'s boundaries — a rolling hash over the sequence of
+    * CUT-TO-CUT frame intervals (deltas, not absolute positions, so
+    * two copies of the same edit offset by leading frames still
+    * collide as long as their frame grids align — the same
+    * alignment contract as m08/d16; content-defined resync is d17's
+    * job). Fold matches t04's convention exactly — DuckDB
+    * `list_reduce` semantics: the first delta seeds the accumulator,
+    * then h = (h*131 + d) mod 2147483647 per remaining delta.
+    * Row-local; docs with fewer than 2 cuts have no interval
+    * sequence and emit sig = NULL (they never pair). */
+  def sceneSignature(df: DataFrame, id: Column, bin: Column,
+                     frameBytes: Int = 64, tau: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), bin.as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val n = bytes.length
+          val nf = math.max((n + frameBytes - 1) / frameBytes, 1)
+          var prev = 0L
+          var lastCut = -1L
+          var nCuts = 0L
+          var sig = 0L
+          var seeded = false
+          var f = 0
+          while (f < nf) {
+            val i0 = f * frameBytes
+            val i1 = math.min((f + 1) * frameBytes, n)
+            var sum = 0L
+            var i = i0
+            while (i < i1) { sum += bytes(i) & 0xff; i += 1 }
+            val e = if (i1 > i0) sum / (i1 - i0) else 0L
+            if (f > 0 && math.abs(e - prev) > tau) {
+              if (lastCut >= 0) {
+                val d = f - lastCut
+                if (!seeded) { sig = d; seeded = true }
+                else sig = (sig * 131 + d) % 2147483647L
+              }
+              lastCut = f
+              nCuts += 1
+            }
+            prev = e
+            f += 1
+          }
+          (docId, nCuts, if (seeded) Some(sig) else None)
+        }
+      }
+      .toDF("doc_id", "n_cuts", "sig")
+  }
+
+  /** Near-duplicate videos (m09): equal scene signature + equal cut
+    * count, id_a < id_b. The join key is the 3-long (doc_id, n_cuts,
+    * sig) row — payloads never shuffle; at 100 TB the signature table
+    * is ~16 bytes/video and the self-join is an equi-join whose
+    * bucket sizes a d11-style cap bounds if a degenerate signature
+    * (e.g. metronomic cuts) goes hot. */
+  def videoNearDupPairs(df: DataFrame, id: Column, bin: Column,
+                        frameBytes: Int = 64, tau: Int = 4,
+                        minCuts: Long = 2L): DataFrame = {
+    val sigs = sceneSignature(df, id, bin, frameBytes, tau)
+      .filter(col("n_cuts") >= minCuts && col("sig").isNotNull)
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") &&
+        col("a.n_cuts") === col("b.n_cuts") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_cuts").as("n_cuts"))
+  }
+
   /** Near-duplicate images: dHash per payload (mapPartitions — a real
     * codec would init once per partition), then the shared pigeonhole
     * hamming join ([[Dedup.hamming64Pairs]]). Never all-pairs. */

@@ -2650,6 +2650,59 @@ object Pipeline {
                        AND abs(e - pe) > 4) AS BIGINT) AS first_cut
               FROM dd GROUP BY doc_id ORDER BY doc_id""")),
 
+    // -- video near-dup pairs (m09) ----------------------------------------
+    // equal scene SIGNATURE (rolling hash over m08's cut-to-cut frame
+    // intervals — deltas, so leading-frame offsets cancel on aligned
+    // grids) + equal cut count, id_a < id_b. Payloads never shuffle:
+    // the join carries 3 longs per video. The fold matches t04's
+    // list_reduce convention (first delta seeds the accumulator).
+    Q("m09_video_neardup",
+      (s, d) => Multimodal.videoNearDupPairs(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"), frameBytes = 64, tau = 4,
+          minCuts = 2L)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH base AS (
+                SELECT doc_id, text, length(text) AS len FROM documents
+                WHERE CASE WHEN length(text) = octet_length(encode(text))
+                           THEN true
+                           ELSE error('m09 oracle requires a pure-ASCII corpus: doc '
+                                      || doc_id || ' has multi-byte text') END),
+              fr AS (
+                SELECT doc_id, len, text,
+                       unnest(range(0, GREATEST((len + 63)//64, 1))) AS fi
+                FROM base),
+              en AS (
+                SELECT doc_id, fi,
+                       CASE WHEN LEAST((fi+1)*64, len) > fi*64 THEN
+                         list_sum(list_transform(
+                           range(fi*64, LEAST((fi+1)*64, len)),
+                           i -> unicode(substr(text, CAST(i+1 AS INT), 1))))
+                           // (LEAST((fi+1)*64, len) - fi*64)
+                       ELSE 0 END AS e
+                FROM fr),
+              dd AS (
+                SELECT doc_id, fi, e,
+                       lag(e) OVER (PARTITION BY doc_id ORDER BY fi) AS pe
+                FROM en),
+              cuts AS (
+                SELECT doc_id, fi FROM dd
+                WHERE pe IS NOT NULL AND abs(e - pe) > 4),
+              cl AS (
+                SELECT doc_id, list(fi ORDER BY fi) AS cs,
+                       CAST(count(*) AS BIGINT) AS nc
+                FROM cuts GROUP BY doc_id HAVING count(*) >= 2),
+              sg AS (
+                SELECT doc_id, nc,
+                       list_reduce(list_transform(range(2, len(cs) + 1),
+                         i -> cs[i] - cs[i - 1]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS sig
+                FROM cl)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nc AS n_cuts
+              FROM sg a JOIN sg b
+                ON a.sig = b.sig AND a.nc = b.nc AND a.doc_id < b.doc_id
+              ORDER BY id_a, id_b""")),
+
     Q("m03_frame_sample",
       (s, d) => Multimodal.frameSample(
           t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),

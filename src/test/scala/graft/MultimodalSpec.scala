@@ -236,4 +236,31 @@ class MultimodalSpec extends TestSpark {
     assert(out(3L) === ((1L, 0L, None)))
     assert(out(4L) === ((1L, 0L, None)))   // empty payload = 1 zero frame
   }
+
+  test("videoNearDupPairs: same cut rhythm pairs across a leading-frame " +
+       "offset; different rhythm and cut-poor payloads never pair") {
+    import spark.implicits._
+    def frames(es: Int*): Array[Byte] =
+      es.flatMap(e => Array.fill(64)(e.toByte)).toArray
+    // A: cuts at frames 1,3,4 → deltas [2,1]
+    val a = frames(10, 100, 100, 10, 100)
+    // B: A shifted by two leading same-energy frames → cuts at 3,5,6,
+    // SAME deltas [2,1] → pairs with A (the offset-cancel contract)
+    val b = frames(10, 10, 10, 100, 100, 10, 100)
+    // C: cuts at 1,2,3 → deltas [1,1] ≠ [2,1]
+    val c = frames(10, 100, 10, 100)
+    // D: one cut only → no interval sequence, sig NULL
+    val d = frames(10, 100)
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.videoNearDupPairs(df, col("doc_id"),
+        col("payload"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // signature fold matches the t04/list_reduce convention:
+    // deltas [2,1] → seed 2, then (2*131 + 1) % 2147483647 = 263
+    val sig = Multimodal.sceneSignature(df, col("doc_id"), col("payload"))
+      .filter(col("doc_id") === 1L).select("sig").as[Long].collect()(0)
+    assert(sig === 263L)
+  }
 }
