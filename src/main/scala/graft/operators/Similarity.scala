@@ -391,6 +391,42 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** kNN-graph CENTRALITY (s06): PageRank over the [[knnJoin]] graph,
+    * in INTEGER mass units so every engine/partitioning produces the
+    * same bits — the graph-based diversity/centrality signal
+    * embedding curation ranks with (a doc whose neighbourhood points
+    * back at it is a cluster core; fringe docs collect little mass).
+    *
+    * Each node starts with 1,000,000 mass units; one iteration is
+    * `mass'(v) = 150000 + (850 · Σ_{u→v} (mass(u) div deg(u))) div
+    * 1000` — the α=0.15 teleport in exact integer arithmetic
+    * (truncating div on non-negative values agrees between Spark's
+    * `div` and DuckDB's `//`; dangling and rounding mass simply
+    * leaks, deterministically). Two shuffles per iteration, both
+    * carrying 2-long rows: mass joins edges on src, contributions
+    * aggregate on dst — the Pregel shape with the d06 discipline
+    * (embeddings never enter the loop; the edge list is reusable
+    * across iterations and would be co-partitioned+cached on a
+    * cluster). */
+  def knnCentrality(corpus: DataFrame, k: Int, iters: Int = 2,
+                    nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val edges = knnJoin(corpus, k, nBits, bands)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = corpus.select(col("vec_id"))
+    val init = nodes.withColumn("mass", lit(1000000L))
+    (1 to iters).foldLeft(init) { (m, _) =>
+      val contrib = edges
+        .join(m.withColumnRenamed("vec_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("vec_id"), expr("mass div deg").as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("inm"))
+      nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("150000L + (850 * coalesce(inm, 0L)) div 1000").as("mass"))
+    }
+  }
+
   /** SEMANTIC dedup (the SemDeDup shape): cluster embeddings into IVF
     * cells, mine cosine >= `eps` pairs INSIDE cells only, and drop the
     * higher id of every such pair — keeping, per epsilon-clique, the

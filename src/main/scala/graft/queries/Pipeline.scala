@@ -131,10 +131,10 @@ object Pipeline {
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
 
-  /** DuckDB replica of the kNN join (s05): identical banded blocking,
-    * each unordered pair scored once, both directions ranked. */
-  private def s05Oracle(k: Int, nBits: Int, bands: Int, seed: Long): String =
-    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+  /** The s05/s06-shared kNN-graph CTE chain: banded blocking, each
+    * unordered pair scored once, both directions ranked (`ranked`). */
+  private def knnCtes(nBits: Int, bands: Int, seed: Long): String =
+    s"""${hyperBandCtes(nBits, bands, seed)},
           pairs AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                    ${cosSql("a.e", "b.e")} AS cos
@@ -147,9 +147,46 @@ object Pipeline {
           ranked AS (
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) AS INT) AS rank
-            FROM dirs)
+            FROM dirs)"""
+
+  /** DuckDB replica of the kNN join (s05). */
+  private def s05Oracle(k: Int, nBits: Int, bands: Int, seed: Long): String =
+    s"""WITH ${knnCtes(nBits, bands, seed)}
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
+
+  /** DuckDB replica of kNN-graph centrality (s06): the shared kNN
+    * chain truncated to top-k edges, then `iters` integer-PageRank
+    * steps — `mass' = 150000 + (850·Σ mass//deg)//1000` — with every
+    * intermediate HUGEINT cast back to BIGINT at the output. */
+  private def s06Oracle(k: Int, iters: Int, nBits: Int, bands: Int,
+                        seed: Long): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = if (i == 1) "m0" else s"m${i - 1}"
+      s"""m$i AS (
+            SELECT n.vec_id,
+                   CAST(150000 + (850 * COALESCE(s.inm, 0)) // 1000
+                     AS BIGINT) AS mass
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS vec_id,
+                     CAST(SUM(m.mass // d.dg) AS BIGINT) AS inm
+              FROM edges e
+              JOIN $prev m ON m.vec_id = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst) s USING (vec_id))"""
+    }.mkString(",\n          ")
+    s"""WITH ${knnCtes(nBits, bands, seed)},
+          edges AS (
+            SELECT query_id AS src, vec_id AS dst
+            FROM ranked WHERE rank <= $k),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS dg
+                  FROM edges GROUP BY src),
+          nodes AS (SELECT vec_id FROM embeddings),
+          m0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS mass
+                 FROM nodes),
+          $steps
+        SELECT vec_id, mass FROM m$iters ORDER BY vec_id"""
+  }
 
   /** DuckDB replica of m07's audio energy-delta fingerprint over the
     * ASCII stub path (bytes == code points, m05's guard): 65
@@ -1524,6 +1561,19 @@ object Pipeline {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
+
+    // -- kNN-graph centrality (s06) ----------------------------------------
+    // integer PageRank over the s05 graph: mass' = 150000 +
+    // (850·Σ mass div deg) div 1000 per node — exact integer teleport,
+    // bit-identical across engines/partitionings (truncating div on
+    // non-negatives agrees; dangling/rounding mass leaks
+    // deterministically). Two 2-long-row shuffles per iteration, the
+    // Pregel shape; embeddings never enter the loop.
+    Q("s06_knn_centrality",
+      (s, d) => Similarity.knnCentrality(t(s, d, "embeddings"),
+          k = 3, iters = 2)
+        .orderBy("vec_id"),
+      Some(s06Oracle(k = 3, iters = 2, nBits = 16, bands = 4, seed = 42L))),
 
     // -- semantic dedup (q55): the SemDeDup shape --------------------------
     // cluster embeddings into IVF cells (s03's deterministic Lloyd

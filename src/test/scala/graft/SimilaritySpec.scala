@@ -145,6 +145,25 @@ class SimilaritySpec extends TestSpark {
     assert(recall >= 0.9, s"knn-graph recall $recall too low")
   }
 
+  test("knnCentrality: cluster cores collect mass, an unreferenced " +
+       "outlier bottoms out at the teleport floor; partition-invariant") {
+    // append one far-away vector: nobody's top-3 neighbour → zero
+    // in-edges → after any iteration its mass is exactly the teleport
+    // term 150000 (integer arithmetic, no approximation)
+    val outlier = Seq((999L, Array.tabulate(16)(k =>
+      if (k % 4 == 3) -1.0f else 0.01f))).toDF("vec_id", "embedding")
+    val corpus = clustered.union(outlier)
+    val mass = Similarity.knnCentrality(corpus, k = 3, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(mass(999L) === 150000L)
+    // clustered vectors are somebody's neighbour: strictly above floor
+    assert(mass.filter(_._1 < 999L).values.forall(_ > 150000L))
+    // bit-identical under a different partitioning
+    val mass7 = Similarity.knnCentrality(corpus.repartition(7), k = 3,
+      iters = 2).as[(Long, Long)].collect().toMap
+    assert(mass === mass7)
+  }
+
   test("semDedup collapses tight clusters to their lowest-id member") {
     // eps=0.9: the three synthetic clusters are ~0.99 within and ~0.1
     // across, so whenever a cell holds several same-cluster vectors
