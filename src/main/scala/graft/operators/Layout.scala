@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT — the 100 TB data-skipping lever.
+  *
+  * A parquet scan prunes row groups/files whose min/max column stats
+  * exclude the filter range. Clustering the write order by ONE column
+  * tightens only that column's stats; interleaving the bits of two
+  * columns (a Z-order / Morton curve) tightens BOTH — a file of
+  * Z-contiguous rows covers a small rectangle of (x, y) space, so
+  * selective filters on either or both dimensions skip most files.
+  * This is how lakehouse engines make "WHERE user BETWEEN ... AND ts
+  * BETWEEN ..." read ~1/N of a 100 TB table; the cluster key costs
+  * one range repartition at write time and nothing at read time.
+  *
+  * Everything here is plain Column arithmetic (magic-number bit
+  * spreading — 5 shift/mask steps per dimension), so it rides
+  * whole-stage codegen and any engine can replay it bit-for-bit.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `v` to the even bit positions 0,2,..30
+    * (the classic Morton magic-number ladder). Non-negative inputs;
+    * bits above 15 are masked off first. */
+  def spread16(v: Column): Column = {
+    val a = v.cast("long").bitwiseAND(lit(0xFFFFL))
+    val b = (a.bitwiseOR(shiftleft(a, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val c = (b.bitwiseOR(shiftleft(b, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = (c.bitwiseOR(shiftleft(c, 2))).bitwiseAND(lit(0x33333333L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Z-value interleaving the low 16 bits of `x` (even
+    * positions) and `y` (odd positions). Z-contiguous ranges cover
+    * aligned rectangles of (x, y) space — the clustering key for
+    * two-dimensional data skipping. */
+  def zorder16(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** The DuckDB replica of [[spread16]]/[[zorder16]], for oracle SQL
+    * generation — same masks, same ladder, BIGINT throughout. */
+  def spread16Sql(v: String): String = {
+    val a = s"(($v) & 65535)"
+    val b = s"(($a | ($a << 8)) & 16711935)"
+    val c = s"(($b | ($b << 4)) & 252645135)"
+    val d = s"(($c | ($c << 2)) & 858993459)"
+    s"(($d | ($d << 1)) & 1431655765)"
+  }
+
+  def zorder16Sql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** Cluster `df` for two-dimensional skipping: range-partition into
+    * `buckets` Z-ranges and sort within each — written as parquet,
+    * every file then covers a small (x, y) rectangle and carries
+    * tight min/max stats on BOTH source columns. The Z column itself
+    * is dropped: the skipping works through the stats of the real
+    * filter columns, no schema change. One range exchange (sampled
+    * bounds), the same cost class as any clustered write. */
+  def zorderLayout(df: DataFrame, x: Column, y: Column,
+                   buckets: Int): DataFrame =
+    df.withColumn("__z", zorder16(x, y))
+      .repartitionByRange(buckets, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+}

@@ -1562,6 +1562,26 @@ object Pipeline {
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
 
+    // -- Z-order layout key (q56) ------------------------------------------
+    // the two-dimensional data-skipping cluster key: interleave the
+    // low 16 bits of (user_id, hour index) with the Morton
+    // magic-number ladder — plain codegen'd Column arithmetic, bit-
+    // replayable in any engine. The WRITE-side payoff (files covering
+    // small (user, time) rectangles → parquet min/max stats prune
+    // most files under a 2-D filter) is proven in LayoutSpec with
+    // real scan metrics; this gate pins the key arithmetic itself.
+    Q("q56_zorder_key",
+      (s, d) => t(s, d, "events")
+        .select(col("event_id"),
+          Layout.zorder16(col("user_id"),
+            expr("unix_timestamp(ts) div 3600")).as("zval"))
+        .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+                      ${Layout.zorder16Sql("user_id",
+                        "(epoch_us(ts) // 1000000) // 3600")}
+                        AS zval
+               FROM events ORDER BY event_id""")),
+
     // -- kNN-graph centrality (s06) ----------------------------------------
     // integer PageRank over the s05 graph: mass' = 150000 +
     // (850·Σ mass div deg) div 1000 per node — exact integer teleport,
