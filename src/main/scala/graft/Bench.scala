@@ -88,7 +88,14 @@ object Bench {
     // round-9: incremental rollup maintenance (algebraic-state merge),
     // scene-cut detection (frame-energy deltas, row-local), and
     // content-defined-chunking span removal (CDC boundaries)
-    "q54_incremental_rollup", "m08_scene_cuts", "d17_cdc_segment_dedup")
+    "q54_incremental_rollup", "m08_scene_cuts", "d17_cdc_segment_dedup",
+    // round-9 batch 4: semantic dedup (cell-bounded pairs), DSIR
+    // importance weights (two models, one zero-shuffle scan),
+    // video scene-rhythm pairs (3-long rows through the join),
+    // integer PageRank (2-long rows per iteration), Z-order key
+    // (pure codegen arithmetic)
+    "q55_semdedup", "t17_dsir_score", "m09_video_neardup",
+    "s06_knn_centrality", "q56_zorder_key")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

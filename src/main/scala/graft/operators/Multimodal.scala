@@ -429,14 +429,29 @@ object Multimodal {
   /** Near-duplicate videos (m09): equal scene signature + equal cut
     * count, id_a < id_b. The join key is the 3-long (doc_id, n_cuts,
     * sig) row — payloads never shuffle; at 100 TB the signature table
-    * is ~16 bytes/video and the self-join is an equi-join whose
-    * bucket sizes a d11-style cap bounds if a degenerate signature
-    * (e.g. metronomic cuts) goes hot. */
+    * is ~16 bytes/video.
+    *
+    * `maxBucket` is the d11 quadratic guard, and it is NOT optional
+    * at scale: a signature shared by k videos emits k²/2 pairs, and a
+    * degenerate rhythm (metronomic cuts, boilerplate intros) goes hot
+    * exactly like an LSH boilerplate bucket — measured on this
+    * benchmark corpus, the uncapped join emits 2.79M pairs at sf1
+    * (50k docs) where cap=64 keeps the mining sub-quadratic. A hot
+    * signature is a WEAK near-dup signal anyway (thousands of videos
+    * sharing one rhythm are format twins, not copies), the d11
+    * recall argument verbatim. */
   def videoNearDupPairs(df: DataFrame, id: Column, bin: Column,
                         frameBytes: Int = 64, tau: Int = 4,
-                        minCuts: Long = 2L): DataFrame = {
-    val sigs = sceneSignature(df, id, bin, frameBytes, tau)
+                        minCuts: Long = 2L,
+                        maxBucket: Option[Long] = None): DataFrame = {
+    val sigs0 = sceneSignature(df, id, bin, frameBytes, tau)
       .filter(col("n_cuts") >= minCuts && col("sig").isNotNull)
+    val sigs = maxBucket.fold(sigs0) { cap =>
+      val hot = sigs0.groupBy("sig", "n_cuts")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("sig", "n_cuts")
+      sigs0.join(hot, Seq("sig", "n_cuts"), "left_anti")
+    }
     sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") &&
         col("a.n_cuts") === col("b.n_cuts") &&

@@ -2726,11 +2726,14 @@ object Pipeline {
     // grids) + equal cut count, id_a < id_b. Payloads never shuffle:
     // the join carries 3 longs per video. The fold matches t04's
     // list_reduce convention (first delta seeds the accumulator).
+    // The cap is gated ACTIVE (d11's discipline): the uncapped join
+    // emits 2.79M pairs at sf1 — a hot rhythm is an LSH boilerplate
+    // bucket by another name.
     Q("m09_video_neardup",
       (s, d) => Multimodal.videoNearDupPairs(
           t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
           col("doc_id"), col("payload"), frameBytes = 64, tau = 4,
-          minCuts = 2L)
+          minCuts = 2L, maxBucket = Some(64L))
         .orderBy("id_a", "id_b"),
       Some("""WITH base AS (
                 SELECT doc_id, text, length(text) AS len FROM documents
@@ -2767,9 +2770,16 @@ object Pipeline {
                        list_reduce(list_transform(range(2, len(cs) + 1),
                          i -> cs[i] - cs[i - 1]),
                          (a, b) -> (a * 131 + b) % 2147483647) AS sig
-                FROM cl)
+                FROM cl),
+              hot AS (
+                SELECT sig, nc FROM sg GROUP BY sig, nc
+                HAVING count(*) > 64),
+              sgc AS (
+                SELECT s.* FROM sg s
+                WHERE NOT EXISTS (SELECT 1 FROM hot h
+                                  WHERE h.sig = s.sig AND h.nc = s.nc))
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nc AS n_cuts
-              FROM sg a JOIN sg b
+              FROM sgc a JOIN sgc b
                 ON a.sig = b.sig AND a.nc = b.nc AND a.doc_id < b.doc_id
               ORDER BY id_a, id_b""")),
 

@@ -262,5 +262,19 @@ class MultimodalSpec extends TestSpark {
     val sig = Multimodal.sceneSignature(df, col("doc_id"), col("payload"))
       .filter(col("doc_id") === 1L).select("sig").as[Long].collect()(0)
     assert(sig === 263L)
+
+    // the d11-style quadratic guard is behavior, not documentation: a
+    // signature bucket above the cap emits NO pairs (a hot rhythm is
+    // format-twin noise, k²/2 pairs of it), smaller buckets unaffected
+    val many = (10L to 14L).map(i => (i, a)) :+ (1L -> a) :+ (2L -> b)
+    val mdf = many.toDF("doc_id", "payload")
+    val capped = Multimodal.videoNearDupPairs(mdf, col("doc_id"),
+        col("payload"), maxBucket = Some(3L))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(capped.isEmpty)  // the one bucket holds 7 > 3 docs
+    val uncapped = Multimodal.videoNearDupPairs(mdf, col("doc_id"),
+        col("payload"))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(uncapped.length === 7 * 6 / 2)
   }
 }
