@@ -410,8 +410,14 @@ object Similarity {
     * cluster). */
   def knnCentrality(corpus: DataFrame, k: Int, iters: Int = 2,
                     nBits: Int = 16, bands: Int = 4): DataFrame = {
+    // the graph is built ONCE and read `iters`+1 times (each
+    // iteration + the degree table) — persist() cuts the banded
+    // self-join subtree so it executes once, not per iteration (the
+    // d03 staging discipline; on a cluster this stage is a parquet
+    // table, and it measured 21s/iteration unstaged at sf1)
     val edges = knnJoin(corpus, k, nBits, bands)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = corpus.select(col("vec_id"))
     val init = nodes.withColumn("mass", lit(1000000L))

@@ -97,14 +97,31 @@ object Vocab {
         expr("(1000 * st.total_bits) div greatest(st.n_bigrams, 1)").as("milli_bits"))
   }
 
-  /** Total adjacent-pair (bigram) occurrence count — the `N` of a
-    * [[graft.functions.BigramInfo]] model. One map-side-combined
-    * aggregate; `max(ntok - 1, 0)` per doc matches exactly the pair
-    * count the scorer walks (non-empty tokens only). */
-  def totalBigrams(docs: DataFrame, textCol: Column): Long =
-    docs.select(TextAnalysis.tokenCount(textCol).as("nt"))
-      .agg(sum(greatest(col("nt") - 1, lit(0L))).as("n"))
-      .collect()(0).getLong(0)
+  /** One [[graft.functions.BigramInfo]] model — (top-K pair table,
+    * total pair count N) — from ONE corpus scan: the vocab-sized
+    * count table persists, and both the deterministic top-K and the
+    * total (Σ counts — identical to summing max(ntok-1, 0) per doc,
+    * since every non-empty adjacent pair lands in exactly one group)
+    * are derived from it without touching the corpus again. */
+  def bigramModel(docs: DataFrame, textCol: Column,
+                  k: Int): (Seq[(String, Long)], Long) = {
+    val t = toks(textCol)
+    val pairs = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val cnts = docs.select(explode(pairs).as("bg"))
+      .filter(!col("bg").startsWith(" ") && !col("bg").endsWith(" "))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      val top = cnts.orderBy(col("c").desc, col("bg").asc).limit(k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val total = cnts.agg(coalesce(sum(col("c")), lit(0L)))
+        .collect()(0).getLong(0)
+      (top, total)
+    } finally cnts.unpersist(blocking = false)
+  }
 
   /** DSIR-style data-selection importance score (Xie et al.'s hashed
     * n-gram importance resampling, made integer-exact): per document,
@@ -129,10 +146,8 @@ object Vocab {
   def dsirScore(docs: DataFrame, idCol: Column, textCol: Column,
                 targetFilter: Column, k: Int = 64): DataFrame = {
     val tgt = docs.filter(targetFilter)
-    val nRaw = totalBigrams(docs, textCol)
-    val nTgt = totalBigrams(tgt, textCol)
-    val bigRaw = topBigrams(docs, textCol, k)
-    val bigTgt = topBigrams(tgt, textCol, k)
+    val (bigRaw, nRaw) = bigramModel(docs, textCol, k)
+    val (bigTgt, nTgt) = bigramModel(tgt, textCol, k)
     docs.select(idCol.as("doc_id"),
         graft.functions.VocabFunctions.bigramInfo(toks(textCol), bigRaw, nRaw).as("r"),
         graft.functions.VocabFunctions.bigramInfo(toks(textCol), bigTgt, nTgt).as("g"))
