@@ -95,7 +95,9 @@ object Bench {
     // integer PageRank (2-long rows per iteration), Z-order key
     // (pure codegen arithmetic)
     "q55_semdedup", "t17_dsir_score", "m09_video_neardup",
-    "s06_knn_centrality", "q56_zorder_key")
+    "s06_knn_centrality", "q56_zorder_key",
+    // round-9: CDC snapshot diff (one co-partitioned full-outer join)
+    "q57_snapshot_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

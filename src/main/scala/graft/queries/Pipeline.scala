@@ -1562,6 +1562,50 @@ object Pipeline {
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
 
+    // -- snapshot diff (q57) -----------------------------------------------
+    // CDC derivation from two full dumps: "yesterday" = orders minus
+    // the keys ≡0 mod 101 (so those read as inserts), "today" = orders
+    // minus keys ≡0 mod 103 (deletes), with keys ≡0 mod 7 repriced
+    // (updates). One full-outer join on the key; null-safe column
+    // comparison row-local inside it; unchanged rows never leave the
+    // join. Both engines derive the snapshots with the same CASE
+    // arithmetic — no fixture data needed.
+    Q("q57_snapshot_diff",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val snapA = o.filter(col("o_orderkey") % 101 =!= 0)
+        val snapB = o.filter(col("o_orderkey") % 103 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        Diff.snapshotDiff(snapA, snapB, keys = Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (
+                SELECT * FROM orders WHERE o_orderkey % 101 <> 0),
+              b AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 103 <> 0),
+              j AS (
+                SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                       CASE
+                         WHEN a.o_orderkey IS NULL THEN 'insert'
+                         WHEN b.o_orderkey IS NULL THEN 'delete'
+                         WHEN (a.o_custkey IS DISTINCT FROM b.o_custkey)
+                           OR (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+                           OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice)
+                           OR (a.o_orderdate IS DISTINCT FROM b.o_orderdate)
+                           OR (a.o_orderpriority IS DISTINCT FROM b.o_orderpriority)
+                           THEN 'update'
+                         ELSE 'unchanged'
+                       END AS status
+                FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+              SELECT o_orderkey, status FROM j
+              WHERE status <> 'unchanged' ORDER BY o_orderkey""")),
+
     // -- Z-order layout key (q56) ------------------------------------------
     // the two-dimensional data-skipping cluster key: interleave the
     // low 16 bits of (user_id, hour index) with the Morton

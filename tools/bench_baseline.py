@@ -40,7 +40,7 @@ HEADLINE = [
     "s05_knn_join", "st09_stream_asof", "m07_audio_fingerprint",
     "q54_incremental_rollup", "m08_scene_cuts", "d17_cdc_segment_dedup",
     "q55_semdedup", "t17_dsir_score", "m09_video_neardup",
-    "s06_knn_centrality", "q56_zorder_key",
+    "s06_knn_centrality", "q56_zorder_key", "q57_snapshot_diff",
 ]
 
 def connect(sf_dir):
