@@ -341,4 +341,51 @@ class PlanSpec extends TestSpark {
     assert("FileScan parquet".r.findAllIn(p).size === 1, p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("q55: cell assignment is row-local; the pair stage is an " +
+       "equi-join ON the cell with the cosine verify folded into its " +
+       "condition; drops apply as an anti-join") {
+    val p = plan("q55_semdedup")
+    assert(p.contains("nearest_cells"), p)
+    // verify-in-join: the only nested-loop joins are the one-row
+    // centroid-array broadcasts (IdentityBroadcastMode); the vector
+    // pair stage itself keys on cell_id and evaluates cosine inside
+    // the join condition, so non-surviving pairs are never materialized
+    val pairJoin = p.linesIterator.find(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) &&
+      l.contains("cell_id") && l.contains("float_vector_dot"))
+    assert(pairJoin.isDefined, p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("s06: the kNN edge list materializes ONCE — every PageRank " +
+       "iteration and the degree table read the same cached stage") {
+    val p = plan("s06_knn_centrality")
+    // deg + 2 iterations = at least 3 reads of the persisted edges;
+    // unstaged, each would re-run the banded self-join (measured 43s
+    // vs 17-29s at sf1)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+  }
+
+  test("m09: the signature self-join shuffles 3-long rows — the binary " +
+       "payload never reaches an Exchange; the hot-bucket cap is an " +
+       "anti-join in the plan") {
+    val lines = plan("m09_video_neardup").linesIterator.toVector
+    assert(!lines.exists(l => l.contains("Exchange") && l.contains("payload")),
+      lines.mkString("\n"))
+    assert(lines.exists(_.contains("LeftAnti")), lines.mkString("\n"))
+  }
+
+  test("q57: the snapshot diff is ONE full-outer join; the status CASE " +
+       "and unchanged-filter evaluate above it without extra exchanges") {
+    val p = plan("q57_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q56: the Z-order key is pure row-local arithmetic — no hash " +
+       "Exchange anywhere in the plan") {
+    val p = plan("q56_zorder_key")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }
