@@ -97,7 +97,11 @@ object Bench {
     "q55_semdedup", "t17_dsir_score", "m09_video_neardup",
     "s06_knn_centrality", "q56_zorder_key",
     // round-9: CDC snapshot diff (one co-partitioned full-outer join)
-    "q57_snapshot_diff")
+    "q57_snapshot_diff",
+    // round-9 batch 5: KMV set algebra (one corpus scan, persisted
+    // sketch, broadcast pair phase), the composed curation pipeline
+    // (one corpus exchange), audio near-dup pairs on real WAV decode
+    "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -109,9 +109,62 @@ object KmvSketch {
   val P = 2147483647L // 2^31 - 1
 }
 
+/** [[KmvSketch]]'s buffer materialized as VALUES (sorted ascending
+  * array of the k smallest distinct hashes) instead of the scalar
+  * estimate — the mergeable-summary face q58's set algebra composes
+  * on. Same O(k) buffer, same map-side-combine shuffle shape (at most
+  * k longs per group per partition); only `eval` differs. The
+  * composed `distinct → window-rank ≤ k` formulation shuffles EVERY
+  * distinct (group, element) row — corpus-sized; this shuffles
+  * buffers. */
+case class KmvSketchValues(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with UnaryLike[Expression] {
+
+  private val inner = KmvSketch(child, k)
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    inner.createAggregationBuffer()
+  override def update(buf: mutable.TreeSet[Long],
+                      input: InternalRow): mutable.TreeSet[Long] =
+    inner.update(buf, input)
+  override def merge(b1: mutable.TreeSet[Long],
+                     b2: mutable.TreeSet[Long]): mutable.TreeSet[Long] =
+    inner.merge(b1, b2)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] =
+    inner.deserialize(bytes)
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch_values"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    inner.checkInputDataTypes()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchValues =
+    copy(child = newChild)
+}
+
 object KmvFunctions {
   /** [[KmvSketch]] as a Column aggregate (use inside `agg(...)`). */
   def kmvDistinct(hash: Column, k: Int = 256): Column =
     GraftInternal.column(
       KmvSketch(GraftInternal.expression(hash), k).toAggregateExpression())
+
+  /** [[KmvSketchValues]] as a Column aggregate: the sketch itself. */
+  def kmvValues(hash: Column, k: Int = 256): Column =
+    GraftInternal.column(
+      KmvSketchValues(GraftInternal.expression(hash), k).toAggregateExpression())
 }

@@ -332,6 +332,73 @@ object Multimodal {
     Dedup.hamming64Pairs(withFp, maxDist)
   }
 
+  /** Per-window level of the synthetic WAV corpus (m10): the q43 hash
+    * chain (x⁵ mod 2³¹-1, a bijection since gcd(5, P-1) = 1) over
+    * key = docId·2¹⁶ + window, reduced to one of 7 amplitude steps —
+    * measured 5000/5000 distinct fingerprints, min cross-doc hamming
+    * 10. Anything with less mixing leaves modular structure: a single
+    * square of a SMALL affine key never wraps P (pure mod-7 classes,
+    * period 7 in docId), and even a wide affine leaves the
+    * floor(s²/P) Beatty pattern correlated across ids — both measured
+    * as mass fingerprint collisions. Integer-only, so a SQL engine
+    * replays it exactly. */
+  def synthLevel(docId: Long, f: Int): Long = {
+    val P = 2147483647L
+    val h0 = ((docId * 65536L + f) * 131071L + 524287L) % P
+    val h2 = (h0 * h0) % P
+    val h = (((h2 * h2) % P) * h0) % P
+    800L + 100L * (h % 7L)
+  }
+
+  /** Minimal RIFF/WAV PCM-16 payload carrying [[synthLevel]]'s 65-step
+    * staircase (20 samples per step, so [[envelope]]'s exact window
+    * boundaries land on the steps and each window mean IS the level),
+    * amplitude-scaled by `scale`. Exercises the REAL [[wavAbsSamples]]
+    * decode path — header walk, PCM-16 LE, |sample| — not the byte
+    * stub. */
+  def synthWav(docId: Long, scale: Int): Array[Byte] = {
+    val windows = 65; val perWin = 20
+    val n = windows * perWin
+    val dataLen = n * 2
+    val riffLen = 4 + (8 + 16) + (8 + dataLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(riffLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    var f = 0
+    while (f < windows) {
+      val lvl = (synthLevel(docId, f) * scale).toShort
+      var i = 0
+      while (i < perWin) { bb.putShort(lvl); i += 1 }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** The m10 gate corpus: for every id, a real WAV payload plus a
+    * volume-doubled RE-ENCODE of the same signal under id + offset —
+    * the container/loudness-change duplicate an audio dedup pass must
+    * catch. The envelope fingerprint compares window means pairwise,
+    * so any monotone amplitude scaling preserves every bit — the
+    * invariance this corpus gates. Row-local mapPartitions codec
+    * dispatch (m02's convention). */
+  def synthWavCorpus(ids: DataFrame, id: Column,
+                     offset: Long = 10000000L): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(id.cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { i =>
+          Iterator((i, synthWav(i, 1)), (i + offset, synthWav(i, 2)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
   /** Shot-boundary (scene-cut) detection over a binary payload (m08):
     * m03's fixed-size frame windows, integer mean energy per frame, a
     * CUT wherever consecutive frame energies jump by more than `tau` —

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV sketch SET ALGEBRA (q58) — the cross-source overlap matrix.
+  *
+  * A 100 TB corpus question a single distinct-join cannot answer at
+  * scale: "how much does every pair of sources overlap?" Naively that
+  * is |S|² distinct-intersection joins over the full element stream.
+  * Here the corpus is scanned ONCE to build a k-minimum-values sketch
+  * per group (the same bottom-k construction [[graft.functions.KmvSketch]]
+  * aggregates, materialized as rows so sketches compose); every set
+  * operation after that runs on k-sized sketches:
+  *
+  *   - union:        merge two sketches, keep the k smallest distinct
+  *                   values; the kth smallest h_k gives the standard
+  *                   KMV estimate (k-1)·P / h_k (exact while the
+  *                   merged sketch holds < k values).
+  *   - intersection: among the merged k smallest, count the values
+  *                   present in BOTH input sketches (n_common); the
+  *                   Jaccard estimate is n_common / m and the
+  *                   intersection estimate jaccard · union.
+  *
+  * All arithmetic is integer (div, no doubles), so a SQL engine
+  * replays the estimates bit-exactly — the estimator itself is
+  * oracle-checkable, not just spot-bounded. At scale the sketch table
+  * is |groups|·k rows (KBs for thousands of groups): the pair phase is
+  * metadata-sized no matter how large the corpus, and sketches persist
+  * as a mergeable summary — tomorrow's batch unions in without
+  * rescanning today's.
+  *
+  * Reference surface: the reference's SQL layer answers overlap
+  * questions only via full COUNT(DISTINCT) joins
+  * (/root/reference/src/main.rs:214-294, the rusqlite REPL); this is
+  * the sketch-native formulation of the same question.
+  */
+object SketchAlgebra {
+
+  val P = 2147483647L // 2^31 - 1, the hash domain KmvSketch expects
+
+  /** Per-group bottom-k sketch rows from a (group, hash) element
+    * stream, via [[graft.functions.KmvSketchValues]] — one
+    * ObjectHashAggregate whose partial buffers hold at most k longs
+    * per group per partition, so the ONLY corpus-sized work is the
+    * map-side scan: the shuffle carries sketch buffers, not elements.
+    * (The composed `distinct → window-rank ≤ k` formulation was
+    * measured 4.5× slower at sf0.1 — its distinct exchange moves
+    * every (group, element) row, ~10M here, corpus-sized at 100 TB.)
+    * Duplicate elements collapse in the buffer (TreeSet), exactly the
+    * distinct-value semantics KMV is defined on. */
+  def kmvSketchRows(elems: DataFrame, groupCol: Column, hashCol: Column,
+                    k: Int): DataFrame = {
+    require(k >= 2, s"kmv sketch k must be >= 2, got $k")
+    elems.select(groupCol.as("g"), hashCol.as("h"))
+      .groupBy("g")
+      .agg(graft.functions.KmvFunctions.kmvValues(col("h"), k).as("hs"))
+      .select(col("g"), explode(col("hs")).as("h"))
+  }
+
+  /** All-pairs KMV set operations over per-group sketches: for every
+    * unordered group pair (g_a < g_b) the merged-sketch union
+    * estimate, intersection estimate and Jaccard in ppm — integer
+    * arithmetic end to end. `sk` must be [[kmvSketchRows]] output (or
+    * any (g, h) bottom-k rows with h in [0, P)). Sketch-sized only:
+    * every join here touches |groups|·k rows.
+    */
+  def kmvSetOps(sk: DataFrame, k: Int): DataFrame =
+    kmvSetOpsStaged(sk, k).result
+
+  /** [[kmvSetOps]] with its persisted stage exposed ([[Dedup.Staged]]
+    * convention): the pair phase references the sketch table FOUR
+    * times (two group lists, two membership joins) — without staging,
+    * each reference re-runs the corpus-sized sketch build, turning
+    * one scan into four (measured in the sf0.1 plan). An EAGER
+    * localCheckpoint rather than a lazy persist(): the four
+    * references surface as concurrently-launched broadcast-exchange
+    * jobs, and a cold cache lets them race to populate it — each
+    * racer paying the full corpus scan (measured as a 1.5–15 s spread
+    * at sf0.1; checkpointed: stable). The materialized stage is
+    * |groups|·k rows — KBs — and its one build job IS the query's
+    * corpus pass. */
+  def kmvSetOpsStaged(skIn: DataFrame, k: Int): Dedup.Staged = {
+    val sk = skIn.localCheckpoint(true)
+    val groups = sk.select(col("g")).distinct()
+    val pairs = groups.as("x").join(groups.as("y"), col("x.g") < col("y.g"))
+      .select(col("x.g").as("ga"), col("y.g").as("gb"))
+    // membership-tagged merged element list per pair; the sketch side
+    // is tiny so both joins broadcast — no corpus data moves here
+    val tagged = pairs.join(broadcast(sk), col("g") === col("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("ia"), lit(0).as("ib"))
+      .unionByName(
+        pairs.join(broadcast(sk), col("g") === col("gb"))
+          .select(col("ga"), col("gb"), col("h"), lit(0).as("ia"), lit(1).as("ib")))
+    val mem = tagged.groupBy("ga", "gb", "h")
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+    val mw = Window.partitionBy("ga", "gb").orderBy("h")
+    val mk = mem.withColumn("mrn", row_number().over(mw))
+      .filter(col("mrn") <= k)
+    val res = mk.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("m"),
+        max(col("h")).as("hmax"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_common"))
+      // m < k → the merged sketch saw the whole union: counts exact.
+      // Otherwise the classic KMV estimator on the kth smallest hash.
+      .withColumn("union_est",
+        when(col("m") < k, col("m"))
+          .otherwise(expr(s"(${k - 1}L * ${P}L) div hmax")))
+      .withColumn("inter_est", expr("(n_common * union_est) div m"))
+      .withColumn("jaccard_ppm", expr("(n_common * 1000000L) div m"))
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("union_est"), col("inter_est"), col("jaccard_ppm"))
+    Dedup.Staged(res, Seq(sk))
+  }
+}

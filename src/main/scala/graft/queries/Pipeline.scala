@@ -498,6 +498,96 @@ object Pipeline {
     * payload IS code point i of the text — the 72-sample stride grid,
     * the 64 neighbour-comparison bits and the pigeonhole hamming join
     * all reproduce exactly. */
+  /** q58's oracle: the d08 shingle-hash CTE keyed by source, then the
+    * same bottom-k / merge / count-common arithmetic the Spark side
+    * runs — the KMV estimates are integer, so they replay exactly. */
+  private def q58Oracle(k: Int): String = {
+    val est = s"CASE WHEN m < $k THEN m ELSE (CAST(${k - 1} AS BIGINT) * 2147483647) // hmax END"
+    s"""WITH toks AS (
+          SELECT DISTINCT source, tok FROM (
+            SELECT source,
+                   unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+            FROM (SELECT source, $tok AS tk FROM documents))
+          WHERE tok <> ''),
+        th AS (
+          SELECT DISTINCT source,
+                 (list_reduce(list_transform(string_split(tok, ''),
+                    ch -> CAST(unicode(ch) AS BIGINT)),
+                    (a, b) -> (a * 131 + b) % 2147483647) * 2147483648
+                  + list_reduce(list_transform(string_split(tok, ''),
+                      ch -> CAST(unicode(ch) AS BIGINT)),
+                      (a, b) -> (a * 257 + b) % 2147483647)) % 2147483647 AS h
+          FROM toks),
+        sk AS (
+          SELECT source AS g, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM th)
+          WHERE rn <= $k),
+        grp AS (SELECT DISTINCT g FROM sk),
+        pairs AS (
+          SELECT x.g AS ga, y.g AS gb FROM grp x JOIN grp y ON x.g < y.g),
+        mem AS (
+          SELECT p.ga, p.gb, s.h,
+                 max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+          GROUP BY 1, 2, 3),
+        mk AS (
+          SELECT * FROM (
+            SELECT ga, gb, h, in_a, in_b,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS mrn
+            FROM mem)
+          WHERE mrn <= $k),
+        agg AS (
+          SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS m,
+                 max(h) AS hmax,
+                 CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+          FROM mk GROUP BY 1, 2)
+        SELECT ga AS src_a, gb AS src_b,
+               CAST($est AS BIGINT) AS union_est,
+               CAST((n_common * ($est)) // m AS BIGINT) AS inter_est,
+               CAST((n_common * 1000000) // m AS BIGINT) AS jaccard_ppm
+        FROM agg ORDER BY src_a, src_b"""
+  }
+
+  /** m10's oracle: the synthetic staircase levels recomputed from the
+    * id arithmetic (window mean == level by construction), m07's
+    * fingerprint fold, m05's pigeonhole candidate join. */
+  private def m10Oracle(maxDist: Int): String = {
+    val nSeg = maxDist + 1
+    val segBits = 64 / nSeg
+    val h0 = "((((id % 10000000) * 65536 + f) * 131071 + 524287) % 2147483647)"
+    val h2 = s"(($h0 * $h0) % 2147483647)"
+    val lvl = s"(800 + 100 * (((($h2 * $h2) % 2147483647) * $h0) % 2147483647 % 7))"
+    val fpTerms = (0 until 64).map { f =>
+      s"CASE WHEN e[${f + 2}] > e[${f + 1}] THEN ${1L << f} ELSE 0 END"
+    }.mkString("\n                 + ")
+    val segSel = (0 until nSeg).map { sg =>
+      s"SELECT id, fp, $sg AS seg, (fp >> ${sg * segBits}) & ${(1L << segBits) - 1} AS skey FROM fps"
+    }.mkString("\n               UNION ALL ")
+    s"""WITH ids AS (
+          SELECT doc_id AS id FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000 AS id FROM documents),
+        en AS (
+          SELECT id,
+                 list_transform(range(0, 65), f ->
+                   $lvl * (CASE WHEN id >= 10000000 THEN 2 ELSE 1 END)) AS e
+          FROM ids),
+        fps AS (
+          SELECT id, $fpTerms AS fp FROM en),
+        segs AS ($segSel),
+        cands AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+          FROM segs a JOIN segs b
+            ON a.seg = b.seg AND a.skey = b.skey AND a.id < b.id)
+        SELECT id_a, id_b, hamming FROM cands
+        WHERE hamming <= $maxDist ORDER BY id_a, id_b"""
+  }
+
   private def m05Oracle(maxDist: Int): String =
     s"""WITH ${m05Ctes(maxDist)}
         SELECT id_a, id_b, hamming FROM cands
@@ -1638,6 +1728,95 @@ object Pipeline {
           k = 3, iters = 2)
         .orderBy("vec_id"),
       Some(s06Oracle(k = 3, iters = 2, nBits = 16, bands = 4, seed = 42L))),
+
+    // -- KMV sketch set algebra (q58): cross-source overlap matrix ---------
+    // one corpus scan builds a bottom-k sketch of shingle hashes per
+    // source (the d03/d08 shingle recipe, so sketches compose with
+    // the decontamination machinery); union / intersection / Jaccard
+    // for all source pairs then run on k-sized sketches only — the
+    // |S|² distinct-joins a naive overlap matrix costs never touch
+    // the corpus. Integer-exact estimator ((k-1)·P div h_k), so the
+    // DuckDB oracle replays the ESTIMATES bit-for-bit, saturation
+    // fallback included.
+    Q("q58_sketch_setops",
+      (s, d) => {
+        val elems = t(s, d, "documents")
+          .select(col("source"),
+            explode(Dedup.shingleHashes(col("text"))).as("h"))
+        SketchAlgebra.kmvSetOps(
+          SketchAlgebra.kmvSketchRows(elems, col("source"), col("h"),
+            k = 256), k = 256)
+          .orderBy("src_a", "src_b")
+      },
+      Some(q58Oracle(k = 256))),
+
+    // -- end-to-end curation pipeline (q59) --------------------------------
+    // the composed shape a training-data run actually executes, as ONE
+    // declarative plan Catalyst fuses: quality gate (t03's scorer,
+    // row-local) → exact content dedup (t04's fingerprint, keep the
+    // min doc_id — ONE shuffle, a window not a groupBy+join-back) →
+    // content-keyed split assignment (t12's buckets, row-local on the
+    // same fingerprint: zero extra cost) → per-(split, source) doc and
+    // token budgets. The corpus is shuffled exactly once; every
+    // constituent formula is the one its own gate already pins, so the
+    // composition is oracle-checked end to end, not just stage-wise.
+    Q("q59_curation_e2e",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            TextAnalysis.qualityScoreBp(col("text")).as("quality_bp"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .filter(col("quality_bp") >= 5500)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .withColumn("split",
+            when(pmod(col("fp"), lit(100L)) < 90, "train")
+              .when(pmod(col("fp"), lit(100L)) < 95, "val")
+              .otherwise("test"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .orderBy("split", "source")
+      },
+      Some(s"""WITH q AS ($qualitySubquery),
+            c AS (
+              SELECT doc_id,
+                     CASE WHEN len(codes) = 0 THEN 0
+                          ELSE list_reduce(codes, (a, b) -> (a * 131 + b) % 2147483647)
+                                 * 2147483648
+                               + list_reduce(codes, (a, b) -> (a * 257 + b) % 2147483647)
+                          END AS fp
+              FROM (SELECT doc_id,
+                      CASE WHEN norm = '' THEN CAST([] AS BIGINT[])
+                           ELSE list_transform(string_split(norm, ''),
+                                  ch -> CAST(unicode(ch) AS BIGINT)) END AS codes
+                    FROM (SELECT doc_id,
+                            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                          FROM documents))),
+            kept AS (
+              SELECT d.doc_id, d.source, q.n_tokens, c.fp
+              FROM documents d
+              JOIN q ON q.doc_id = d.doc_id
+              JOIN c ON c.doc_id = d.doc_id
+              WHERE q.quality_bp >= 5500),
+            canon AS (
+              SELECT * FROM (
+                SELECT kept.*,
+                       row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM kept)
+              WHERE rn = 1),
+            sp AS (
+              SELECT source, n_tokens,
+                     CASE WHEN fp % 100 < 90 THEN 'train'
+                          WHEN fp % 100 < 95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM canon)
+          SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // -- semantic dedup (q55): the SemDeDup shape --------------------------
     // cluster embeddings into IVF cells (s03's deterministic Lloyd
@@ -2826,6 +3005,24 @@ object Pipeline {
               FROM sgc a JOIN sgc b
                 ON a.sig = b.sig AND a.nc = b.nc AND a.doc_id < b.doc_id
               ORDER BY id_a, id_b""")),
+
+    // -- audio near-dup pairs (m10) ----------------------------------------
+    // the pair face of m07, gated on REAL WAVs: a synthetic PCM-16
+    // corpus (65-step staircase per id, 20 samples per step — window
+    // means land exactly on the steps) where every id also appears as
+    // a volume-doubled re-encode under id+10^7. The envelope
+    // fingerprint compares window means pairwise, so monotone scaling
+    // preserves all 64 bits — each (id, id+10^7) pair survives at
+    // hamming 0 while cross-doc distances stay noise (the quadratic-
+    // residue levels collide with probability ~7^-64). Gates the full
+    // real path: RIFF header walk → PCM-16 |samples| → exact-boundary
+    // window means → pigeonhole hamming join.
+    Q("m10_audio_neardup",
+      (s, d) => Multimodal.audioNearDupPairs(
+          Multimodal.synthWavCorpus(t(s, d, "documents"), col("doc_id")),
+          col("doc_id"), col("payload"), maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      Some(m10Oracle(maxDist = 3))),
 
     Q("m03_frame_sample",
       (s, d) => Multimodal.frameSample(

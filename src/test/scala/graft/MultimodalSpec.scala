@@ -277,4 +277,33 @@ class MultimodalSpec extends TestSpark {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(uncapped.length === 7 * 6 / 2)
   }
+
+  test("m10: synthWav round-trips through the REAL WAV decode to the " +
+      "staircase levels") {
+    // envelope window means land exactly on synthLevel's steps, so the
+    // decoded fingerprint equals the one computed from the levels alone
+    val id = 7L
+    var want = 0L
+    for (f <- 0 until 64)
+      if (Multimodal.synthLevel(id, f + 1) > Multimodal.synthLevel(id, f))
+        want |= 1L << f
+    assert(Multimodal.audioFingerprint(Multimodal.synthWav(id, 1)) === want)
+  }
+
+  test("m10: envelope fingerprint is invariant under volume scaling") {
+    for (id <- 0L until 50L)
+      assert(Multimodal.audioFingerprint(Multimodal.synthWav(id, 1)) ===
+        Multimodal.audioFingerprint(Multimodal.synthWav(id, 2)))
+  }
+
+  test("m10: the near-dup join finds exactly the re-encoded pairs") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val corpus = Multimodal.synthWavCorpus(ids, col("doc_id"),
+      offset = 1000L)
+    val pairs = Multimodal.audioNearDupPairs(corpus, col("doc_id"),
+        col("payload"), maxDist = 3)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(pairs.length === 40)
+    assert(pairs.forall { case (a, b, hm) => b == a + 1000L && hm == 0 })
+  }
 }

@@ -388,4 +388,28 @@ class PlanSpec extends TestSpark {
     val p = plan("q56_zorder_key")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("q58: the corpus-sized sketch build runs ONCE, checkpointed — " +
+       "every pair-phase reference reads the materialized KB-sized RDD " +
+       "(a lazily-cached stage let the concurrent broadcast jobs race " +
+       "to populate it, each re-paying the corpus scan: 1.5–15 s " +
+       "spread), the corpus never re-enters the pair plan, and no pair " +
+       "join ever sort-merges (sketches broadcast)") {
+    val p = plan("q58_sketch_setops")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)   // corpus scan only at build
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q59: the curation pipeline shuffles the corpus exactly once — " +
+       "quality gate in the scan stage, exact dedup via a WindowGroupLimit-" +
+       "trimmed window (no groupBy+join-back), split assignment row-local " +
+       "on the same fingerprint; the only other hash exchange carries the " +
+       "final (split, source) partial aggregates") {
+    val p = plan("q59_curation_e2e")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("rolling_fingerprint"), p)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SketchAlgebra
+
+class SketchAlgebraSpec extends TestSpark {
+  import spark.implicits._
+
+  test("kmvSketchRows keeps the k smallest distinct hashes per group") {
+    val elems = Seq(("a", 50L), ("a", 10L), ("a", 30L), ("a", 10L),
+      ("a", 40L), ("b", 5L), ("b", 7L)).toDF("g", "h")
+    val sk = SketchAlgebra.kmvSketchRows(elems, col("g"), col("h"), k = 3)
+      .orderBy("g", "h").as[(String, Long)].collect()
+    assert(sk.toSeq === Seq(("a", 10L), ("a", 30L), ("a", 40L),
+      ("b", 5L), ("b", 7L)))
+  }
+
+  test("kmvSetOps is exact below saturation: union, intersection, jaccard") {
+    // |A| = 100, |B| = 100, overlap 50 — merged sketch (k = 256) sees
+    // the whole union, so every estimate must be the true count
+    val a = (1L to 100L).map(("a", _))
+    val b = (51L to 150L).map(("b", _))
+    val sk = SketchAlgebra.kmvSketchRows((a ++ b).toDF("g", "h"),
+      col("g"), col("h"), k = 256)
+    val r = SketchAlgebra.kmvSetOps(sk, k = 256)
+      .as[(String, String, Long, Long, Long)].head()
+    assert(r === (("a", "b", 150L, 50L, 333333L)))
+  }
+
+  test("kmvSetOps estimator path: saturated sketches land near the truth") {
+    // well-mixed hashes (x^5 mod P, the q43 chain); truth: union 3000,
+    // intersection 1000. k = 128 → relative std ~ 1/sqrt(k-1) ≈ 9%;
+    // the inputs are deterministic so the bounds are stable forever.
+    def h5(x: Long): Long = {
+      val P = SketchAlgebra.P
+      val h0 = (x * 131071 + 524287) % P
+      val h2 = (h0 * h0) % P
+      (((h2 * h2) % P) * h0) % P
+    }
+    val a = (1L to 2000L).map(x => ("a", h5(x)))
+    val b = (1001L to 3000L).map(x => ("b", h5(x)))
+    val k = 128
+    val sk = SketchAlgebra.kmvSketchRows((a ++ b).toDF("g", "h"),
+      col("g"), col("h"), k)
+    val r = SketchAlgebra.kmvSetOps(sk, k)
+      .as[(String, String, Long, Long, Long)].head()
+    assert(r._3 > 2200 && r._3 < 4000, r) // union within ~4 std
+    assert(r._4 > 400 && r._4 < 1800, r)  // intersection, looser
+  }
+
+  test("element-stream duplicates never change a sketch (mergeability)") {
+    val base = (1L to 500L).map(("a", _)) ++ (200L to 700L).map(("b", _))
+    val dup = base ++ base ++ base
+    val k = 64
+    def run(rows: Seq[(String, Long)]) =
+      SketchAlgebra.kmvSetOps(
+        SketchAlgebra.kmvSketchRows(rows.toDF("g", "h"),
+          col("g"), col("h"), k), k)
+        .orderBy("src_a", "src_b").collect().toSeq
+    assert(run(base) === run(dup))
+  }
+}

@@ -41,6 +41,7 @@ HEADLINE = [
     "q54_incremental_rollup", "m08_scene_cuts", "d17_cdc_segment_dedup",
     "q55_semdedup", "t17_dsir_score", "m09_video_neardup",
     "s06_knn_centrality", "q56_zorder_key", "q57_snapshot_diff",
+    "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup",
 ]
 
 def connect(sf_dir):
