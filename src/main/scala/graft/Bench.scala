@@ -101,7 +101,11 @@ object Bench {
     // round-9 batch 5: KMV set algebra (one corpus scan, persisted
     // sketch, broadcast pair phase), the composed curation pipeline
     // (one corpus exchange), audio near-dup pairs on real WAV decode
-    "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup")
+    "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup",
+    // round-9 batch 6: the CMS-guided skew audit (buffer shuffle +
+    // candidate-sized exact verify) and MMR diversification (k greedy
+    // steps unrolled into one plan over a checkpointed candidate set)
+    "q60_heavy_hitters", "s07_mmr_diversify")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

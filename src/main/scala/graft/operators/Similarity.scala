@@ -40,6 +40,51 @@ object Similarity {
       .select("query_id", "rank", "vec_id", "cos")
   }
 
+  /** MMR-diversified top-k (s07): maximal marginal relevance — greedy
+    * selection maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c,s)`
+    * — the retrieval-diversification step a data-selection pipeline
+    * runs so its exemplars don't all say the same thing (Carbonell &
+    * Goldstein '98). Structure:
+    *
+    *  - candidate stage (the only corpus-sized work): exact top-`cand`
+    *    per query via [[bruteForceTopK]] — swap in [[lshTopK]]/
+    *    [[ivfTopK]] at scale, the selection below is source-agnostic.
+    *  - selection: ONE custom expression ([[graft.functions.MmrSelect]])
+    *    over the per-query collected candidate array — the greedy
+    *    recurrence is sequential in k, and every DataFrame-level
+    *    unrolling of it was measured structurally worse: the lazy
+    *    join form doubles lineage per step (2^k plan subtrees by
+    *    k=10 — 1023 printed ExistingRDD references), the per-step
+    *    checkpoint form pays k driver-roundtrip jobs (~3 s of pure
+    *    scheduling at sf0.1), and the single-reference window form
+    *    compiles O(k²) distinct codegen stages (~6 s of janino, not
+    *    data). Per query the candidate set is bounded, so the
+    *    O(k·cand) cosine loop is group-local work: the whole
+    *    selection is one groupBy + collect_list + explode — a linear
+    *    plan, no sequential jobs at all.
+    *
+    * All score arithmetic is plain IEEE double on both engines (the
+    * s01/s05 cosine convention), so the argmax decisions — and hence
+    * the selected SET, not just its scores — oracle bit-exactly. Ties
+    * break by vec_id ascending. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cand: Int, lam: Double = 0.7): DataFrame = {
+    require(k >= 1 && cand >= k, s"need cand >= k >= 1, got k=$k cand=$cand")
+    bruteForceTopK(corpus, queries, cand)
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cos").as("rel"),
+        col("embedding"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("vec_id"), col("rel"),
+        col("embedding"))).as("cands"))
+      .select(col("query_id"),
+        explode(graft.functions.MmrFunctions.mmrSelect(col("cands"), k, lam))
+          .as("s"))
+      .select(col("query_id"), col("s.rank").as("rank"),
+        col("s.vec_id").as("vec_id"),
+        round(col("s.score"), 6).as("score"))
+  }
+
   /** nBits-bit random-hyperplane signature: bit j = sign(dot(plane_j, v)).
     * Row-local; collisions preserve cosine similarity (SimHash for
     * angles). One codegen'd nBits×dims loop — see

@@ -113,4 +113,48 @@ object SketchAlgebra {
         col("union_est"), col("inter_est"), col("jaccard_ppm"))
     Dedup.Staged(res, Seq(sk))
   }
+
+  /** Two-pass EXACT heavy hitters (q60) — the pre-join skew audit.
+    *
+    * Pass 1 aggregates a Count-Min sketch plus the stream length N in
+    * one buffer-sized shuffle (the CMS matrix is depth·width longs per
+    * partition regardless of cardinality). The sketch then rides the
+    * second scan as a LITERAL (d09's runtime-filter convention — one
+    * codegen reference, never copied per row), so candidate detection
+    * is row-local: keep rows whose estimate ≥ T = N div phiInv. Pass 2
+    * exact-counts ONLY the survivors — the shuffle is candidate-sized,
+    * not |distinct keys|-sized.
+    *
+    * CMS never underestimates, so no true heavy hitter is dropped; the
+    * final exact filter removes the sketch's false positives. The
+    * result is therefore EXACTLY the φ-heavy hitters — independent of
+    * sketch geometry (a width-4 sketch returns the same rows, just
+    * shuffling more candidates) — which is why the oracle is the plain
+    * exact GROUP BY ... HAVING, sketch-free. The sketch's only job is
+    * performance: at 100 TB the plain formulation shuffles every
+    * distinct key × partition; this shuffles the sketch plus the few
+    * keys that might be heavy. Two corpus scans by nature (count-them-
+    * all then verify) — same shape as every sketch-guided second pass.
+    *
+    * The driver-side sketch materialization is one action over a
+    * buffer-sized aggregate — the pattern Spark's own runtime filters
+    * use (see d09, SURVEY §4). */
+  def heavyHitters(keyed: DataFrame, key: Column, phiInv: Long,
+                   depth: Int = 3, width: Int = 8192,
+                   seed: Long = 42L): DataFrame = {
+    require(phiInv >= 2, s"phiInv must be >= 2, got $phiInv")
+    import graft.functions.CmsFunctions
+    val ks = keyed.select(key.cast("long").as("k"))
+    val head = ks.agg(
+      CmsFunctions.cmsAgg(col("k"), depth, width, seed).as("__cms"),
+      count(lit(1)).as("n")).head()
+    val cms = head.getAs[Array[Byte]](0)
+    val t = head.getLong(1) / phiInv
+    ks.filter(
+        CmsFunctions.cmsEstimate(lit(cms), col("k"), depth, width, seed)
+          >= lit(t))
+      .groupBy("k")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .filter(col("exact_cnt") >= lit(t))
+  }
 }

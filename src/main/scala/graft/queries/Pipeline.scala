@@ -149,6 +149,54 @@ object Pipeline {
               ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM dirs)"""
 
+  /** DuckDB replica of MMR diversification (s07): exact top-`cand`
+    * candidates (s01's chain), then the k greedy steps as UNROLLED
+    * CTEs — per-step argmax via row_number, penalty via GREATEST over
+    * a join with the step's pick. `1.0 - lam` is interpolated as the
+    * double Scala computes (0.30000000000000004 for λ=0.7), so both
+    * engines weigh the penalty with the identical IEEE value. */
+  private def s07Oracle(k: Int, cand: Int, lam: Double): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH q AS (SELECT vec_id AS query_id,
+                         CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id < 3),
+           c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                 FROM embeddings),
+           scored AS (
+             SELECT query_id, vec_id, ${cosSql("qe", "ce")} AS rel, ce
+             FROM q JOIN c ON vec_id <> query_id),
+           cand AS (
+             SELECT query_id, vec_id, rel, ce FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, vec_id) AS rn
+               FROM scored) WHERE rn <= $cand),
+           r0 AS (SELECT query_id, vec_id, rel, ce,
+                         CAST(0.0 AS DOUBLE) AS pen FROM cand)""")
+    val score = s"CAST($lam AS DOUBLE) * rel - CAST(${1.0 - lam} AS DOUBLE) * pen"
+    for (i <- 1 to k) {
+      val prev = s"r${i - 1}"
+      sb.append(s""",
+           s$i AS (
+             SELECT query_id, vec_id, ce, score, $i AS rank FROM (
+               SELECT query_id, vec_id, ce, $score AS score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY $score DESC, vec_id) AS rn
+               FROM $prev) WHERE rn = 1)""")
+      if (i < k) sb.append(s""",
+           r$i AS (
+             SELECT r.query_id, r.vec_id, r.rel, r.ce,
+                    GREATEST(r.pen, ${cosSql("r.ce", "s.ce")}) AS pen
+             FROM $prev r JOIN s$i s ON s.query_id = r.query_id
+             WHERE r.vec_id <> s.vec_id)""")
+    }
+    sb.append(s"""
+         SELECT query_id, rank, vec_id, round(score, 6) AS score
+         FROM (${(1 to k).map(i => s"SELECT query_id, vec_id, score, rank FROM s$i")
+           .mkString("\n               UNION ALL ")})
+         ORDER BY query_id, rank""")
+    sb.toString
+  }
+
   /** DuckDB replica of the kNN join (s05). */
   private def s05Oracle(k: Int, nBits: Int, bands: Int, seed: Long): String =
     s"""WITH ${knnCtes(nBits, bands, seed)}
@@ -1652,6 +1700,23 @@ object Pipeline {
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
 
+    // -- MMR diversified retrieval (s07) -----------------------------------
+    // greedy maximal-marginal-relevance over the exact top-50
+    // candidates per query: λ·rel − (1−λ)·max-sim-to-selected, the k
+    // steps unrolled into ONE declarative plan (per-query argmax
+    // window + broadcast penalty join per step, candidate stage
+    // checkpointed). IEEE-double score arithmetic matches engines
+    // bit-for-bit, so the SELECTED SET oracles, not just its scores.
+    Q("s07_mmr_diversify",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3),
+            k = 10, cand = 50)
+          .orderBy("query_id", "rank")
+      },
+      Some(s07Oracle(k = 10, cand = 50, lam = 0.7)),
+    ),
+
     // -- snapshot diff (q57) -----------------------------------------------
     // CDC derivation from two full dumps: "yesterday" = orders minus
     // the keys ≡0 mod 101 (so those read as inserts), "today" = orders
@@ -1817,6 +1882,52 @@ object Pipeline {
           SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
           FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- exact heavy hitters (q60): the pre-join skew audit ----------------
+    // two-pass CMS-guided φ-heavy-hitter detection over BOTH sides of
+    // the skew trilogy's join keys (q45/q48/q49 derive them; this op
+    // is what you run FIRST to decide salting): pass 1 one buffer-
+    // sized CMS+count shuffle, pass 2 exact-counts only rows whose
+    // row-local literal-sketch estimate clears T = N div phiInv. CMS
+    // never underestimates → no heavy key missed → the exact verify
+    // makes the result INDEPENDENT of sketch geometry, so the oracle
+    // is the plain GROUP BY ... HAVING, sketch-free.
+    Q("q60_heavy_hitters",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          when(col("event_id") % 3 === 0, lit(1L))
+            .otherwise(col("user_id")).as("k"))
+        val or = t(s, d, "orders").select(
+          when(col("o_orderkey") % 997 < 3, lit(1L))
+            .otherwise(col("o_custkey")).as("k"))
+        // per-side φ chosen above the natural key ceiling (events
+        // users top out near N/160, orders custkeys near N/600) so
+        // the audit surfaces the PLANTED hot keys, not the bulk
+        SketchAlgebra.heavyHitters(ev, col("k"), phiInv = 100)
+          .withColumn("side", lit("events"))
+          .unionByName(
+            SketchAlgebra.heavyHitters(or, col("k"), phiInv = 500)
+              .withColumn("side", lit("orders")))
+          .select("side", "k", "exact_cnt")
+          .orderBy("side", "k")
+      },
+      Some("""WITH ev AS (
+                SELECT CASE WHEN event_id % 3 = 0 THEN 1
+                            ELSE user_id END AS k FROM events),
+              oo AS (
+                SELECT CASE WHEN o_orderkey % 997 < 3 THEN 1
+                            ELSE o_custkey END AS k FROM orders),
+              he AS (
+                SELECT 'events' AS side, k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                FROM ev GROUP BY k
+                HAVING COUNT(*) >= (SELECT COUNT(*) // 100 FROM ev)),
+              ho AS (
+                SELECT 'orders' AS side, k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                FROM oo GROUP BY k
+                HAVING COUNT(*) >= (SELECT COUNT(*) // 500 FROM oo))
+              SELECT side, k, exact_cnt
+              FROM (SELECT * FROM he UNION ALL SELECT * FROM ho)
+              ORDER BY side, k""")),
 
     // -- semantic dedup (q55): the SemDeDup shape --------------------------
     // cluster embeddings into IVF cells (s03's deterministic Lloyd

@@ -171,6 +171,53 @@ object Streams {
       .drop("u_ppm")
       .filter(col("copies") > 0)
 
+  /** Streaming face of q59's curation pipeline (st10): every arriving
+    * doc is quality-gated, token-counted and split-assigned ROW-LOCALLY
+    * (t03/t04/t12's exact formulas — all codegen'd expressions), and
+    * content the batch corpus has already admitted is dropped via a
+    * prebuilt Bloom of seen content fingerprints (st06's convention:
+    * the batch pipeline owns EXACT dedup; the ingest face drops
+    * re-ingested copies with zero state — Bloom false positives drop
+    * new docs at the usual rate, never re-admit seen ones, so the
+    * filter is conservative in the safe direction). Fingerprints are
+    * reduced mod P before probing — the Bloom position arithmetic is
+    * affine mod P, and a raw 62-bit fingerprint would overflow it.
+    * Completely stateless: no state store, no watermark, no shuffle.
+    * Works identically on a batch DataFrame. */
+  def curationStream(docs: DataFrame, textCol: String,
+                     seenBloom: Array[Byte], mBits: Int = 1 << 20,
+                     numHashes: Int = 3, seed: Long = 42L,
+                     minQualityBp: Long = 5500L): DataFrame = {
+    require(seenBloom.length == mBits / 8,
+      s"seenBloom has ${seenBloom.length} bytes; mBits=$mBits needs ${mBits / 8}")
+    import graft.operators.TextAnalysis
+    docs
+      .withColumn("quality_bp", TextAnalysis.qualityScoreBp(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("quality_bp") >= minQualityBp)
+      .filter(graft.functions.BloomFunctions.bloomHitCount(
+        lit(seenBloom), array(pmod(col("fp"), lit(2147483647L))),
+        mBits, numHashes, seed) === 0)
+      .withColumn("split",
+        when(pmod(col("fp"), lit(100L)) < 90, "train")
+          .when(pmod(col("fp"), lit(100L)) < 95, "val")
+          .otherwise("test"))
+  }
+
+  /** The seen-content sketch [[curationStream]] probes: Bloom over
+    * `fingerprint(text) mod P` of the already-curated corpus — built
+    * batch-side, shipped to the ingest face as bytes. */
+  def seenFingerprintBloom(docs: DataFrame, textCol: String,
+                           mBits: Int = 1 << 20, numHashes: Int = 3,
+                           seed: Long = 42L): Array[Byte] =
+    docs
+      .select(pmod(graft.operators.TextAnalysis.fingerprint(col(textCol)),
+        lit(2147483647L)).as("h"))
+      .agg(graft.functions.BloomFunctions.bloomAgg(col("h"), mBits,
+        numHashes, seed).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+
   /** Streaming exact dedup on a key with bounded state: watermark on
     * the event time lets Spark drop per-key state once the key can no
     * longer recur within the lateness bound — the streaming counterpart

@@ -401,6 +401,27 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s07: MMR selection is ONE linear plan — the candidate window's " +
+       "WindowGroupLimit trims before its exchange, collect_list reuses " +
+       "the same query_id partitioning (no second hash exchange), and " +
+       "the greedy loop is the single mmr_select expression, not k " +
+       "chained stages") {
+    val p = plan("s07_mmr_diversify")
+    assert(p.contains("mmr_select"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q60: heavy-hitter candidate detection is row-local — the CMS " +
+       "rides pass 2 as a literal (cms_estimate in a Filter below the " +
+       "exact-count exchange), one hash exchange per audited side") {
+    val p = plan("q60_heavy_hitters")
+    assert(p.contains("cms_estimate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+  }
+
   test("q59: the curation pipeline shuffles the corpus exactly once — " +
        "quality gate in the scan stage, exact dedup via a WindowGroupLimit-" +
        "trimmed window (no groupBy+join-back), split assignment row-local " +

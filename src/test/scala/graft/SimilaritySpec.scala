@@ -196,4 +196,23 @@ class SimilaritySpec extends TestSpark {
       assert(survivors.exists(s => s < d && s / 100 === d / 100),
         s"dropped $d has no lower-id same-cluster survivor")
   }
+  test("mmrTopK diversifies: a near-duplicate of the first pick loses " +
+      "to a diverse candidate that plain top-k ranks below it") {
+    // query [1,0,0]; ids 10/11 are the SAME vector (rel 0.6), id 12 is
+    // its mirror (rel 0.6, cos(12,10) = -0.28). Plain top-k order by
+    // (rel, id) = [10, 11, 12]; MMR (lam=0.7) picks 10, then the
+    // penalty sinks 11 (0.42 - 0.3*1.0 = 0.12) below 12
+    // (0.42 - 0.3*(-0.28) = 0.504), then 11 last.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (10L, Array(0.6f, 0.8f, 0.0f)),
+      (11L, Array(0.6f, 0.8f, 0.0f)),
+      (12L, Array(0.6f, -0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(rows, rows.filter(col("vec_id") === 0L),
+        k = 3, cand = 3)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(out === Seq(10L, 12L, 11L))
+    // selection is stable and each id appears exactly once
+    assert(out.distinct === out)
+  }
 }

@@ -48,6 +48,27 @@ class SketchAlgebraSpec extends TestSpark {
     assert(r._4 > 400 && r._4 < 1800, r)  // intersection, looser
   }
 
+  test("heavyHitters is exact and independent of sketch geometry") {
+    // N = 1000: key 7 × 300, key 9 × 120, 58 cold keys × 10
+    val rows = Seq.fill(300)(7L) ++ Seq.fill(120)(9L) ++
+      (100L until 158L).flatMap(k => Seq.fill(10)(k))
+    val df = rows.toDF("k")
+    // T = N/8 = 125 → only key 7
+    val hh = SketchAlgebra.heavyHitters(df, col("k"), phiInv = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(hh === Set((7L, 300L)))
+    // width 4 floods pass 2 with false-positive candidates (every key
+    // collides with a heavy cell); the exact verify returns the
+    // IDENTICAL set — the sketch is performance, never semantics
+    val hh4 = SketchAlgebra.heavyHitters(df, col("k"), phiInv = 8,
+      width = 4).as[(Long, Long)].collect().toSet
+    assert(hh4 === hh)
+    // looser φ (T = 111) admits the second tier
+    val hh9 = SketchAlgebra.heavyHitters(df, col("k"), phiInv = 9)
+      .as[(Long, Long)].collect().toSet
+    assert(hh9 === Set((7L, 300L), (9L, 120L)))
+  }
+
   test("element-stream duplicates never change a sketch (mergeability)") {
     val base = (1L to 500L).map(("a", _)) ++ (200L to 700L).map(("b", _))
     val dup = base ++ base ++ base

@@ -542,4 +542,52 @@ class StreamingSpec extends TestSpark {
     val f103 = out2.find(_.fact_id == 3L).get
     assert(f103.dim_ts.map(_.getTime) === Some(102L) && f103.dim_value === Some(2.0))
   }
+
+  test("streaming curation (st10) equals its batch face, drops all " +
+      "seen content, and stays stateless") {
+    val docs = Tables(spark, sfDir, "documents")
+    // the batch pipeline has already admitted the even-id half
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val bloom = Streams.seenFingerprintBloom(seen, "text")
+
+    val stageDir = Files.createTempDirectory("stream-cur").toString
+    docs.write.mode("overwrite").parquet(stageDir)
+    val streamed = spark.readStream.schema(docs.schema).parquet(stageDir)
+    val q = Streams.curationStream(streamed, "text", bloom)
+      .select("doc_id", "quality_bp", "n_tokens", "split")
+      .writeStream.format("memory").queryName("curation").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("curation")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    val want = Streams.curationStream(docs, "text", bloom)
+      .select("doc_id", "quality_bp", "n_tokens", "split")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+    // conservative in the safe direction: no already-seen doc is ever
+    // re-admitted (Bloom has no false negatives); some UNSEEN docs
+    // must survive (the sketch is not degenerately full)
+    val seenIds = seen.select("doc_id").as[Long].collect().toSet
+    assert(got.forall(r => !seenIds.contains(r._1)))
+    assert(got.exists(r => r._1 % 2 === 1L))
+    // the row-local columns agree with the gated batch formulas
+    import graft.operators.TextAnalysis
+    val formulas = docs
+      .select(col("doc_id"), TextAnalysis.qualityScoreBp(col("text")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        pmod(TextAnalysis.fingerprint(col("text")), lit(100L)).as("b"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    got.foreach { case (id, qbp, n, split) =>
+      val (_, fq, fn, fb) = formulas(id)
+      assert(qbp === fq && n === fn && qbp >= 5500L)
+      val fsplit = if (fb < 90) "train" else if (fb < 95) "val" else "test"
+      assert(split === fsplit)
+    }
+    // stateless: no microbatch registered a state-store operator
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+  }
 }

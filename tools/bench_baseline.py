@@ -42,6 +42,7 @@ HEADLINE = [
     "q55_semdedup", "t17_dsir_score", "m09_video_neardup",
     "s06_knn_centrality", "q56_zorder_key", "q57_snapshot_diff",
     "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup",
+    "q60_heavy_hitters", "s07_mmr_diversify",
 ]
 
 def connect(sf_dir):
