@@ -103,9 +103,14 @@ object Bench {
     // (one corpus exchange), audio near-dup pairs on real WAV decode
     "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup",
     // round-9 batch 6: the CMS-guided skew audit (buffer shuffle +
-    // candidate-sized exact verify) and MMR diversification (k greedy
-    // steps unrolled into one plan over a checkpointed candidate set)
-    "q60_heavy_hitters", "s07_mmr_diversify")
+    // candidate-sized exact verify) and MMR diversification (one
+    // mmr_select expression over per-query collected candidates)
+    "q60_heavy_hitters", "s07_mmr_diversify",
+    // round-9 batch 7: exact sliding-window distinct (dedup-first
+    // bounded fan-out). d18_lsh_recall_audit embeds d02's exact-
+    // Jaccard join (on the half-corpus subset) and inherits its
+    // quadratic-by-construction headline exclusion like d13/t13/d14
+    "q61_sliding_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -149,6 +149,41 @@ object Pipeline {
               ORDER BY cos DESC, vec_id) AS INT) AS rank
             FROM dirs)"""
 
+  /** d18's oracle: exact string-shingle Jaccard pairs (d02's CTEs) and
+    * the MinHash-LSH verified pairs (the shared [[minhashCtes]] chain)
+    * over the same doc_id % 2 subset, full-outer'd into the recall/
+    * precision counts. */
+  private def d18Oracle(bands: Int, rpb: Int, minJ: Double,
+                        seed: Long): String =
+    s"""WITH sub AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          xtoks AS (
+            SELECT DISTINCT id, tok FROM (
+              SELECT doc_id AS id,
+                     unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tok
+              FROM (SELECT doc_id, $tok AS tk FROM sub))
+            WHERE tok <> ''),
+          xsizes AS (SELECT id, COUNT(*) AS sz FROM xtoks GROUP BY id),
+          xpairs AS (
+            SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+            FROM xtoks a JOIN xtoks b ON a.tok = b.tok AND a.id < b.id
+            GROUP BY 1, 2),
+          tr AS (
+            SELECT id_a, id_b FROM xpairs
+            JOIN xsizes sa ON id_a = sa.id
+            JOIN xsizes sb ON id_b = sb.id
+            WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $minJ),
+          ${minhashCtes("sub", bands, rpb, seed)},
+          ls AS (SELECT id_a, id_b FROM verified WHERE jaccard >= $minJ),
+          co AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                 FROM tr JOIN ls USING (id_a, id_b)),
+          tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr),
+          lc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ls)
+        SELECT tc.n AS n_truth, lc.n AS n_lsh, co.n AS n_common,
+               (co.n * 1000) // tc.n AS recall_milli,
+               (co.n * 1000) // lc.n AS precision_milli
+        FROM tc, lc, co"""
+
   /** DuckDB replica of MMR diversification (s07): exact top-`cand`
     * candidates (s01's chain), then the k greedy steps as UNROLLED
     * CTEs — per-step argmax via row_number, penalty via GREATEST over
@@ -1699,6 +1734,69 @@ object Pipeline {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
+
+    // -- sliding-window distinct users (q61) -------------------------------
+    // EXACT distinct-user counts for every 1-hour window sliding by 10
+    // minutes — the classic "you can't sum distincts across buckets"
+    // problem, solved without per-window rescans: dedup (user, bucket)
+    // first (the only corpus-sized shuffle, map-side combined), then
+    // each surviving pair fans out to exactly the W/S = 6 windows
+    // containing its bucket — a BOUNDED explode of the deduped pairs,
+    // not the events — distinct (user, window), count. At 100 TB the
+    // fan-out factor stays 6 whatever the event volume; the naive
+    // formulation joins events against every window range.
+    Q("q61_sliding_distinct",
+      (s, d) => t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 600").as("b"))
+        .distinct()
+        .select(col("user_id"), col("b"),
+          explode(expr("sequence(0, 5)")).as("i"))
+        .select(col("user_id"), ((col("b") - col("i")) * 600).as("w_start"))
+        .distinct()
+        .groupBy("w_start")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("w_start"),
+      Some("""WITH ub AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 1000000) // 600 AS b
+                FROM events),
+              uw AS (
+                SELECT DISTINCT user_id, (b - i) * 600 AS w_start
+                FROM ub CROSS JOIN (SELECT unnest(range(0, 6)) AS i)),
+              counts AS (
+                SELECT w_start, CAST(COUNT(*) AS BIGINT) AS n_users
+                FROM uw GROUP BY w_start)
+              SELECT w_start, n_users FROM counts ORDER BY w_start""")),
+
+    // -- LSH recall/precision audit (d18) ----------------------------------
+    // measure the near-dup MINER against exact ground truth on a
+    // bounded subset (doc_id % 2 — the quadratic exact join stays
+    // subset-sized; the LSH side is the production d03 config): full-
+    // outer join of the two pair sets, integer per-mille recall and
+    // precision. The audit every large-scale LSH deployment needs —
+    // banding guarantees are probabilistic, the measured numbers are
+    // what you tune bands/rows against. Truth = string-shingle
+    // Jaccard (d02's measure); candidates = hashed-shingle MinHash-LSH
+    // (d03's), so the audit also covers hash-collision drift.
+    Q("d18_lsh_recall_audit",
+      (s, d) => {
+        val sub = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        val truth = Dedup.ngramJaccardPairs(sub, col("doc_id"), col("text"),
+            0.6).select(col("id_a"), col("id_b"), lit(1).as("t"))
+        val lsh = Dedup.minhashLshPairs(sub, col("doc_id"), col("text"),
+            bands = 16, rowsPerBand = 4, minJaccard = 0.6)
+          .select(col("id_a"), col("id_b"), lit(1).as("l"))
+        truth.join(lsh, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("t")).as("n_truth"),
+            count(col("l")).as("n_lsh"),
+            count(when(col("t").isNotNull && col("l").isNotNull, 1))
+              .as("n_common"))
+          .select(col("n_truth"), col("n_lsh"), col("n_common"),
+            expr("(n_common * 1000) div n_truth").as("recall_milli"),
+            expr("(n_common * 1000) div n_lsh").as("precision_milli"))
+      },
+      Some(d18Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
 
     // -- MMR diversified retrieval (s07) -----------------------------------
     // greedy maximal-marginal-relevance over the exact top-50
