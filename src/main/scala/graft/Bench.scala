@@ -110,7 +110,10 @@ object Bench {
     // bounded fan-out). d18_lsh_recall_audit embeds d02's exact-
     // Jaccard join (on the half-corpus subset) and inherits its
     // quadratic-by-construction headline exclusion like d13/t13/d14
-    "q61_sliding_distinct")
+    "q61_sliding_distinct",
+    // round-9 batch 8: FastSS deletion-neighborhood fuzzy join
+    // (equi-join on |s|+1 variants, verify below the pair dedup)
+    "d19_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

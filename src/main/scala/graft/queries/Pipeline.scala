@@ -1735,6 +1735,35 @@ object Pipeline {
         .orderBy("query_id", "rank"),
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
 
+    // -- edit-distance-1 fuzzy join (d19) ----------------------------------
+    // FastSS deletion-neighborhood self-join on supplier names: two
+    // strings within edit distance 1 SHARE a deletion variant, so
+    // candidates come from an equi-join on |s|+1 variants per string
+    // (never the O(n²) cross join) and levenshtein verifies below the
+    // pair-dedup exchange. The spelling-variant miner entity
+    // resolution runs where SimHash/MinHash are too coarse.
+    Q("d19_fuzzy_join",
+      (s, d) => FuzzyJoin.editDistance1Pairs(
+          t(s, d, "supplier"), col("s_suppkey"), col("s_name"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH base AS (
+                SELECT s_suppkey AS id, s_name AS s FROM supplier
+                WHERE s_name IS NOT NULL AND length(s_name) > 0),
+              vars AS (
+                SELECT id, s,
+                       unnest(list_distinct(list_prepend(s,
+                         list_transform(range(1, length(s) + 1),
+                           i -> substr(s, 1, CAST(i - 1 AS INT))
+                                || substr(s, CAST(i + 1 AS INT)))))) AS v
+                FROM base),
+              cands AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+                FROM vars a JOIN vars b
+                  ON a.v = b.v AND a.id < b.id)
+              SELECT id_a, id_b, dist FROM cands
+              WHERE dist <= 1 ORDER BY id_a, id_b""")),
+
     // -- sliding-window distinct users (q61) -------------------------------
     // EXACT distinct-user counts for every 1-hour window sliding by 10
     // minutes — the classic "you can't sum distincts across buckets"

@@ -218,6 +218,33 @@ object Streams {
         numHashes, seed).as("__bloom"))
       .head().getAs[Array[Byte]](0)
 
+  /** Streaming face of q61's exact sliding-window distinct (st11):
+    * the same dedup-first bounded fan-out, streamed — each event
+    * explodes row-locally to the W/S = 6 sliding windows containing
+    * its 10-minute bucket, keyed by the WINDOW START as event time,
+    * then two chained stateful operators (the Spark ≥3.5 append-mode
+    * chain): dropDuplicates(user, window) with a watermark bounding
+    * the dedup state, and the per-window count. State per key is one
+    * dedup entry until the watermark passes the window — the fan-out
+    * multiplies arriving rows by 6, never the state beyond the open
+    * windows. A window's count finalizes (appends) once the watermark
+    * clears it — exactly q61's number for that window. The watermark
+    * rides `w_ts`, which trails the event's own time by up to W−S, so
+    * lateness composes: an event `lateness` late in event time is
+    * still on time for every window it feeds. */
+  def slidingDistinctStream(events: DataFrame,
+                            lateness: String = "10 minutes"): DataFrame =
+    events
+      .select(col("user_id"), expr("unix_timestamp(ts) div 600").as("b"))
+      .select(col("user_id"), col("b"),
+        explode(expr("sequence(0, 5)")).as("i"))
+      .select(col("user_id"),
+        timestamp_seconds((col("b") - col("i")) * 600).as("w_ts"))
+      .withWatermark("w_ts", lateness)
+      .dropDuplicates("user_id", "w_ts")
+      .groupBy("w_ts")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Streaming exact dedup on a key with bounded state: watermark on
     * the event time lets Spark drop per-key state once the key can no
     * longer recur within the lateness bound — the streaming counterpart

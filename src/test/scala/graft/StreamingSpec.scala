@@ -590,4 +590,46 @@ class StreamingSpec extends TestSpark {
     assert(q.recentProgress.nonEmpty)
     assert(q.recentProgress.forall(_.stateOperators.isEmpty))
   }
+
+  test("streaming sliding distinct (st11) finalizes exactly q61's " +
+      "window counts through the chained dedup->agg state") {
+    val events = Tables(spark, sfDir, "events").select("user_id", "ts")
+    // a far-future sentinel pushes the watermark past every real
+    // window so append mode finalizes them all
+    val maxTs = events.agg(max(col("ts"))).as[java.sql.Timestamp].head()
+    val sentinel = Seq((-1L, new java.sql.Timestamp(
+      maxTs.getTime + 2 * 3600 * 1000))).toDF("user_id", "ts")
+    val staged = events.unionByName(sentinel)
+    val stageDir = Files.createTempDirectory("stream-sd").toString
+    staged.write.mode("overwrite").parquet(stageDir)
+
+    val streamed = spark.readStream.schema(staged.schema).parquet(stageDir)
+    val q = Streams.slidingDistinctStream(streamed)
+      .writeStream.format("memory").queryName("sliding").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // real windows only (the sentinel's 6 windows are 2h past them)
+    val maxRealW = maxTs.getTime / 1000 / 600 * 600
+    val got = spark.table("sliding")
+      .select((col("w_ts").cast("long")).as("w_start"), col("n_users"))
+      .filter(col("w_start") <= maxRealW)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // q61's batch formulation over the same events
+    val want = events
+      .select(col("user_id"), expr("unix_timestamp(ts) div 600").as("b"))
+      .distinct()
+      .select(col("user_id"), col("b"),
+        explode(expr("sequence(0, 5)")).as("i"))
+      .select(col("user_id"), ((col("b") - col("i")) * 600).as("w_start"))
+      .distinct()
+      .groupBy("w_start").agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the chain really is two stateful operators (dedup + agg)
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.exists(_.stateOperators.length === 2))
+  }
 }

@@ -43,7 +43,7 @@ HEADLINE = [
     "s06_knn_centrality", "q56_zorder_key", "q57_snapshot_diff",
     "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup",
     "q60_heavy_hitters", "s07_mmr_diversify",
-    "q61_sliding_distinct",
+    "q61_sliding_distinct", "d19_fuzzy_join",
 ]
 
 def connect(sf_dir):
