@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{BloomHitCount, BloomSketch, CdcSegments,
-  CmsEstimate, CmsSketch, FloatVectorDot, HashedShingles,
-  HyperplaneSignature, KmvSketch, MinHashSignature, NearestCells,
-  RollingFingerprint, SimHash64, TermCountMap}
+  CmsEstimate, CmsSketch, EditWithin1, FloatVectorDot, HashedShingles,
+  HyperplaneSignature, KmvSketch, KmvSketchValues, MinHashSignature,
+  MmrSelect, NearestCells, RollingFingerprint, SimHash64, TermCountMap}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * SQL: `spark.sql.extensions=graft.GraftExtensions` →
@@ -170,6 +170,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "keys sorted bytewise, empty tokens skipped"),
       (args: Seq[Expression]) => {
         arity("term_counts", args, 1, 1); TermCountMap(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch_values"),
+      info("kmv_sketch_values",
+        "_FUNC_(hash[, k]) - the KMV sketch ITSELF: sorted array of the " +
+          "k smallest distinct hashes (same buffer as kmv_sketch, " +
+          "mergeable; input reduced mod 2147483647)"),
+      (args: Seq[Expression]) => {
+        arity("kmv_sketch_values", args, 1, 2)
+        KmvSketchValues(args.head,
+          intArg("kmv_sketch_values", args, 1, 256L).toInt)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("mmr_select"),
+      info("mmr_select",
+        "_FUNC_(cands, k[, lamPct]) - greedy maximal-marginal-relevance " +
+          "selection over array<struct<vec_id bigint, rel double, " +
+          "embedding array<float>>>; lamPct is λ·100 (default 70)"),
+      (args: Seq[Expression]) => {
+        arity("mmr_select", args, 2, 3)
+        val k = intArg("mmr_select", args, 1, 10L).toInt
+        val lamPct = intArg("mmr_select", args, 2, 70L)
+        if (lamPct < 0 || lamPct > 100) throw new IllegalArgumentException(
+          s"mmr_select: lamPct must be in [0, 100], got $lamPct")
+        MmrSelect(args.head, k, lamPct / 100.0)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("edit_within_1"),
+      info("edit_within_1",
+        "_FUNC_(a, b) - true iff levenshtein(a, b) <= 1, via a bounded " +
+          "two-pointer pass (no DP)"),
+      (args: Seq[Expression]) => {
+        arity("edit_within_1", args, 2, 2); EditWithin1(args(0), args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("cdc_segments"),

@@ -385,9 +385,14 @@ object Multimodal {
     * catch. The envelope fingerprint compares window means pairwise,
     * so any monotone amplitude scaling preserves every bit — the
     * invariance this corpus gates. Row-local mapPartitions codec
-    * dispatch (m02's convention). */
+    * dispatch (m02's convention). The default offset is 2⁴⁰ — the
+    * first cut used 10⁷, which the sf10 CORRECTNESS gate caught
+    * colliding with real replica doc_ids (sf10 ids reach 9.9·10⁷):
+    * variant ids aliased onto other documents' ids, two entries per
+    * aliased id with different payloads. Scale-proofing ID spaces
+    * means offsets above any REACHABLE id, not any convenient one. */
   def synthWavCorpus(ids: DataFrame, id: Column,
-                     offset: Long = 10000000L): DataFrame = {
+                     offset: Long = 1L << 40): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(id.cast("long").as("id")).as[Long]

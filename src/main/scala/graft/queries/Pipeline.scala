@@ -641,7 +641,7 @@ object Pipeline {
   private def m10Oracle(maxDist: Int): String = {
     val nSeg = maxDist + 1
     val segBits = 64 / nSeg
-    val h0 = "((((id % 10000000) * 65536 + f) * 131071 + 524287) % 2147483647)"
+    val h0 = "((((id % 1099511627776) * 65536 + f) * 131071 + 524287) % 2147483647)"
     val h2 = s"(($h0 * $h0) % 2147483647)"
     val lvl = s"(800 + 100 * (((($h2 * $h2) % 2147483647) * $h0) % 2147483647 % 7))"
     val fpTerms = (0 until 64).map { f =>
@@ -653,11 +653,11 @@ object Pipeline {
     s"""WITH ids AS (
           SELECT doc_id AS id FROM documents
           UNION ALL
-          SELECT doc_id + 10000000 AS id FROM documents),
+          SELECT doc_id + 1099511627776 AS id FROM documents),
         en AS (
           SELECT id,
                  list_transform(range(0, 65), f ->
-                   $lvl * (CASE WHEN id >= 10000000 THEN 2 ELSE 1 END)) AS e
+                   $lvl * (CASE WHEN id >= 1099511627776 THEN 2 ELSE 1 END)) AS e
           FROM ids),
         fps AS (
           SELECT id, $fpTerms AS fp FROM en),

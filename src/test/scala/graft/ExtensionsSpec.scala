@@ -142,4 +142,35 @@ class ExtensionsSpec extends TestSpark {
       .head().getSeq[String](0)
     assert(sql8 === lib8)
   }
+
+  test("kmv_sketch_values, mmr_select and edit_within_1 are callable " +
+       "from pure SQL") {
+    // kmv_sketch_values: k smallest distinct values, sorted
+    val sk = spark.sql(
+      """SELECT kmv_sketch_values(h, 3) AS s
+        |FROM (SELECT explode(array(9L, 2L, 7L, 2L, 5L)) AS h)
+        |""".stripMargin).head().getSeq[Long](0)
+    assert(sk === Seq(2L, 5L, 7L))
+    // mmr_select over a tiny candidate array: duplicate of the first
+    // pick sinks below the diverse mirror (the SimilaritySpec case)
+    val mmr = spark.sql(
+      """SELECT mmr_select(array(
+        |  named_struct('vec_id', 10L, 'rel', cast(0.6 as double),
+        |    'embedding', array(cast(0.6 as float), cast(0.8 as float))),
+        |  named_struct('vec_id', 11L, 'rel', cast(0.6 as double),
+        |    'embedding', array(cast(0.6 as float), cast(0.8 as float))),
+        |  named_struct('vec_id', 12L, 'rel', cast(0.6 as double),
+        |    'embedding', array(cast(0.6 as float), cast(-0.8 as float)))),
+        |  3, 70) AS s
+        |""".stripMargin)
+      .selectExpr("transform(s, x -> x.vec_id) AS ids").head().getSeq[Long](0)
+    assert(mmr === Seq(10L, 12L, 11L))
+    // edit_within_1: the bounded check, true/false boundaries
+    val ed = spark.sql(
+      """SELECT edit_within_1('abc', 'axc') AS a,
+        |       edit_within_1('abc', 'axx') AS b,
+        |       edit_within_1('abc', 'abcd') AS c
+        |""".stripMargin).head()
+    assert(ed.getBoolean(0) && !ed.getBoolean(1) && ed.getBoolean(2))
+  }
 }
