@@ -113,7 +113,11 @@ object Bench {
     "q61_sliding_distinct",
     // round-9 batch 8: FastSS deletion-neighborhood fuzzy join
     // (equi-join on |s|+1 variants, verify below the pair dedup)
-    "d19_fuzzy_join")
+    "d19_fuzzy_join",
+    // round-9 batch 9: exact global top-p% (histogram prefix cut, no
+    // global sort) and embedding-space decontamination (bench side
+    // broadcast through the shared hyperplane banding)
+    "q62_global_topk_percent", "d20_semantic_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

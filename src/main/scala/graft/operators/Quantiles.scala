@@ -51,4 +51,43 @@ object Quantiles {
       .agg(min(col("b") * width).as("est"))
       .select(col("g"), col("p"), col("est"))
   }
+
+  /** EXACT global top-⌊N·num/den⌋ selection by `value` (ties broken by
+    * `tie` ascending) WITHOUT a total sort of the data (q62) — the
+    * "keep the top 10% by quality" curation cut.
+    *
+    * The naive formulation is a global `row_number() OVER (ORDER BY
+    * value DESC)` — every row through ONE reducer. Here the corpus
+    * pays one map-side-combined histogram shuffle (value-domain-
+    * sized); the cumulative window runs over the HISTOGRAM (same
+    * bounded-domain caveat as the quantile reader above); and rows
+    * join back against the broadcast prefix table: values strictly
+    * inside the top-k prefix pass row-locally, only the single
+    * BOUNDARY value needs a tie-ranking window — partitioned by
+    * value, so its cost is that value's tie count, not N. The
+    * selected set is exactly the k the naive window would keep,
+    * which is the oracle. Requires a discrete `value` domain (here
+    * integer basis points); continuous scores would histogram-bucket
+    * first and tie-rank the boundary bucket the same way. */
+  def globalTopFraction(df: DataFrame, value: Column, tie: Column,
+                        num: Long, den: Long): DataFrame = {
+    require(num >= 1 && den >= num,
+      s"need 1 <= num <= den, got $num/$den")
+    val v = df.withColumn("__v", value)
+    val hist = v.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cut = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__before", col("__cum") - col("__c"))
+      .crossJoin(broadcast(hist.agg(sum(col("__c")).as("__n"))))
+      .withColumn("__k", expr(s"(__n * $num) div $den"))
+      .filter(col("__before") < col("__k"))
+      .select(col("__v"), col("__before"), col("__k"))
+    val wTie = Window.partitionBy("__v").orderBy(tie)
+    v.join(broadcast(cut), "__v")
+      .withColumn("__r", row_number().over(wTie))
+      .filter(col("__before") + col("__r") <= col("__k"))
+      .drop("__v", "__before", "__k", "__r")
+  }
 }

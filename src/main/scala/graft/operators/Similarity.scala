@@ -390,6 +390,37 @@ object Similarity {
       .distinct()
   }
 
+  /** Semantic decontamination (d20): flag corpus vectors whose cosine
+    * to ANY benchmark vector clears `minCos` — d08's leakage audit in
+    * EMBEDDING space, catching the paraphrased/translated
+    * contamination shingle overlap cannot see. Candidates from the
+    * shared hyperplane banding with the BENCH side broadcast (the
+    * corpus never shuffles — the d08/d09 asymmetry: eval suites are
+    * small, the corpus is 100 TB), exact cosine verify BELOW the
+    * pair-dedup exchange (d05's verify-then-distinct discipline).
+    * Output: (vec_id, bench_id, cos) per flagged pair. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            minCos: Double, nBits: Int = 16,
+                            bands: Int = 4): DataFrame = {
+    val bits = nBits / bands
+    def banded(df: DataFrame, idc: String): DataFrame = df
+      .select(col("vec_id").as(idc), col("embedding"),
+        hyperplaneSignature(col("embedding"), nBits).as("sig"))
+      .select(col(idc), col("embedding"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          shiftright(col("sig"), b * bits)
+            .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
+      .select(col(idc), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded(corpus, "vec_id").as("c")
+      .join(broadcast(banded(bench, "bench_id")).as("q"),
+        col("c.band") === col("q.band") && col("c.bkey") === col("q.bkey"))
+      .select(col("c.vec_id").as("vec_id"), col("bench_id"),
+        cosine(col("c.embedding"), col("q.embedding")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct()
+  }
+
   /** k-NN JOIN: top-k neighbours for EVERY corpus vector — the kNN
     * graph that embedding-level curation (SemDeDup-style cluster
     * pruning, graph-based diversity sampling) is built on. Differs

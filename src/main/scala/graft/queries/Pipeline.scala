@@ -312,6 +312,20 @@ object Pipeline {
         SELECT id_a, id_b, round(cos, 6) AS cos
         FROM pairs WHERE cos >= $minCos ORDER BY id_a, id_b"""
 
+  /** d20's oracle: the shared hyperplane-band CTEs with the corpus /
+    * bench split applied in the pair join, exact cosine threshold. */
+  private def d20Oracle(minCos: Double, nBits: Int, bands: Int,
+                        seed: Long): String =
+    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+          pairs AS (
+            SELECT DISTINCT c.vec_id, q.vec_id AS bench_id,
+                   ${cosSql("c.e", "q.e")} AS cos
+            FROM bnd c JOIN bnd q
+              ON c.band = q.band AND c.bkey = q.bkey
+             AND c.vec_id % 29 <> 0 AND q.vec_id % 29 = 0)
+        SELECT vec_id, bench_id, round(cos, 6) AS cos
+        FROM pairs WHERE cos >= $minCos ORDER BY vec_id, bench_id"""
+
   /** DuckDB replica of the IVF ANN pipeline (s03) for ANY number of
     * Lloyd iterations: md5-ordered seeding, then per iteration one
     * assign CTE + one centroid-mean CTE (decimal-exact means rounded
@@ -1585,6 +1599,47 @@ object Pipeline {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b"),
       Some(d05Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L))),
+
+    // -- exact global top-10% selection (q62) ------------------------------
+    // "keep the top decile by quality" WITHOUT the single-reducer
+    // global window: one histogram shuffle over the integer score
+    // domain, prefix arithmetic on the (tiny) histogram, rows join
+    // back against the broadcast cut — only the boundary score value
+    // pays a tie-ranking window. Selected set == the naive global
+    // row_number's, which IS the oracle.
+    Q("q62_global_topk_percent",
+      (s, d) => Quantiles.globalTopFraction(
+          t(s, d, "documents").select(col("doc_id"),
+            TextAnalysis.qualityScoreBp(col("text")).as("quality_bp")),
+          col("quality_bp"), col("doc_id"), num = 1, den = 10)
+        .select("doc_id", "quality_bp")
+        .orderBy("doc_id"),
+      Some(s"""WITH q AS ($qualitySubquery),
+            sel AS (
+              SELECT doc_id, quality_bp,
+                     row_number() OVER (ORDER BY quality_bp DESC, doc_id)
+                       AS rn
+              FROM q)
+          SELECT doc_id, quality_bp FROM sel
+          WHERE rn <= (SELECT COUNT(*) // 10 FROM q)
+          ORDER BY doc_id""")),
+
+    // -- semantic decontamination (d20) ------------------------------------
+    // d08's eval-leakage audit in EMBEDDING space: flag corpus vectors
+    // whose cosine to any benchmark vector (vec_id % 29, d08's bench
+    // convention) clears the threshold — the paraphrased contamination
+    // shingle overlap cannot see. Bench side broadcast through the
+    // shared hyperplane banding; the corpus never shuffles.
+    Q("d20_semantic_decontaminate",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") % 29 =!= 0),
+            emb.filter(col("vec_id") % 29 === 0), minCos = 0.3)
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("vec_id", "bench_id")
+      },
+      Some(d20Oracle(minCos = 0.3, nBits = 16, bands = 4, seed = 42L))),
 
     // -- quadratic-guard caps under oracle (SURVEY §2.D hardening) ---------
     // The two configs SURVEY calls MANDATORY at 100 TB — mega-bucket

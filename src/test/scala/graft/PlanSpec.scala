@@ -422,6 +422,37 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
   }
 
+  test("q62: the global top-p% cut never global-sorts the corpus — " +
+       "histogram prefix arithmetic + a broadcast cut join; the only " +
+       "corpus-row window partitions by the boundary value") {
+    val p = plan("q62_global_topk_percent")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // 3 value-keyed exchanges (histogram agg, prefix window, tie
+    // window) — none is a rangepartitioning global sort of the data
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3, p)
+    assert("Window \\[row_number".r.findAllIn(p).size === 1, p)
+  }
+
+  test("d20: the corpus never shuffles before the bench join — bench " +
+       "side broadcast through the banding, one exchange total (the " +
+       "pair dedup), no sort-merge") {
+    val p = plan("d20_semantic_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("d19: candidates come from an EQUI-join on variants (no " +
+       "cartesian anywhere) and the verify is the bounded " +
+       "edit_within_1 check, not the DP levenshtein") {
+    val p = plan("d19_fuzzy_join")
+    assert(p.contains("edit_within_1"), p)
+    assert(!p.contains("levenshtein"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q59: the curation pipeline shuffles the corpus exactly once — " +
        "quality gate in the scan stage, exact dedup via a WindowGroupLimit-" +
        "trimmed window (no groupBy+join-back), split assignment row-local " +

@@ -44,6 +44,7 @@ HEADLINE = [
     "q58_sketch_setops", "q59_curation_e2e", "m10_audio_neardup",
     "q60_heavy_hitters", "s07_mmr_diversify",
     "q61_sliding_distinct", "d19_fuzzy_join",
+    "q62_global_topk_percent", "d20_semantic_decontaminate",
 ]
 
 def connect(sf_dir):
