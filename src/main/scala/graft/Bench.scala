@@ -117,7 +117,10 @@ object Bench {
     // round-9 batch 9: exact global top-p% (histogram prefix cut, no
     // global sort) and embedding-space decontamination (bench side
     // broadcast through the shared hyperplane banding)
-    "q62_global_topk_percent", "d20_semantic_decontaminate")
+    "q62_global_topk_percent", "d20_semantic_decontaminate",
+    // round-9 batch 10: token↔label lift feature selection (one
+    // token scan, vocabulary-sized broadcast scoring join)
+    "q63_mi_feature_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -25,8 +25,21 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** All (id_a < id_b) pairs of non-empty strings within edit
-    * distance `maxDist` ∈ {0, 1}. Output: (id_a, id_b, dist). */
-  def editDistance1Pairs(df: DataFrame, id: Column, str: Column): DataFrame = {
+    * distance 1. Output: (id_a, id_b, dist).
+    *
+    * `maxBucket` is d19's quadratic guard (the d11 mega-bucket cap,
+    * same anti-join mechanism): a variant shared by k strings emits
+    * ~k² candidates, and on DENSE key populations hot variants grow
+    * with the corpus — measured sf1→sf10 (10× suppliers): candidates
+    * went superlinear and the query 5.2 s → 128 s on BOTH engines
+    * (DuckDB 30 s → 162 s; the data, not the plan). A hot variant is
+    * a low-information key — a run-of-zeros deletion matched by a
+    * whole numeric block — so capping drops mostly distance-2 noise
+    * candidates; true pairs still meet at their other, more selective
+    * variants unless every shared variant is hot. Off by default; on
+    * a 100 TB key table it must be on. */
+  def editDistance1Pairs(df: DataFrame, id: Column, str: Column,
+                         maxBucket: Option[Long] = None): DataFrame = {
     val base = df.select(id.cast("long").as("id"), str.as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0)
     // the string itself (0-deletion) + every 1-deletion variant;
@@ -41,10 +54,15 @@ object FuzzyJoin {
       explode(array_distinct(concat(array(col("s")),
         expr("transform(sequence(1, length(s)), " +
           "i -> concat(substr(s, 1, i-1), substr(s, i+1)))")))).as("v"))
+    val capped = maxBucket.fold(vars) { cap =>
+      val hot = vars.groupBy("v").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("v")
+      vars.join(hot, Seq("v"), "left_anti")
+    }
     // the bounded two-pointer check, not the DP levenshtein: the DP
     // on the candidate stream measured ~19 s of the sf1 wall (4.35M
     // pairs); edit_within_1 answers the same predicate in one pass
-    vars.as("a").join(vars.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .filter(graft.functions.EditDistanceFunctions
         .editWithin1(col("a.s"), col("b.s")))

@@ -1600,6 +1600,67 @@ object Pipeline {
         .orderBy("id_a", "id_b"),
       Some(d05Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L))),
 
+    // -- pointwise-MI feature selection (q63) ------------------------------
+    // which tokens are INFORMATIVE about a label (here lang) — the
+    // feature-selection pass a quality/lang classifier trains on.
+    // Score = association LIFT in ppm: (c_wl·10⁶ div c_w)·N div c_l —
+    // P(w|l)/P(w) scaled to integers with STAGED division (the single
+    // product c_wl·N·10⁶ overflows BIGINT at sf10; the staged form is
+    // bounded and both engines define truncating div identically).
+    // Finer than floor-log2 PMI bits, which quantized this corpus's
+    // near-uniform lifts to a single value. All four count tables are
+    // map-side-combined aggregates of ONE token scan; the scoring
+    // join is vocabulary-sized and broadcast. Top-5 per lang under a
+    // total (lift, count, token) order.
+    Q("q63_mi_feature_select",
+      (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("lang"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c_wl"))
+        val cl = cwl.groupBy("lang").agg(sum("c_wl").as("c_l"))
+        val cw = cwl.groupBy("w").agg(sum("c_wl").as("c_w"))
+        val n = cwl.agg(sum("c_wl").as("n"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("lift_ppm").desc, col("c_wl").desc, col("w").asc)
+        cwl.join(broadcast(cl), "lang").join(broadcast(cw), "w")
+          .crossJoin(broadcast(n))
+          .filter(col("c_wl") >= 5)
+          .withColumn("lift_ppm",
+            expr("((c_wl * 1000000L) div c_w) * n div c_l"))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("w").as("token"),
+            col("c_wl"), col("lift_ppm"))
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH tok AS (
+                SELECT lang, unnest($tok) AS w FROM documents),
+              tk AS (SELECT lang, w FROM tok WHERE w <> ''),
+              cwl AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c_wl
+                      FROM tk GROUP BY 1, 2),
+              cl AS (SELECT lang, CAST(SUM(c_wl) AS BIGINT) AS c_l
+                     FROM cwl GROUP BY 1),
+              cw AS (SELECT w, CAST(SUM(c_wl) AS BIGINT) AS c_w
+                     FROM cwl GROUP BY 1),
+              n AS (SELECT CAST(SUM(c_wl) AS BIGINT) AS n FROM cwl),
+              scored AS (
+                SELECT cwl.lang, cwl.w, cwl.c_wl,
+                       CAST(((cwl.c_wl * 1000000) // cw.c_w) * n.n // cl.c_l
+                         AS BIGINT) AS lift_ppm
+                FROM cwl JOIN cl ON cl.lang = cwl.lang
+                JOIN cw ON cw.w = cwl.w
+                CROSS JOIN n
+                WHERE cwl.c_wl >= 5),
+              ranked AS (
+                SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                  ORDER BY lift_ppm DESC, c_wl DESC, w) AS INT) AS rank
+                FROM scored)
+              SELECT lang, rank, w AS token, c_wl, lift_ppm
+              FROM ranked WHERE rank <= 5 ORDER BY lang, rank""")),
+
     // -- exact global top-10% selection (q62) ------------------------------
     // "keep the top decile by quality" WITHOUT the single-reducer
     // global window: one histogram shuffle over the integer score

@@ -54,4 +54,22 @@ class FuzzyJoinSpec extends TestSpark {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("the variant-bucket cap drops hot-variant candidates; pairs with " +
+      "a selective shared variant survive") {
+    // ten strings "a0".."a9": every pair is distance 1 ONLY through
+    // the hot variant "a" (deleting the digit) — bucket size 10.
+    // Two strings "zzx"/"zzy" pair through selective variants too.
+    val rows = ((0L to 9L).map(i => (i, s"a$i")) ++
+      Seq((20L, "zzx"), (21L, "zzy"))).toDF("id", "name")
+    val uncapped = FuzzyJoin.editDistance1Pairs(rows, col("id"), col("name"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 45 + 1) // C(10,2) digit pairs + the zz pair
+    val capped = FuzzyJoin.editDistance1Pairs(rows, col("id"), col("name"),
+      maxBucket = Some(4L)).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    // the "a" bucket (10 > 4) is dropped -> all 45 digit pairs gone;
+    // "zzx"/"zzy" still meet at variant "zz" (bucket size 2)
+    assert(capped === Set((20L, 21L)))
+  }
 }
