@@ -632,4 +632,51 @@ class StreamingSpec extends TestSpark {
     assert(q.recentProgress.nonEmpty)
     assert(q.recentProgress.exists(_.stateOperators.length === 2))
   }
+
+  test("checkpoint recovery: a RESTARTED dedup stream remembers every " +
+      "key the killed run already emitted") {
+    // fault-tolerance, not just multi-batch equivalence: run 1
+    // processes half the corpus and terminates; run 2 is a NEW query
+    // over the same checkpoint seeing the other half. If the state
+    // store did not recover, run 2 would re-emit keys run 1 already
+    // deduped.
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val stageDir = Files.createTempDirectory("ckpt-stage").toString
+    val ckpt = Files.createTempDirectory("ckpt-state").toString
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 =!= 0)
+
+    // the memory sink refuses checkpoint recovery; the parquet sink is
+    // the surface a real pipeline restarts on anyway
+    val outDir = Files.createTempDirectory("ckpt-out").toString
+    def run(): Set[Long] = {
+      val streamed = spark.readStream.schema(events.schema).parquet(stageDir)
+      // lateness far beyond the corpus span: no state eviction, no
+      // late-row drops — isolates the recovery property
+      val q = Streams.dedupStream(streamed, Seq("user_id"),
+          lateness = "3650 days")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).select("user_id").as[Long].collect().toSet
+    }
+
+    a.coalesce(1).write.mode("append").parquet(stageDir)
+    val got1 = run()
+    b.coalesce(1).write.mode("append").parquet(stageDir)
+    val gotAll = run()
+
+    // the union is exactly the batch-distinct key set...
+    val want = events.select("user_id").distinct().as[Long].collect().toSet
+    assert(got1.nonEmpty && gotAll === want)
+    // ...and EXACTLY-ONCE across the restart: one sink ROW per key —
+    // a lost state store would re-emit run-1 keys seen again in run 2
+    val sinkRows = spark.read.parquet(outDir).count()
+    assert(sinkRows === want.size.toLong,
+      s"$sinkRows sink rows for ${want.size} keys — state re-emitted")
+  }
 }
