@@ -119,8 +119,9 @@ object Bench {
     // broadcast through the shared hyperplane banding)
     "q62_global_topk_percent", "d20_semantic_decontaminate",
     // round-9 batch 10: token↔label lift feature selection (one
-    // token scan, vocabulary-sized broadcast scoring join)
-    "q63_mi_feature_select")
+    // token scan, vocabulary-sized broadcast scoring join); sketch-
+    // priced join cardinality (two CMS buffers, join never runs)
+    "q63_mi_feature_select", "q64_join_size_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

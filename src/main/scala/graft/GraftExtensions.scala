@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import graft.functions.{BloomHitCount, BloomSketch, CdcSegments,
-  CmsEstimate, CmsSketch, EditWithin1, FloatVectorDot, HashedShingles,
-  HyperplaneSignature, KmvSketch, KmvSketchValues, MinHashSignature,
-  MmrSelect, NearestCells, RollingFingerprint, SimHash64, TermCountMap}
+  CmsEstimate, CmsJoinSize, CmsSketch, EditWithin1, FloatVectorDot,
+  HashedShingles, HyperplaneSignature, KmvSketch, KmvSketchValues,
+  MinHashSignature, MmrSelect, NearestCells, RollingFingerprint,
+  SimHash64, TermCountMap}
 
 /** SparkSessionExtensions hook exposing graft's native expressions to
   * SQL: `spark.sql.extensions=graft.GraftExtensions` →
@@ -170,6 +171,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "keys sorted bytewise, empty tokens skipped"),
       (args: Seq[Expression]) => {
         arity("term_counts", args, 1, 1); TermCountMap(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_join_size"),
+      info("cms_join_size",
+        "_FUNC_(cmsA, cmsB[, depth[, width]]) - join-cardinality " +
+          "estimate: min over sketch rows of the count-vector dot " +
+          "product; never underestimates"),
+      (args: Seq[Expression]) => {
+        arity("cms_join_size", args, 2, 4)
+        CmsJoinSize(args(0), args(1),
+          intArg("cms_join_size", args, 2, 3L).toInt,
+          intArg("cms_join_size", args, 3, 1024L).toInt)
       }))
     ext.injectFunction((
       FunctionIdentifier("kmv_sketch_values"),

@@ -151,7 +151,76 @@ case class CmsEstimate(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** JOIN-SIZE estimate from two Count-Min sketches (q64): for each of
+  * the `depth` rows, the dot product Σ_pos cA·cB; the minimum over
+  * rows estimates Σ_k fA(k)·fB(k) — the inner-join row count — from
+  * two fixed-size summaries, never touching the join (Alon-Gibbons-
+  * Matias-Szegedy by way of Cormode-Muthukrishnan). Never
+  * underestimates (hash collisions only add mass), so as a
+  * broadcast/salt planning signal it is conservative the safe way.
+  * Integer arithmetic only: both engines replay the estimate exactly,
+  * collision inflation included. */
+case class CmsJoinSize(left: Expression, right: Expression,
+                       depth: Int, width: Int) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_join_size"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cms_join_size needs (binary, binary), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CmsUtil.joinSizeEst(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CmsUtil.joinSizeEst($a, $b, $depth, $width);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CmsUtil {
+  /** Static (codegen-callable) join-size core: per sketch row, the
+    * integer dot product of the two count vectors; min over rows.
+    * Both matrices must share (depth, width) — and, for the estimate
+    * to mean anything, the same hash seed. */
+  def joinSizeEst(sa: Array[Byte], sb: Array[Byte],
+                  depth: Int, width: Int): Long = {
+    val need = depth * width * 8
+    if (sa.length != need || sb.length != need)
+      throw new IllegalArgumentException(
+        s"cms_join_size: sketches have ${sa.length}/${sb.length} bytes " +
+          s"but depth=$depth width=$width needs $need — both sides must " +
+          "be built with the probe's parameters")
+    def at(s: Array[Byte], off: Int): Long = {
+      var c = 0L; var i = 0
+      while (i < 8) { c = (c << 8) | (s(off + i) & 0xffL); i += 1 }
+      c
+    }
+    var best = Long.MaxValue
+    var j = 0
+    while (j < depth) {
+      var dot = 0L
+      var p = 0
+      while (p < width) {
+        val off = (j * width + p) * 8
+        dot += at(sa, off) * at(sb, off)
+        p += 1
+      }
+      if (dot < best) best = dot
+      j += 1
+    }
+    best
+  }
+
   /** Static (codegen-callable) estimate core: read one big-endian long
     * per sketch row, take the min. Validates like the build side —
     * an out-of-range probe hash or a sketch/parameter mismatch would
@@ -196,4 +265,11 @@ object CmsFunctions {
     GraftInternal.column(CmsEstimate(
       GraftInternal.expression(sketch), GraftInternal.expression(hash),
       depth, width, seed))
+
+  /** [[CmsJoinSize]] as a Column. */
+  def cmsJoinSize(a: Column, b: Column, depth: Int = 3,
+                  width: Int = 1024): Column =
+    GraftInternal.column(CmsJoinSize(
+      GraftInternal.expression(a), GraftInternal.expression(b),
+      depth, width))
 }

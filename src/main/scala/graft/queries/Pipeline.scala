@@ -312,6 +312,43 @@ object Pipeline {
         SELECT id_a, id_b, round(cos, 6) AS cos
         FROM pairs WHERE cos >= $minCos ORDER BY id_a, id_b"""
 
+  /** q64's oracle: both CMS matrices rebuilt as grouped counts over
+    * the same LCG positions (q44's pattern), per-row dot products,
+    * min; exact size from plain per-key count tables. */
+  private def q64Oracle(depth: Int, width: Int, seed: Long): String = {
+    val (as, bs) = graft.functions.MinHashSignature.perms(depth, seed)
+    val jList = (0 until depth).mkString("[", ", ", "]")
+    def posList(h: String) = (0 until depth)
+      .map(j => s"((${as(j)} * $h + ${bs(j)}) % 2147483647) % $width")
+      .mkString("[", ", ", "]")
+    s"""WITH ev AS (
+          SELECT CASE WHEN event_id % 3 = 0 THEN 1
+                      ELSE user_id END AS k FROM events),
+        oo AS (
+          SELECT CASE WHEN o_orderkey % 997 < 3 THEN 1
+                      ELSE o_custkey END AS k FROM orders),
+        ce AS (
+          SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest($jList) AS j, unnest(${posList("k")}) AS pos
+            FROM ev)
+          GROUP BY 1, 2),
+        co AS (
+          SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest($jList) AS j, unnest(${posList("k")}) AS pos
+            FROM oo)
+          GROUP BY 1, 2),
+        dots AS (
+          SELECT a.j, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+          FROM ce a JOIN co b ON a.j = b.j AND a.pos = b.pos
+          GROUP BY a.j),
+        ex AS (
+          SELECT CAST(SUM(e.n * o.n) AS BIGINT) AS exact_pairs FROM
+            (SELECT k, COUNT(*) AS n FROM ev GROUP BY k) e
+            JOIN (SELECT k, COUNT(*) AS n FROM oo GROUP BY k) o USING (k))
+        SELECT (SELECT MIN(dot) FROM dots) AS est_pairs, ex.exact_pairs
+        FROM ex"""
+  }
+
   /** d20's oracle: the shared hyperplane-band CTEs with the corpus /
     * bench split applied in the pair join, exact cosine threshold. */
   private def d20Oracle(minCos: Double, nBits: Int, bands: Int,
@@ -1599,6 +1636,34 @@ object Pipeline {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b"),
       Some(d05Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L))),
+
+    // -- sketch-estimated join size (q64) ----------------------------------
+    // predict the skewed join's OUTPUT CARDINALITY without running it:
+    // per CMS row, the integer dot product of the two sides' count
+    // vectors, min over rows (AGMS via Count-Min) — the est never
+    // underestimates, so as the broadcast/salt planning input it errs
+    // the safe way. Beside it, the exact size from key-cardinality-
+    // sized count tables (Σ c_e(k)·c_o(k) — no join materialized).
+    // This is the number that says q48 will emit ~1.5G rows BEFORE
+    // anyone pays for it; q60 names the keys, q64 prices the join.
+    Q("q64_join_size_sketch",
+      (s, d) => {
+        import graft.functions.CmsFunctions
+        val depth = 3; val width = 8192
+        val ev = skewEvents(s, d).select(col("skew_uid").as("k"))
+        val or = skewOrders(s, d).select(col("skew_ck").as("k"))
+        val ecms = ev.agg(CmsFunctions.cmsAgg(col("k"), depth, width)
+          .as("cms_e"))
+        val ocms = or.agg(CmsFunctions.cmsAgg(col("k"), depth, width)
+          .as("cms_o"))
+        val exact = ev.groupBy("k").agg(count(lit(1)).as("ce"))
+          .join(or.groupBy("k").agg(count(lit(1)).as("co")), "k")
+          .agg(sum(col("ce") * col("co")).cast("long").as("exact_pairs"))
+        ecms.crossJoin(ocms).crossJoin(exact)
+          .select(CmsFunctions.cmsJoinSize(col("cms_e"), col("cms_o"),
+            depth, width).as("est_pairs"), col("exact_pairs"))
+      },
+      Some(q64Oracle(depth = 3, width = 8192, seed = 42L))),
 
     // -- pointwise-MI feature selection (q63) ------------------------------
     // which tokens are INFORMATIVE about a label (here lang) — the

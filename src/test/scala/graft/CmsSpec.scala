@@ -66,4 +66,28 @@ class CmsSpec extends TestSpark {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.contains("partial_cms_sketch"), p)
   }
+
+  test("cms_join_size: exact when collision-free, never underestimates " +
+      "when cells collide, symmetric") {
+    // side A: key 1 x 3, key 2 x 2; side B: key 1 x 4, key 3 x 5.
+    // true join size = 3*4 = 12. width 64 -> no collisions -> exact.
+    val a = Seq.fill(3)(1L) ++ Seq.fill(2)(2L)
+    val b = Seq.fill(4)(1L) ++ Seq.fill(5)(3L)
+    def sketch(xs: Seq[Long], w: Int) = xs.toDF("h")
+      .agg(CmsFunctions.cmsAgg(col("h"), depth = 3, width = w))
+      .head().getAs[Array[Byte]](0)
+    def est(w: Int) = graft.functions.CmsUtil.joinSizeEst(
+      sketch(a, w), sketch(b, w), 3, w)
+    assert(est(64) === 12L)
+    // symmetric
+    assert(graft.functions.CmsUtil.joinSizeEst(
+      sketch(b, 64), sketch(a, 64), 3, 64) === 12L)
+    // width 2 forces collisions: estimate inflates, never deflates
+    assert(est(2) >= 12L)
+    // mismatched geometry fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.CmsUtil.joinSizeEst(sketch(a, 64), sketch(b, 32), 3, 64)
+    }
+    assert(e.getMessage.contains("both sides"))
+  }
 }

@@ -45,7 +45,7 @@ HEADLINE = [
     "q60_heavy_hitters", "s07_mmr_diversify",
     "q61_sliding_distinct", "d19_fuzzy_join",
     "q62_global_topk_percent", "d20_semantic_decontaminate",
-    "q63_mi_feature_select",
+    "q63_mi_feature_select", "q64_join_size_sketch",
 ]
 
 def connect(sf_dir):
