@@ -191,7 +191,12 @@ object CmsUtil {
   /** Static (codegen-callable) join-size core: per sketch row, the
     * integer dot product of the two count vectors; min over rows.
     * Both matrices must share (depth, width) — and, for the estimate
-    * to mean anything, the same hash seed. */
+    * to mean anything, the same hash seed. Overflow bound: the dot is
+    * Σ cA·cB over `width` cells, so with both inputs under ~10⁹ rows
+    * the worst single-cell product is ~10¹⁸ — at or beyond that scale
+    * (a maximally hot key on both sides) widen the accumulator to
+    * BigInteger/DECIMAL before trusting the estimate; below it every
+    * term and the sum fit a long with room. */
   def joinSizeEst(sa: Array[Byte], sb: Array[Byte],
                   depth: Int, width: Int): Long = {
     val need = depth * width * 8

@@ -138,7 +138,10 @@ object SketchAlgebra {
     *
     * The driver-side sketch materialization is one action over a
     * buffer-sized aggregate — the pattern Spark's own runtime filters
-    * use (see d09, SURVEY §4). */
+    * use (see d09, SURVEY §4). Keys must lie in [0, 2³¹-1) — the CMS
+    * position arithmetic's domain; CmsSketch rejects out-of-range
+    * input loudly, so wider keys need a mod-P reduction first (the
+    * st10 fingerprint convention). */
   def heavyHitters(keyed: DataFrame, key: Column, phiInv: Long,
                    depth: Int = 3, width: Int = 8192,
                    seed: Long = 42L): DataFrame = {
