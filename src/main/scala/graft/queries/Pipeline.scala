@@ -1956,17 +1956,47 @@ object Pipeline {
     // fan-out factor stays 6 whatever the event volume; the naive
     // formulation joins events against every window range.
     Q("q61_sliding_distinct",
-      (s, d) => t(s, d, "events")
-        .select(col("user_id"),
-          expr("unix_timestamp(ts) div 600").as("b"))
-        .distinct()
-        .select(col("user_id"), col("b"),
-          explode(expr("sequence(0, 5)")).as("i"))
-        .select(col("user_id"), ((col("b") - col("i")) * 600).as("w_start"))
-        .distinct()
-        .groupBy("w_start")
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("w_start"),
+      (s, d) => {
+        // SWEEP-LINE formulation (A/B'd at sf10 vs the fan-out form —
+        // see §6): a user covers window w iff they have a bucket in
+        // [w, w+5], i.e. per user the covered windows are the UNION of
+        // intervals [b−5, b] — merge buckets ≤5 apart (one user-
+        // partitioned window over the deduped pairs, sessionize on
+        // the bucket axis), emit +1/−1 boundary deltas per merged
+        // interval, prefix-sum over the delta domain, densify the
+        // constant runs with an output-sized sequence explode. The
+        // fan-out form shuffled 6×|user-buckets| rows through the
+        // (user, window) distinct; this shuffles the pairs once plus
+        // interval-sized rows.
+        val wU = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("b")
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wW = org.apache.spark.sql.expressions.Window.orderBy("w")
+        val intervals = t(s, d, "events")
+          .select(col("user_id"), expr("unix_timestamp(ts) div 600").as("b"))
+          .distinct()
+          .withColumn("prev", lag("b", 1).over(wU))
+          .withColumn("ns",
+            when(col("prev").isNull || col("b") - col("prev") > 5, 1)
+              .otherwise(0))
+          .withColumn("seg", sum("ns").over(wCum))
+          .groupBy("user_id", "seg")
+          .agg((min(col("b")) - 5).as("w_lo"), max(col("b")).as("w_hi"))
+        intervals.select(col("w_lo").as("w"), lit(1L).as("d"))
+          .unionByName(
+            intervals.select((col("w_hi") + 1).as("w"), lit(-1L).as("d")))
+          .groupBy("w").agg(sum("d").as("d"))
+          .withColumn("n_users", sum("d").over(
+            wW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("next_w", lead("w", 1).over(wW))
+          .filter(col("n_users") > 0)
+          .select(explode(expr("sequence(w, coalesce(next_w - 1, w))"))
+            .as("wb"), col("n_users"))
+          .select((col("wb") * 600).as("w_start"), col("n_users"))
+          .orderBy("w_start")
+      },
       Some("""WITH ub AS (
                 SELECT DISTINCT user_id,
                        (epoch_us(ts) // 1000000) // 600 AS b
