@@ -70,10 +70,17 @@ object Quantiles {
     * integer basis points); continuous scores would histogram-bucket
     * first and tie-rank the boundary bucket the same way. */
   def globalTopFraction(df: DataFrame, value: Column, tie: Column,
-                        num: Long, den: Long): DataFrame = {
+                        num: Long, den: Long,
+                        stageScores: Boolean = false): DataFrame = {
     require(num >= 1 && den >= num,
       s"need 1 <= num <= den, got $num/$den")
-    val v = df.withColumn("__v", value)
+    // stageScores: both passes (histogram, join-back) evaluate `value`
+    // per row; when the scorer is expensive (q62's regex-heavy quality
+    // formula) materializing the scored projection once beats scoring
+    // the corpus twice — A/B'd at sf10, see the q62 entry. At 100 TB
+    // the equivalent is staging the 2-column projection to parquet.
+    val v0 = df.withColumn("__v", value)
+    val v = if (stageScores) v0.localCheckpoint(true) else v0
     val hist = v.groupBy("__v").agg(count(lit(1)).as("__c"))
     val wCum = Window.orderBy(col("__v").desc)
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -1737,7 +1737,8 @@ object Pipeline {
       (s, d) => Quantiles.globalTopFraction(
           t(s, d, "documents").select(col("doc_id"),
             TextAnalysis.qualityScoreBp(col("text")).as("quality_bp")),
-          col("quality_bp"), col("doc_id"), num = 1, den = 10)
+          col("quality_bp"), col("doc_id"), num = 1, den = 10,
+          stageScores = true)
         .select("doc_id", "quality_bp")
         .orderBy("doc_id"),
       Some(s"""WITH q AS ($qualitySubquery),

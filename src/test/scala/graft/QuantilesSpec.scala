@@ -71,5 +71,9 @@ class QuantilesSpec extends TestSpark {
       .filter(col("rn") <= 10).select("id").as[Long].collect().toSet
     assert(Quantiles.globalTopFraction(shuffled, col("score"), col("id"),
       1, 3).select("id").as[Long].collect().toSet === naive)
+    // staged-scores variant is the same selection (it only changes
+    // whether the score column is materialized or recomputed)
+    assert(Quantiles.globalTopFraction(shuffled, col("score"), col("id"),
+      1, 3, stageScores = true).select("id").as[Long].collect().toSet === naive)
   }
 }
