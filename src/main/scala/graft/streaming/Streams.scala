@@ -245,6 +245,25 @@ object Streams {
       .groupBy("w_ts")
       .agg(count(lit(1)).as("n_users"))
 
+  /** Streaming face of q64's join-size pricing (st12): the static
+    * side's CMS rides as a prebuilt literal (st06's convention), the
+    * arriving side's CMS accumulates as a streaming aggregate (the
+    * TypedImperativeAggregate buffer lives in the state store — one
+    * fixed-size matrix, not per-key rows), and every microbatch
+    * re-emits the current `cms_join_size` estimate in complete mode —
+    * a live "how big would this join be RIGHT NOW" gauge that only
+    * ever grows toward the batch answer. Works identically on a batch
+    * DataFrame (== q64's estimate). */
+  def joinSizeStream(events: DataFrame, key: Column,
+                     staticCms: Array[Byte], depth: Int = 3,
+                     width: Int = 8192): DataFrame = {
+    import graft.functions.CmsFunctions
+    events.select(key.as("k"))
+      .agg(CmsFunctions.cmsAgg(col("k"), depth, width).as("cms_e"))
+      .select(CmsFunctions.cmsJoinSize(col("cms_e"), lit(staticCms),
+        depth, width).as("est_pairs"))
+  }
+
   /** Streaming exact dedup on a key with bounded state: watermark on
     * the event time lets Spark drop per-key state once the key can no
     * longer recur within the lateness bound — the streaming counterpart

@@ -679,4 +679,38 @@ class StreamingSpec extends TestSpark {
     assert(sinkRows === want.size.toLong,
       s"$sinkRows sink rows for ${want.size} keys — state re-emitted")
   }
+
+  test("streaming join-size estimate (st12) converges to the batch " +
+      "sketch estimate through the state-store aggregate") {
+    import graft.functions.CmsFunctions
+    val depth = 3; val width = 8192
+    val events = Tables(spark, sfDir, "events")
+      .select(when(col("event_id") % 3 === 0, lit(1L))
+        .otherwise(col("user_id")).as("k"))
+    val orders = Tables(spark, sfDir, "orders")
+      .select(when(col("o_orderkey") % 997 < 3, lit(1L))
+        .otherwise(col("o_custkey")).as("k"))
+    val ocms = orders
+      .agg(CmsFunctions.cmsAgg(col("k"), depth, width))
+      .head().getAs[Array[Byte]](0)
+    // batch face == q64's estimate over the same sides
+    val want = Streams.joinSizeStream(events, col("k"), ocms, depth, width)
+      .as[Long].head()
+
+    val stageDir = Files.createTempDirectory("stream-js").toString
+    events.write.mode("overwrite").parquet(stageDir)
+    val streamed = spark.readStream.schema(events.schema).parquet(stageDir)
+    val q = Streams.joinSizeStream(streamed, col("k"), ocms, depth, width)
+      .writeStream.format("memory").queryName("joinsize")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("joinsize").as[Long].head()
+    assert(got === want)
+    assert(got > 0L)
+    // the estimate is a real stateful aggregate, not a recomputation
+    assert(q.recentProgress.nonEmpty)
+    assert(q.recentProgress.exists(_.stateOperators.nonEmpty))
+  }
 }
