@@ -90,18 +90,31 @@ object Bpe {
   }
 
   /** The distributed step: corpus → word-frequency table (map-side
-    * combining aggregation; output is vocabulary-sized). */
-  def wordCounts(docs: DataFrame, textCol: Column): DataFrame =
+    * combining aggregation), pruned to words seen at least `minCount`
+    * times BEFORE anything reaches the driver. The prune is what
+    * bounds the collected model at 100 TB: corpus vocabulary grows
+    * with corpus size and its growth is dominated by the count-1 tail
+    * (typos, hashes, serial numbers — heaps'-law singletons), so an
+    * unpruned collect is a linear-growth driver object while the
+    * `minCount >= 2` table grows orders slower. This is the standard
+    * trainer knob (SentencePiece/HF `min_frequency`); the trade is
+    * explicit and tiny — a pair occurring only across pruned
+    * singleton words can no longer reach a merge, which for
+    * `minCount = 2` means pairs whose total weighted count comes
+    * entirely from distinct one-off words. */
+  def wordCounts(docs: DataFrame, textCol: Column,
+                 minCount: Long = 2): DataFrame =
     docs.select(explode(regexp_extract_all(lower(textCol),
         lit(WordPattern), lit(0))).as("w"))
       .groupBy("w").count()
+      .filter(col("count") >= minCount)
 
-  /** Train on a corpus: aggregate word frequencies (distributed),
-    * collect the vocabulary-sized table, run the merge loop on the
-    * driver. */
+  /** Train on a corpus: aggregate word frequencies (distributed,
+    * `minCount`-pruned), collect the bounded table, run the merge
+    * loop on the driver. */
   def trainOnCorpus(docs: DataFrame, textCol: Column,
-                    nMerges: Int): Seq[(String, String)] = {
-    val wc = wordCounts(docs, textCol).collect()
+                    nMerges: Int, minCount: Long = 2): Seq[(String, String)] = {
+    val wc = wordCounts(docs, textCol, minCount).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
     train(wc, nMerges)
   }

@@ -825,18 +825,32 @@ object Dedup {
     * RefinedWeb-style line dedup).
     *
     * Two corpus SCANS, zero corpus SHUFFLES:
-    *  1. segment-count aggregation (map-side combined; only (segment,
-    *     partial-count) pairs move) → the over-`maxCount` "hot" set,
-    *     which is boilerplate by definition and tiny relative to the
-    *     corpus — bounded by total_tokens / (segTokens · maxCount);
+    *  1. segment-count aggregation keyed by the segment's 64-BIT
+    *     FINGERPRINT (xxhash64), map-side combined — only (8-byte fp,
+    *     partial-count) pairs move, never segment text → the
+    *     over-`maxCount` "hot" fingerprint set, boilerplate by
+    *     definition and bounded by total_tokens / (segTokens ·
+    *     maxCount) ENTRIES but only 8 BYTES each: the hot set grows
+    *     with corpus size (128 → 12.8k across sf0.1 → sf10,
+    *     extrapolating ~10⁸ at 100 TB), and carrying text meant GBs
+    *     on the driver and in every task — fingerprints cap it at
+    *     ~800 MB worst-case where strings were ~50× that, and shrink
+    *     the count shuffle payload identically;
     *  2. a second scan rebuilds each doc row-locally, filtering its
-    *     own segments against the hot set carried as a hashed plan
-    *     reference object (functions.InStringSet — d09's literal
-    *     distribution path, but O(1) per probe and out of the
-    *     generated code: the hot set GROWS with corpus size, 128 →
-    *     12.8k across sf0.1 → sf10, and an inlined array_contains
-    *     scan measured 121 s at sf10 where the hashed probe holds the
-    *     operator at its flat two-job floor).
+    *     own segments' fingerprints against the hot set carried as a
+    *     hashed plan reference object (functions.InLongSet — d09's
+    *     literal distribution path, but an O(1) primitive probe out of
+    *     the generated code: the string-set form of the same probe is
+    *     the d16 lesson where an inlined array_contains scan measured
+    *     121 s at sf10 vs the hashed probe's flat two-job floor).
+    *
+    * Fingerprint membership equals text membership up to 64-bit
+    * collisions (a cold segment is dropped iff its xxhash64 equals a
+    * hot segment's): with ~10⁸ hot segments and ~10¹⁰ probes the
+    * expected false-drop count is ~10¹⁸⁄2⁶⁴ ≈ 0.05 documents'
+    * segments corpus-wide — the same accepted-approximation class as
+    * d09's Bloom, and invisible to the string-exact oracle at any
+    * tested scale.
     *
     * Output: (doc_id, n_seg, n_dropped, cleaned_text), one row per
     * input document. */
@@ -848,11 +862,12 @@ object Dedup {
       transform(sequence(lit(0), nseg - 1),
         j => array_join(slice(t, j * segTokens + 1, lit(segTokens)), " "))
     }
-    val hot: Array[String] = docs
+    val hot: Array[Long] = docs
       .select(explode(segmentsOf(textCol)).as("seg"))
-      .groupBy("seg").count()
+      .select(xxhash64(col("seg")).as("fp"))
+      .groupBy("fp").count()
       .filter(col("count") > maxCount)
-      .select("seg").collect().map(_.getString(0)).sorted
+      .select("fp").collect().map(_.getLong(0)).sorted
     // staged projections so each array materializes ONCE per row:
     // higher-order functions are CodegenFallback (outside codegen CSE),
     // so a single select referencing `segs` three times would rebuild
@@ -862,7 +877,7 @@ object Dedup {
     docs.select(idCol.as("doc_id"), segmentsOf(textCol).as("segs"))
       .select(col("doc_id"), col("segs"),
         filter(col("segs"),
-          s => !graft.functions.SetFunctions.inStringSet(s, hot.toSeq))
+          s => !graft.functions.SetFunctions.inLongSet(xxhash64(s), hot))
           .as("kept"))
       .select(col("doc_id"),
         size(col("segs")).cast("long").as("n_seg"),
@@ -881,22 +896,25 @@ object Dedup {
     * content and resynchronize right after the edit — the shifted
     * copies produce the SAME segments and dedup together
     * (DedupSpec proves exactly this split). Same two-scan shape as
-    * d16: a map-side-combined segment count builds the tiny hot set,
+    * d16: a map-side-combined segment-FINGERPRINT count (8-byte keys
+    * in the shuffle, 8-byte entries on the driver — see
+    * [[segmentDedup]]'s collision note) builds the tiny hot set,
     * which rides back as a hashed plan reference for the row-local
     * rebuild — zero corpus shuffle. */
   def cdcSegmentDedup(docs: DataFrame, idCol: Column, textCol: Column,
                       modB: Int = 8, maxCount: Long = 2): DataFrame = {
     def segmentsOf(text: Column): Column =
       graft.functions.RollingHashFunctions.cdcSegments(split(text, " "), modB)
-    val hot: Array[String] = docs
+    val hot: Array[Long] = docs
       .select(explode(segmentsOf(textCol)).as("seg"))
-      .groupBy("seg").count()
+      .select(xxhash64(col("seg")).as("fp"))
+      .groupBy("fp").count()
       .filter(col("count") > maxCount)
-      .select("seg").collect().map(_.getString(0)).sorted
+      .select("fp").collect().map(_.getLong(0)).sorted
     docs.select(idCol.as("doc_id"), segmentsOf(textCol).as("segs"))
       .select(col("doc_id"), col("segs"),
         filter(col("segs"),
-          s => !graft.functions.SetFunctions.inStringSet(s, hot.toSeq))
+          s => !graft.functions.SetFunctions.inLongSet(xxhash64(s), hot))
           .as("kept"))
       .select(col("doc_id"),
         size(col("segs")).cast("long").as("n_seg"),

@@ -35,14 +35,23 @@ object Vocab {
       .limit(k)
       .collect().map(_.getString(0)).toSeq
 
-  /** Full unigram occurrence counts. On real corpora this is capped
-    * top-K exactly like [[topTokens]] (absent prefixes fall back to
-    * count 1 in the scorer); the tables here are vocabulary-sized
-    * either way. */
-  def unigramCounts(docs: DataFrame, textCol: Column): Seq[(String, Long)] =
+  /** Top-K unigram occurrence counts (count desc, token asc ties —
+    * deterministic across engines and layouts, like [[topTokens]]).
+    * The cap is what bounds the driver model at 100 TB: corpus
+    * vocabulary grows ~heap's-law with corpus size, so an uncapped
+    * collect is a linear-growth driver object; a prefix absent from
+    * the capped table falls back to count 1 in the scorer
+    * (VocabUtil.bigramSurprise's `uni.getOrElse(w1, 1L)`), which reads
+    * as "rare prefix, conditional ratio ≈ its pair count" — 0 bits
+    * when the pair is also untabled, the desired behavior for a
+    * below-top-K prefix. */
+  def unigramCounts(docs: DataFrame, textCol: Column,
+                    k: Int): Seq[(String, Long)] =
     docs.select(explode(toks(textCol)).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(k)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
 
   /** Top-K adjacent-pair (bigram) counts, key = "w1 w2"; deterministic
@@ -83,11 +92,13 @@ object Vocab {
   /** Bigram-LM surprise per document — the perplexity-filter proxy:
     * per adjacent pair, `floor(log2(c_uni(w1) div c_big(w1 w2)))` bits
     * (integer-exact; see functions/VocabExpressions.scala), summed and
-    * averaged as integer milli-bits. Train = two vocabulary-sized
-    * aggregates; apply = one zero-shuffle corpus scan. */
+    * averaged as integer milli-bits. Train = two TOP-K-CAPPED
+    * aggregates (`kUni` unigrams, `k` bigrams — both driver models
+    * bounded by their caps, not by corpus vocabulary); apply = one
+    * zero-shuffle corpus scan. */
   def bigramSurprise(docs: DataFrame, idCol: Column, textCol: Column,
-                     k: Int = 64): DataFrame = {
-    val uni = unigramCounts(docs, textCol)
+                     k: Int = 64, kUni: Int = 4096): DataFrame = {
+    val uni = unigramCounts(docs, textCol, kUni)
     val big = topBigrams(docs, textCol, k)
     docs.select(idCol.as("doc_id"),
         graft.functions.VocabFunctions.bigramSurprise(toks(textCol), uni, big).as("st"))

@@ -2640,22 +2640,32 @@ object Pipeline {
     // The CCNet perplexity-filter proxy, made integer-exact: per
     // adjacent pair, surprise = floor(log2(c_uni(w1) div c_big)) bits
     // — the integer exponent of the inverse conditional frequency —
-    // with the bigram table pruned to top-K (absent pair → count 1 =
-    // max surprise for its prefix). floor(log2) never touches doubles:
+    // with BOTH model tables top-K-pruned — bigrams to 64 (absent
+    // pair → count 1 = max surprise for its prefix), unigrams to 4096
+    // (absent prefix → count 1: its ratio collapses toward 0 bits).
+    // The unigram cap is the 100 TB driver-memory bound: corpus
+    // vocabulary grows with corpus size, so an uncapped unigram
+    // collect is a linear-growth driver model — the capped table is
+    // deterministic (count desc, token asc) and both engines rank
+    // identically. floor(log2) never touches doubles:
     // 63-numberOfLeadingZeros in the expression, length(bin(x))-1 in
     // the oracle (a double log2 misrounds near exact powers of two).
-    // Train = two vocabulary-sized aggregates; apply = one zero-
+    // Train = two capped vocabulary aggregates; apply = one zero-
     // shuffle corpus scan with both tables as hashed plan references.
     Q("t16_bigram_surprise",
       (s, d) => Vocab.bigramSurprise(
-          t(s, d, "documents"), col("doc_id"), col("text"), k = 64)
+          t(s, d, "documents"), col("doc_id"), col("text"),
+          k = 64, kUni = 4096)
         .orderBy("doc_id"),
       Some(s"""WITH tk AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi,
                         unnest(ws) AS w
                  FROM (SELECT doc_id, $tok AS ws FROM documents)),
                  t2 AS (SELECT doc_id, wi, w FROM tk WHERE w <> ''),
-                 uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
-                         FROM t2 GROUP BY w),
+                 uni AS (SELECT w, c FROM (
+                     SELECT w, CAST(count(*) AS BIGINT) AS c,
+                            row_number() OVER (
+                              ORDER BY count(*) DESC, w) AS rk
+                     FROM t2 GROUP BY w) WHERE rk <= 4096),
                  pr AS (SELECT doc_id,
                           lag(w) OVER (PARTITION BY doc_id ORDER BY wi) AS w1,
                           w AS w2
@@ -2669,9 +2679,10 @@ object Pipeline {
                      FROM bigc) WHERE rk <= 64),
                  sc AS (SELECT p.doc_id,
                           length(bin(GREATEST(
-                            u.c // COALESCE(b.c, 1), 1))) - 1 AS bits
+                            COALESCE(u.c, 1) // COALESCE(b.c, 1), 1)))
+                            - 1 AS bits
                         FROM pairs p
-                        JOIN uni u ON u.w = p.w1
+                        LEFT JOIN uni u ON u.w = p.w1
                         LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2),
                  pd AS (SELECT doc_id,
                           CAST(count(*) AS BIGINT) AS n_bigrams,

@@ -88,6 +88,30 @@ class BpeSpec extends TestSpark {
     }
   }
 
+  test("wordCounts prunes the singleton tail before anything reaches " +
+       "the driver (the 100 TB collect bound)") {
+    // 'common' repeats; 'hash7f3a'-style singletons are the heaps'-law
+    // tail that makes an unpruned vocabulary grow linearly with corpus
+    val docs = Seq(
+      (1L, "common words common words hashA"),
+      (2L, "common words hashB"),
+      (3L, "common hashC")
+    ).toDF("doc_id", "text")
+    val pruned = Bpe.wordCounts(docs, col("text")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned == Map("common" -> 4L, "words" -> 3L,
+      "hasha" -> 1L, "hashb" -> 1L, "hashc" -> 1L).filter(_._2 >= 2L))
+    // the unpruned form keeps the tail — that is exactly what minCount
+    // removes
+    val full = Bpe.wordCounts(docs, col("text"), minCount = 1).collect()
+    assert(full.length == 5)
+    // trained merges never touch singleton-only material
+    val merges = Bpe.trainOnCorpus(docs, col("text"), nMerges = 64)
+    assert(merges.nonEmpty)
+    merges.foreach { case (l, r) =>
+      assert(!(l + r).startsWith("hash") || (l + r).length < 5) }
+  }
+
   test("pretrained == retraining on the sf0.01 corpus (the artifact is " +
        "reproducible, not hand-made)") {
     val docs = Tables(spark, "/root/testdata/sf0.01", "documents")

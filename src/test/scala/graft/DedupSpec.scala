@@ -388,6 +388,23 @@ class DedupSpec extends TestSpark {
     assert(got === corpus.map { case (i, t) => (i, 0L, t) })
   }
 
+  test("InLongSet: O(1) fingerprint probe — membership exact incl. the " +
+       "zero key, and the d16 hot-set model is 8 bytes/entry") {
+    import graft.functions.SetFunctions
+    val items = Array(0L, 42L, -7L, Long.MinValue, 0x9e3779b97f4a7c15L)
+    val vals = Seq(0L, 42L, -7L, Long.MinValue, 0x9e3779b97f4a7c15L,
+      1L, 43L, Long.MaxValue).toDF("v")
+    val got = vals.select(col("v"),
+        SetFunctions.inLongSet(col("v"), items).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(items.forall(got(_)))
+    assert(!got(1L) && !got(43L) && !got(Long.MaxValue))
+    // empty set: nothing matches (incl. 0, the open-addressing sentinel)
+    val none = vals.select(SetFunctions.inLongSet(col("v"), Array.empty[Long]))
+      .collect().map(_.getBoolean(0))
+    assert(none.forall(!_))
+  }
+
   test("two-phase CC handles a diameter-50 chain in logarithmic rounds") {
     // a 51-node path: label propagation needs >50 rounds (throws at 10);
     // star contraction collapses it within the default budget

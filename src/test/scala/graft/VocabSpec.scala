@@ -64,6 +64,24 @@ class VocabSpec extends TestSpark {
     assert(out(1L) == 2L)
   }
 
+  test("unigram cap bounds the driver model where the vocabulary is not: " +
+       "kUni entries max, absent prefixes fall back to count 1") {
+    // vocabulary has 7 distinct tokens; kUni=2 keeps only {the=6, cat=5}
+    val uni = Vocab.unigramCounts(corpus, col("text"), k = 2)
+    assert(uni == Seq("the" -> 6L, "cat" -> 5L))
+    assert(Vocab.unigramCounts(corpus, col("text"), k = 3).size == 3)
+    val out = Vocab.bigramSurprise(corpus, col("doc_id"), col("text"),
+        k = 64, kUni = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 1 "the cat sat": (the,cat): 6 div 4 = 1 → 0 bits;
+    // (cat,sat): 5 div 2 = 2 → 1 bit — both prefixes in-table, total 1
+    assert(out(1L) == 1L)
+    // doc 7 "a cat zzz": (a,cat): 'a' capped out → 1 div 1 → 0 bits;
+    // (cat,zzz): 5 div 1 = 5 → 2 bits. total 2 (same as full-table run:
+    // a rare prefix's fallback ratio collapses to ~1, never explodes)
+    assert(out(7L) == 2L)
+  }
+
   test("scores are content-keyed: invariant under partitioning") {
     val a = Vocab.bigramSurprise(corpus, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
