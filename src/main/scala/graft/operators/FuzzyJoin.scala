@@ -36,10 +36,30 @@ object FuzzyJoin {
     * a low-information key — a run-of-zeros deletion matched by a
     * whole numeric block — so capping drops mostly distance-2 noise
     * candidates; true pairs still meet at their other, more selective
-    * variants unless every shared variant is hot. Off by default; on
-    * a 100 TB key table it must be on. */
+    * variants unless every shared variant is hot. The honest limit of
+    * the knob: on DENSE serial-number-style keys (zero-padded id
+    * blocks, where a pair's ONLY meeting variant is the digit-prefix
+    * deletion the whole block shares) every true pair lives in a hot
+    * bucket, and the cap trades exactly that block-internal recall
+    * for bounded work — the right trade on a 100 TB key table, where
+    * same-block serial neighbours are id-adjacency noise, not
+    * spelling variants. Off by default in the API; the gated d19
+    * entry runs it ON (cap 8) over a mixed dense+selective key table
+    * so both the drop and the survive path are oracle-checked. */
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column,
-                         maxBucket: Option[Long] = None): DataFrame = {
+                         maxBucket: Option[Long] = None): DataFrame =
+    editDistance1PairsStaged(df, id, str, maxBucket).result
+
+  /** [[editDistance1Pairs]] with the persisted variant stage exposed
+    * for caller-owned cleanup (Dedup.Staged convention). The variant
+    * table is corpus-sized × (avg length + 1) and is read up to four
+    * times — the hot-bucket aggregation, the anti-join probe, and both
+    * sides of the candidate self-join — so recomputing it per
+    * reference (explode + transform per row) multiplies the most
+    * expensive row-local work in the operator; persisting it keeps
+    * that to one evaluation. */
+  def editDistance1PairsStaged(df: DataFrame, id: Column, str: Column,
+                               maxBucket: Option[Long] = None): Dedup.Staged = {
     val base = df.select(id.cast("long").as("id"), str.as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0)
     // the string itself (0-deletion) + every 1-deletion variant;
@@ -54,6 +74,7 @@ object FuzzyJoin {
       explode(array_distinct(concat(array(col("s")),
         expr("transform(sequence(1, length(s)), " +
           "i -> concat(substr(s, 1, i-1), substr(s, i+1)))")))).as("v"))
+      .persist()
     val capped = maxBucket.fold(vars) { cap =>
       val hot = vars.groupBy("v").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > cap).select("v")
@@ -62,12 +83,13 @@ object FuzzyJoin {
     // the bounded two-pointer check, not the DP levenshtein: the DP
     // on the candidate stream measured ~19 s of the sf1 wall (4.35M
     // pairs); edit_within_1 answers the same predicate in one pass
-    capped.as("a").join(capped.as("b"),
+    val result = capped.as("a").join(capped.as("b"),
         col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .filter(graft.functions.EditDistanceFunctions
         .editWithin1(col("a.s"), col("b.s")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         when(col("a.s") === col("b.s"), 0).otherwise(1).as("dist"))
       .distinct()
+    Dedup.Staged(result, Seq(vars))
   }
 }

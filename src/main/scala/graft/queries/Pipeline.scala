@@ -1918,19 +1918,56 @@ object Pipeline {
       Some(s05Oracle(k = 3, nBits = 16, bands = 4, seed = 42L))),
 
     // -- edit-distance-1 fuzzy join (d19) ----------------------------------
-    // FastSS deletion-neighborhood self-join on supplier names: two
-    // strings within edit distance 1 SHARE a deletion variant, so
-    // candidates come from an equi-join on |s|+1 variants per string
-    // (never the O(n²) cross join) and levenshtein verifies below the
-    // pair-dedup exchange. The spelling-variant miner entity
-    // resolution runs where SimHash/MinHash are too coarse.
+    // FastSS deletion-neighborhood self-join: two strings within edit
+    // distance 1 SHARE a deletion variant, so candidates come from an
+    // equi-join on |s|+1 variants per string (never the O(n²) cross
+    // join) and levenshtein verifies below the pair-dedup exchange.
+    // The spelling-variant miner entity resolution runs where
+    // SimHash/MinHash are too coarse.
+    //
+    // Gated with the mega-bucket cap ACTIVE (maxBucket=8, the d11/m09
+    // convention) over a MIXED key table exercising both regimes:
+    //  - supplier names are dense zero-padded serial blocks whose only
+    //    meeting variants are block-shared digit prefixes — uniform
+    //    19-per-bucket at sf0.01 growing ~+9/decade, the superlinear
+    //    candidate source measured 5.2 s → 128 s across sf1 → sf10.
+    //    The cap drops ALL of them: same-block serial neighbours are
+    //    id-adjacency noise, not spelling variants, and that recall
+    //    is exactly what the knob prices.
+    //  - part-name words (deterministic ids = 10^9 + dense_rank so
+    //    both engines agree) are a natural-language vocabulary whose
+    //    variants are selective — the true pairs (cold, old) and
+    //    (red, rod) meet in buckets of 2-3 and SURVIVE the cap,
+    //    proving the filter is a cap, not a kill switch.
     Q("d19_fuzzy_join",
-      (s, d) => FuzzyJoin.editDistance1Pairs(
-          t(s, d, "supplier"), col("s_suppkey"), col("s_name"))
-        .orderBy("id_a", "id_b"),
-      Some("""WITH base AS (
-                SELECT s_suppkey AS id, s_name AS s FROM supplier
-                WHERE s_name IS NOT NULL AND length(s_name) > 0),
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey").cast("long").as("id"),
+            col("s_name").as("name"))
+        val words = t(s, d, "part")
+          .select(explode(split(col("p_name"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct()
+          .select((lit(1000000000L) + dense_rank().over(
+              org.apache.spark.sql.expressions.Window.orderBy("w"))).as("id"),
+            col("w").as("name"))
+        FuzzyJoin.editDistance1Pairs(sup.unionByName(words),
+            col("id"), col("name"), maxBucket = Some(8L))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sup AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS s
+                FROM supplier),
+              words AS (
+                SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w
+                FROM part),
+              wid AS (
+                SELECT 1000000000 + dense_rank() OVER (ORDER BY w) AS id,
+                       w AS s
+                FROM words WHERE w <> ''),
+              base AS (
+                SELECT id, s FROM (
+                  SELECT id, s FROM sup UNION ALL SELECT id, s FROM wid)
+                WHERE s IS NOT NULL AND length(s) > 0),
               vars AS (
                 SELECT id, s,
                        unnest(list_distinct(list_prepend(s,
@@ -1938,10 +1975,15 @@ object Pipeline {
                            i -> substr(s, 1, CAST(i - 1 AS INT))
                                 || substr(s, CAST(i + 1 AS INT)))))) AS v
                 FROM base),
+              hot AS (
+                SELECT v FROM vars GROUP BY v HAVING count(*) > 8),
+              capped AS (
+                SELECT * FROM vars
+                WHERE v NOT IN (SELECT v FROM hot)),
               cands AS (
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                        CAST(levenshtein(a.s, b.s) AS INT) AS dist
-                FROM vars a JOIN vars b
+                FROM capped a JOIN capped b
                   ON a.v = b.v AND a.id < b.id)
               SELECT id_a, id_b, dist FROM cands
               WHERE dist <= 1 ORDER BY id_a, id_b""")),

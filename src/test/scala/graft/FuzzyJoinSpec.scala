@@ -72,4 +72,17 @@ class FuzzyJoinSpec extends TestSpark {
     // "zzx"/"zzy" still meet at variant "zz" (bucket size 2)
     assert(capped === Set((20L, 21L)))
   }
+
+  test("Staged variant: the variant table is persisted once and freed " +
+      "by cleanup()") {
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz")).toDF("id", "name")
+    val staged = FuzzyJoin.editDistance1PairsStaged(rows, col("id"),
+      col("name"), maxBucket = Some(4L))
+    assert(staged.result.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet === Set((1L, 2L)))
+    assert(staged.stages.size === 1)
+    assert(staged.stages.head.storageLevel.useMemory)
+    staged.cleanup()
+    assert(!staged.stages.head.storageLevel.useMemory)
+  }
 }
