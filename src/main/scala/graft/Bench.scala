@@ -121,7 +121,12 @@ object Bench {
     // round-9 batch 10: token↔label lift feature selection (one
     // token scan, vocabulary-sized broadcast scoring join); sketch-
     // priced join cardinality (two CMS buffers, join never runs)
-    "q63_mi_feature_select", "q64_join_size_sketch")
+    "q63_mi_feature_select", "q64_join_size_sketch",
+    // round-10: q06's fact-fact core over bucketed layouts — first
+    // sample pays the one-time clustered write, the rest measure the
+    // steady-state zero-Exchange zero-Sort merge join (median of 3
+    // reports the amortized regime, exactly the 100 TB contract)
+    "q65_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

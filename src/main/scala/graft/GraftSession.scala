@@ -40,6 +40,15 @@ object GraftSession {
     .config("spark.sql.files.openCostInBytes", (128L * 1024).toString)
     .config("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // Propagate sortBy metadata from bucketed scans (off by default
+    // since Spark 3.0 because the required one-file-per-bucket check
+    // adds listing cost for layouts that can't promise it).
+    // ParquetSink.writeBucketed clusters to exactly one sorted file
+    // per bucket, so here the flag turns q65-class bucketed merge
+    // joins from Sort+SMJ into pure zero-Exchange zero-Sort SMJ —
+    // at 100 TB that is the difference between "no shuffle" and "no
+    // shuffle and no per-query re-sort of every fact partition".
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / standalone runs. */

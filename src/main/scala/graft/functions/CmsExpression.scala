@@ -191,12 +191,16 @@ object CmsUtil {
   /** Static (codegen-callable) join-size core: per sketch row, the
     * integer dot product of the two count vectors; min over rows.
     * Both matrices must share (depth, width) — and, for the estimate
-    * to mean anything, the same hash seed. Overflow bound: the dot is
-    * Σ cA·cB over `width` cells, so with both inputs under ~10⁹ rows
-    * the worst single-cell product is ~10¹⁸ — at or beyond that scale
-    * (a maximally hot key on both sides) widen the accumulator to
-    * BigInteger/DECIMAL before trusting the estimate; below it every
-    * term and the sum fit a long with room. */
+    * to mean anything, the same hash seed. Overflow is ENFORCED, not
+    * just documented: Σ cA·cB over `width` cells fits a long with
+    * room while both inputs stay under ~10⁹ rows, but past that (a
+    * maximally hot key on both sides) a wrapped product would go
+    * NEGATIVE and win the min-over-rows — the unsafe direction for a
+    * never-underestimates planning signal. Each term uses
+    * multiplyHigh to detect 128-bit overflow and the sum uses a
+    * checked add; either saturates the row to Long.MaxValue, so an
+    * overflowing estimate reads as "at least 2⁶³", which keeps the
+    * one-sided guarantee. */
   def joinSizeEst(sa: Array[Byte], sb: Array[Byte],
                   depth: Int, width: Int): Long = {
     val need = depth * width * 8
@@ -215,12 +219,25 @@ object CmsUtil {
     while (j < depth) {
       var dot = 0L
       var p = 0
-      while (p < width) {
+      var saturated = false
+      while (p < width && !saturated) {
         val off = (j * width + p) * 8
-        dot += at(sa, off) * at(sb, off)
+        val a = at(sa, off)
+        val b = at(sb, off)
+        // counts are non-negative; the product overflows long iff the
+        // high 64 bits are non-zero OR it lands in [2^63, 2^64) where
+        // multiplyHigh still reads 0 but the signed low word flips
+        // negative; the sum overflows iff the checked add throws
+        val prod = a * b
+        if (java.lang.Math.multiplyHigh(a, b) != 0L || prod < 0L)
+          saturated = true
+        else {
+          try dot = java.lang.Math.addExact(dot, prod)
+          catch { case _: ArithmeticException => saturated = true }
+        }
         p += 1
       }
-      if (dot < best) best = dot
+      if (!saturated && dot < best) best = dot
       j += 1
     }
     best

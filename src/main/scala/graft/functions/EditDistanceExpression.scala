@@ -50,17 +50,37 @@ case class EditWithin1(left: Expression, right: Expression)
 }
 
 object EditDistanceUtil {
-  /** Static (codegen-callable) bounded check. */
+
+  /** Decode to code points so the check matches Spark's `levenshtein`
+    * (which counts code points, not Java char units): without this, a
+    * single supplementary-plane substitution reads as TWO char edits
+    * and the documented contract "true iff levenshtein(a,b) <= 1"
+    * breaks exactly on astral text. Strings without surrogates decode
+    * 1:1 at one bounds check per char. */
+  private def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Static (codegen-callable) bounded check, code-point exact. */
   def within1(ua: UTF8String, ub: UTF8String): Boolean = {
-    val sa = ua.toString
-    val sb = ub.toString
+    val sa = codePoints(ua.toString)
+    val sb = codePoints(ub.toString)
     val la = sa.length
     val lb = sb.length
     if (la == lb) {
       var i = 0
       var diff = 0
       while (i < la) {
-        if (sa.charAt(i) != sb.charAt(i)) {
+        if (sa(i) != sb(i)) {
           diff += 1
           if (diff > 1) return false
         }
@@ -70,10 +90,10 @@ object EditDistanceUtil {
     } else if (math.abs(la - lb) == 1) {
       val (s, l) = if (la < lb) (sa, sb) else (sb, sa)
       var i = 0
-      while (i < s.length && s.charAt(i) == l.charAt(i)) i += 1
+      while (i < s.length && s(i) == l(i)) i += 1
       var j = i
       while (j < s.length) {
-        if (s.charAt(j) != l.charAt(j + 1)) return false
+        if (s(j) != l(j + 1)) return false
         j += 1
       }
       true

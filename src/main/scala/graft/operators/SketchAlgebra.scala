@@ -152,7 +152,15 @@ object SketchAlgebra {
       CmsFunctions.cmsAgg(col("k"), depth, width, seed).as("__cms"),
       count(lit(1)).as("n")).head()
     val cms = head.getAs[Array[Byte]](0)
-    val t = head.getLong(1) / phiInv
+    // floor the threshold at 1: with N < phiInv the raw N div phiInv
+    // is 0, and a zero threshold would pass EVERY row through the CMS
+    // filter — the exact pass then degenerates to the full |distinct
+    // keys| GROUP BY the sketch exists to avoid. At t >= 1 the filter
+    // only passes keys that occur at all; note that for N < phiInv the
+    // φ-heavy-hitter DEFINITION itself makes every present key heavy
+    // (count >= 1 > N·φ), so the all-keys result is correct — it is
+    // the caller's job to pick phiInv <= N for the sketch to prune.
+    val t = math.max(1L, head.getLong(1) / phiInv)
     ks.filter(
         CmsFunctions.cmsEstimate(lit(cms), col("k"), depth, width, seed)
           >= lit(t))

@@ -1665,6 +1665,41 @@ object Pipeline {
       },
       Some(q64Oracle(depth = 3, width = 8192, seed = 42L))),
 
+    // -- bucketed fact-fact join (q65) --------------------------------------
+    // q06's expensive core — lineitem ⋈ orders on the order key, the
+    // join where BOTH sides are fact-sized and neither broadcasts —
+    // run over hash-BUCKETED table layouts instead of raw parquet:
+    // Layout.ensureBucketed writes each side once per session,
+    // clustered+sorted into 32 buckets on its key, and the join then
+    // reads co-located sorted buckets with ZERO Exchange and ZERO
+    // per-query Sort of either fact table (PlanSpec pins both). This
+    // is the standard 100 TB answer to the Exchange-heavy q05/q06
+    // class: the shuffle is paid once at ingest, amortized over every
+    // downstream join/agg on that key — exactly how the bench's
+    // repeated samples see it (first sample pays the write, the rest
+    // measure the steady state). The aggregation keys afterwards are
+    // 5-value dimensions, so that exchange moves partials only.
+    Q("q65_bucketed_join",
+      (s, d) => {
+        val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+        val orders = Layout.ensureBucketed(s, t(s, d, "orders"),
+          s"orders_bk$tag", s"/tmp/graft_layout$tag/orders",
+          buckets = 32, bucketBy = Seq("o_orderkey"))
+        val li = Layout.ensureBucketed(s, t(s, d, "lineitem"),
+          s"lineitem_bk$tag", s"/tmp/graft_layout$tag/lineitem",
+          buckets = 32, bucketBy = Seq("l_orderkey"))
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"), count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+                      ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                      COUNT(*) AS cnt
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // -- pointwise-MI feature selection (q63) ------------------------------
     // which tokens are INFORMATIVE about a label (here lang) — the
     // feature-selection pass a quality/lang classifier trains on.
@@ -3513,9 +3548,11 @@ object Pipeline {
     // the pair face of m07, gated on REAL WAVs: a synthetic PCM-16
     // corpus (65-step staircase per id, 20 samples per step — window
     // means land exactly on the steps) where every id also appears as
-    // a volume-doubled re-encode under id+10^7. The envelope
-    // fingerprint compares window means pairwise, so monotone scaling
-    // preserves all 64 bits — each (id, id+10^7) pair survives at
+    // a volume-doubled re-encode under id+2^40 (synthWavCorpus's
+    // offset — above every real doc_id at any tested SF; 10^7 collided
+    // with sf10 ids, the bug the third-decade gate caught). The
+    // envelope fingerprint compares window means pairwise, so monotone
+    // scaling preserves all 64 bits — each (id, id+2^40) pair survives at
     // hamming 0 while cross-doc distances stay noise (the quadratic-
     // residue levels collide with probability ~7^-64). Gates the full
     // real path: RIFF header walk → PCM-16 |samples| → exact-boundary

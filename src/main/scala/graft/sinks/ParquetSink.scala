@@ -30,7 +30,16 @@ object ParquetSink {
     * catalog, not the parquet footer). */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     buckets: Int, bucketBy: Seq[String]): Unit =
-    df.write.mode("overwrite")
+    // cluster to ONE file per bucket before the write: repartition on
+    // the bucket key with numPartitions == buckets uses the same
+    // murmur3 hash as the bucket assignment, so each task holds
+    // exactly one bucket. Without it every input task writes its own
+    // slice of every bucket — M×B small files (the classic bucketed-
+    // write file explosion at 100 TB), and multi-file buckets also
+    // void the sortBy metadata, putting a per-query Sort back under
+    // every downstream merge join.
+    df.repartition(buckets, bucketBy.map(df.col): _*)
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(buckets, bucketBy.head, bucketBy.tail: _*)
       .sortBy(bucketBy.head, bucketBy.tail: _*)

@@ -90,4 +90,39 @@ class CmsSpec extends TestSpark {
     }
     assert(e.getMessage.contains("both sides"))
   }
+
+  test("cms_join_size saturates to Long.MaxValue on 64-bit overflow — " +
+      "a wrapped dot product can never win the min") {
+    // hand-built sketches (big-endian longs, the aggregate's layout):
+    // counts beyond ~10^9 on a shared hot cell overflow the per-cell
+    // product; pre-guard the wrapped negative would beat every honest
+    // row in the min and the planner would read a huge join as tiny
+    def enc(rows: Seq[Seq[Long]]): Array[Byte] = {
+      val out = new Array[Byte](rows.map(_.size).sum * 8)
+      var k = 0
+      rows.flatten.foreach { v =>
+        var i = 7
+        var x = v
+        while (i >= 0) { out(k + i) = (x & 0xff).toByte; x >>>= 8; i -= 1 }
+        k += 8
+      }
+      out
+    }
+    // depth 2, width 2. row 0: hot-cell product 2^32*2^32 = 2^64
+    // (overflows even multiplyHigh's low-word check); row 1 honest: 7*3
+    val sa = enc(Seq(Seq(1L << 32, 0L), Seq(7L, 0L)))
+    val sb = enc(Seq(Seq(1L << 32, 0L), Seq(3L, 0L)))
+    assert(graft.functions.CmsUtil.joinSizeEst(sa, sb, 2, 2) === 21L)
+    // product in [2^63, 2^64): multiplyHigh reads 0 but the signed low
+    // word flips negative — still detected, row saturates
+    val sc = enc(Seq(Seq(3037000500L, 0L)))   // ~2^31.5; square ~2^63.03
+    assert(graft.functions.CmsUtil.joinSizeEst(sc, sc, 1, 2)
+      === Long.MaxValue)
+    // sum overflow across cells saturates too
+    val sd = enc(Seq(Seq(1L << 31, 1L << 31)))
+    val se = enc(Seq(Seq((1L << 32) - 1, (1L << 32) - 1)))
+    // each product ~2^62.99; the second add overflows the accumulator
+    assert(graft.functions.CmsUtil.joinSizeEst(sd, se, 1, 2)
+      === Long.MaxValue)
+  }
 }

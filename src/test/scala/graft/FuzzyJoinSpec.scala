@@ -28,6 +28,18 @@ class FuzzyJoinSpec extends TestSpark {
     assert(!w1("aaab", "abbb"))
   }
 
+  test("edit_within_1 counts CODE POINTS like levenshtein, not char " +
+      "units — supplementary-plane text agrees with the contract") {
+    // U+1F600 is two Java chars; substituting it for a BMP char is
+    // ONE code-point edit (levenshtein = 1) but TWO char edits — a
+    // char-unit implementation answers false on every case below
+    assert(w1("😀", "x"))            // astral -> BMP substitution
+    assert(w1("😀x", "😀")) // BMP append after astral
+    assert(w1("😀😀", "😀x")) // substitution
+    assert(w1("😀", "😁")) // astral <-> astral
+    assert(!w1("😀😀", "xy")) // two cp substitutions
+  }
+
   test("FastSS pairs equal the brute-force levenshtein truth") {
     val names = Seq("alpha", "alphb", "alpa", "xalpha", "beta", "betas",
       "gamma", "gamma", "delta", "delt", "delty", "aab", "abb", "ab")

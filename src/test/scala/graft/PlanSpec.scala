@@ -62,9 +62,11 @@ class PlanSpec extends TestSpark {
   }
 
   test("d16: the rebuild scan is row-local — hot-set probe is a hashed " +
-       "reference (in_string_set), no hash Exchange, arrays staged once") {
+       "64-bit fingerprint reference (in_long_set over xxhash64), no " +
+       "hash Exchange, arrays staged once") {
     val p = plan("d16_segment_dedup")
-    assert(p.contains("in_string_set"), p)
+    assert(p.contains("in_long_set"), p)
+    assert(p.contains("xxhash64"), p)
     // the hot-set aggregation ran eagerly as its own job; the returned
     // plan is scan → staged projects → gate orderBy only
     assert(!p.contains("Exchange hashpartitioning"), p)
@@ -84,7 +86,7 @@ class PlanSpec extends TestSpark {
        "hot-set probe, no hash Exchange") {
     val p = plan("d17_cdc_segment_dedup")
     assert(p.contains("cdc_segments"), p)
-    assert(p.contains("in_string_set"), p)
+    assert(p.contains("in_long_set"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
@@ -451,6 +453,35 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("levenshtein"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q65: the bucketed fact-fact join reads co-located sorted buckets " +
+       "— no Exchange and no Sort of either fact table; the only " +
+       "exchange carries the 5-value dimension partials") {
+    // force the merge-join path: at test scale orders broadcasts, which
+    // would hide the bucket property (at 100 TB fact⋈fact never
+    // broadcasts)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q65_bucketed_join")(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      // the join key exchange AND the per-query sort are both absent:
+      // bucket layout pays them at write time. The single hash exchange
+      // moves o_orderpriority partial aggregates; the range exchange is
+      // the final 5-row orderBy.
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+        !p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+      assert(!p.contains("Sort [l_orderkey") &&
+        !p.contains("Sort [o_orderkey"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS orders_bk_root_testdata_sf0_001")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bk_root_testdata_sf0_001")
+    }
   }
 
   test("q59: the curation pipeline shuffles the corpus exactly once — " +

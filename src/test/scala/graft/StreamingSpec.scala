@@ -680,6 +680,122 @@ class StreamingSpec extends TestSpark {
       s"$sinkRows sink rows for ${want.size} keys — state re-emitted")
   }
 
+  test("checkpoint recovery (st07): the funnel's REORDER BUFFER survives " +
+      "a kill — a late view delivered after two restarts still unlocks " +
+      "stages buffered before the first kill, exactly once") {
+    // harder than st03's key-set recovery: the state here is not a seen
+    // flag but the un-sealed event buffer plus sealed per-user progress.
+    // run 1 buffers user 1's full funnel and user 2's click+purchase
+    // under a stalled watermark and dies; run 2 (new query, same
+    // checkpoint) delivers user 2's EARLIER view plus a watermark
+    // sentinel; run 3 delivers a later sentinel so the event-time
+    // timers fire. If any buffered event were lost in either restart,
+    // user 1 could not reach stage 3 and user 2's funnel could not
+    // unlock.
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    def ev(u: Long, m: Long, tp: String) = Streams.FunnelEvent(u, ts(m), tp)
+    val b1 = Seq(ev(1, 0, "view"), ev(1, 4, "click"), ev(1, 8, "purchase"),
+      ev(2, 2, "click"), ev(2, 3, "purchase"), ev(3, 5, "view"))
+    val b2 = Seq(ev(2, 1, "view"))
+    val sent1 = Seq(ev(999, 10000, "w"))
+    val sent2 = Seq(ev(999, 20000, "w"))
+
+    val stageDir = Files.createTempDirectory("funnel-ckpt-stage").toString
+    val ckpt = Files.createTempDirectory("funnel-ckpt-state").toString
+    val outDir = Files.createTempDirectory("funnel-ckpt-out").toString
+    def run(): Unit = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.FunnelEvent]].schema)
+        .parquet(stageDir).as[Streams.FunnelEvent]
+      val q = Streams.funnelState(streamed)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    b1.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    (b2 ++ sent1).toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    sent2.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+
+    val rows = spark.read.parquet(outDir).as[Streams.FunnelUpdate]
+      .collect().toSeq.filter(_.user_id != 999)
+    val got = rows.groupBy(_.user_id).values.map(_.maxBy(_.stage)).toSeq
+      .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+        u.t2.map(_.getTime), u.t3.map(_.getTime)))
+      .sortBy(_._1)
+    val want = Streams.funnelState((b1 ++ b2).toDS()).collect().toSeq
+      .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+        u.t2.map(_.getTime), u.t3.map(_.getTime)))
+      .sortBy(_._1)
+    assert(got === want)
+    assert(got.exists(_._2 === 3)) // the cross-restart full funnel
+    // exactly-once: stages only advance, so no (user, stage) repeats —
+    // a lost/replayed state would re-emit earlier stages
+    val emissions = rows.map(u => (u.user_id, u.stage))
+    assert(emissions.distinct.size === emissions.size,
+      s"duplicate stage emissions across restarts: $emissions")
+  }
+
+  test("checkpoint recovery (st09): a fact buffered before the kill " +
+      "joins a dim delivered after it — each fact emits exactly once") {
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    // key 1: dim then fact, both in run 1 (pure buffer survival);
+    // key 2: the fact arrives in run 1, its as-of dim arrives EARLIER
+    // in event time but LATER in arrival time — across the restart
+    val b1 = Seq(
+      Streams.AsofEvent(1L, ts(0), "d", 10L, 10.0),
+      Streams.AsofEvent(1L, ts(5), "f", 100L, 0.0),
+      Streams.AsofEvent(2L, ts(3), "f", 200L, 0.0))
+    val b2 = Seq(Streams.AsofEvent(2L, ts(1), "d", 20L, 20.0))
+    val sent1 = Seq(Streams.AsofEvent(999L, ts(10000), "d", 0L, 0.0))
+    val sent2 = Seq(Streams.AsofEvent(999L, ts(20000), "d", 0L, 0.0))
+
+    val stageDir = Files.createTempDirectory("asof-ckpt-stage").toString
+    val ckpt = Files.createTempDirectory("asof-ckpt-state").toString
+    val outDir = Files.createTempDirectory("asof-ckpt-out").toString
+    def run(): Unit = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.AsofEvent]].schema)
+        .parquet(stageDir).as[Streams.AsofEvent]
+      val q = Streams.asofState(streamed)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    b1.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    (b2 ++ sent1).toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    sent2.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+
+    val rows = spark.read.parquet(outDir).as[Streams.AsofOut]
+      .collect().toSeq.filter(_.key != 999L)
+    val got = rows
+      .map(o => (o.key, o.fact_id, o.fact_ts.getTime,
+        o.dim_ts.map(_.getTime), o.dim_value))
+      .sortBy(_._2)
+    val want = Streams.asofState((b1 ++ b2).toDS()).collect().toSeq
+      .map(o => (o.key, o.fact_id, o.fact_ts.getTime,
+        o.dim_ts.map(_.getTime), o.dim_value))
+      .sortBy(_._2)
+    assert(got === want)
+    // the cross-restart reorder really happened: fact 200 carries the
+    // dim that arrived after it, two restarts later
+    assert(got.exists(o => o._2 === 200L && o._5 === Some(20.0)))
+    // exactly-once: one emission per fact across all three runs
+    assert(rows.map(_.fact_id).distinct.size === rows.size,
+      s"fact re-emitted across restarts: ${rows.map(_.fact_id)}")
+  }
+
   test("streaming join-size estimate (st12) converges to the batch " +
       "sketch estimate through the state-store aggregate") {
     import graft.functions.CmsFunctions

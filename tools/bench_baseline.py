@@ -46,6 +46,7 @@ HEADLINE = [
     "q61_sliding_distinct", "d19_fuzzy_join",
     "q62_global_topk_percent", "d20_semantic_decontaminate",
     "q63_mi_feature_select", "q64_join_size_sketch",
+    "q65_bucketed_join",
 ]
 
 def connect(sf_dir):
