@@ -67,7 +67,8 @@ object Pipeline {
     * constants as the native expression; the dot-product fold runs
     * left-to-right (list_reduce) exactly like the codegen'd loop, so
     * sign decisions — and therefore buckets — are bit-identical. */
-  private def hyperBandCtes(nBits: Int, bands: Int, seed: Long): String = {
+  private def hyperBandCtes(nBits: Int, bands: Int, seed: Long,
+                            src: String = "embeddings"): String = {
     val (as, bs) = graft.functions.MinHashSignature.perms(nBits, seed)
     val P = graft.functions.HyperplaneSignature.P
     val bits = nBits / bands
@@ -84,7 +85,7 @@ object Pipeline {
     s"""sigs AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  $sigTerms AS sig
-            FROM embeddings),
+            FROM $src),
           bnd AS ($bandSel)"""
   }
 
@@ -348,6 +349,45 @@ object Pipeline {
         SELECT (SELECT MIN(dot) FROM dots) AS est_pairs, ex.exact_pairs
         FROM ex"""
   }
+
+  /** d21's oracle: exact-cosine ground truth vs the production
+    * hyperplane banding, both over the same deterministic
+    * fixed-size sample (vec_id even, first `sampleN` by id), full-
+    * outer audit identical in shape to d18's. */
+  private def d21Oracle(minCos: Double, nBits: Int, bands: Int,
+                        seed: Long, sampleN: Int): String =
+    s"""WITH sub AS (
+            SELECT * FROM embeddings WHERE vec_id % 2 = 0
+            ORDER BY vec_id LIMIT $sampleN),
+          sube AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM sub),
+          ${hyperBandCtes(nBits, bands, seed, src = "sub")},
+          truth AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM sube a JOIN sube b ON a.vec_id < b.vec_id
+            WHERE ${cosSql("a.e", "b.e")} >= $minCos),
+          lsh AS (
+            SELECT id_a, id_b FROM (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ${cosSql("a.e", "b.e")} AS cos
+              FROM bnd a JOIN bnd b
+                ON a.band = b.band AND a.bkey = b.bkey
+               AND a.vec_id < b.vec_id)
+            WHERE cos >= $minCos),
+          j AS (
+            SELECT COALESCE(t.id_a, l.id_a) AS id_a,
+                   t.id_a AS t, l.id_a AS l
+            FROM truth t FULL OUTER JOIN lsh l
+              ON t.id_a = l.id_a AND t.id_b = l.id_b)
+        SELECT CAST(COUNT(t) AS BIGINT) AS n_truth,
+               CAST(COUNT(l) AS BIGINT) AS n_lsh,
+               CAST(COUNT(CASE WHEN t IS NOT NULL AND l IS NOT NULL
+                 THEN 1 END) AS BIGINT) AS n_common,
+               (COUNT(CASE WHEN t IS NOT NULL AND l IS NOT NULL THEN 1 END)
+                 * 1000) // COUNT(t) AS recall_milli,
+               (COUNT(CASE WHEN t IS NOT NULL AND l IS NOT NULL THEN 1 END)
+                 * 1000) // COUNT(l) AS precision_milli
+        FROM j"""
 
   /** d20's oracle: the shared hyperplane-band CTEs with the corpus /
     * bench split applied in the pair join, exact cosine threshold. */
@@ -2115,6 +2155,46 @@ object Pipeline {
             expr("(n_common * 1000) div n_lsh").as("precision_milli"))
       },
       Some(d18Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
+
+    // -- hyperplane-banding recall audit (d21) ------------------------------
+    // d18's audit applied to the EMBEDDING family: d05/d20/s02 all
+    // share the hyperplane signature + banding, whose recall is
+    // probabilistic in the angle — this measures it against exact
+    // cosine ground truth. Sample = the first 2048 even vec_ids: a
+    // FIXED-size deterministic audit sample, so the quadratic truth
+    // join is bounded by construction at every corpus scale (the knob
+    // a 100 TB deployment sets; the sample broadcasts). The banding
+    // side runs d05's production config on the same sample. Since the
+    // production miner verifies candidates with the exact cosine,
+    // precision is 1000‰ by construction and the measured number that
+    // matters is RECALL — the pairs whose signatures never collide in
+    // any band. One audit row, integer per-mille, both engines
+    // bit-equal.
+    Q("d21_hyperplane_recall_audit",
+      (s, d) => {
+        val sub = t(s, d, "embeddings")
+          .filter(col("vec_id") % 2 === 0)
+          .orderBy("vec_id").limit(2048)
+          .select(col("vec_id"), col("embedding"))
+        val truth = sub.as("a").crossJoin(broadcast(sub.as("b")))
+          .filter(col("a.vec_id") < col("b.vec_id") &&
+            Similarity.cosine(col("a.embedding"), col("b.embedding"))
+              >= 0.4)
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            lit(1).as("t"))
+        val lsh = Similarity.nearDupPairs(sub, minCos = 0.4)
+          .select(col("id_a"), col("id_b"), lit(1).as("l"))
+        truth.join(lsh, Seq("id_a", "id_b"), "full_outer")
+          .agg(count(col("t")).as("n_truth"),
+            count(col("l")).as("n_lsh"),
+            count(when(col("t").isNotNull && col("l").isNotNull, 1))
+              .as("n_common"))
+          .select(col("n_truth"), col("n_lsh"), col("n_common"),
+            expr("(n_common * 1000) div n_truth").as("recall_milli"),
+            expr("(n_common * 1000) div n_lsh").as("precision_milli"))
+      },
+      Some(d21Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L,
+        sampleN = 2048))),
 
     // -- MMR diversified retrieval (s07) -----------------------------------
     // greedy maximal-marginal-relevance over the exact top-50
