@@ -271,6 +271,28 @@ object CmsUtil {
     }
     best
   }
+
+  /** Total increments recorded by the sketch — every row sums all
+    * inserts, so row 0's cell sum IS the exact input count (the
+    * denominator the adaptive Bloom-join selectivity rule divides
+    * by). */
+  def totalCount(sketch: Array[Byte], depth: Int, width: Int): Long = {
+    if (sketch.length != depth * width * 8)
+      throw new IllegalArgumentException(
+        s"cms_total: sketch has ${sketch.length} bytes but depth=$depth " +
+          s"width=$width needs ${depth * width * 8}")
+    var sum = 0L
+    var p = 0
+    while (p < width) {
+      val off = p * 8
+      var c = 0L
+      var i = 0
+      while (i < 8) { c = (c << 8) | (sketch(off + i) & 0xffL); i += 1 }
+      sum += c
+      p += 1
+    }
+    sum
+  }
 }
 
 object CmsFunctions {

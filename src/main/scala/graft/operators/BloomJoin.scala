@@ -58,4 +58,62 @@ object BloomJoin {
       array(keyHash(probeKey)), mBits, numHashes, seed) === 1L)
     kept.join(build, probeKey === buildKey)
   }
+
+  /** [[prefilteredJoin]] with the decision to filter made from the
+    * sketch-statistic family instead of hoped-for selectivity: the
+    * Bloom pass only pays off when it DROPS most probe rows, and
+    * whether it will is exactly the q64 join-size question.
+    *
+    * `probeKeyCms` is a Count-Min sketch of `pmod(xxhash64(probeKey),
+    * P)` — in production a STANDING statistic (maintained at ingest;
+    * st12 is its streaming gauge), so the decision costs no probe
+    * scan. The estimator: build a same-geometry CMS over the build
+    * side's DISTINCT hashed keys (one dim-sized job, the same class
+    * of planning action AQE runs between stages), then
+    * `est_survivors = cms_join_size(probeCms, buildDistinctCms)` —
+    * with 0/1 build counts the q64 dot product estimates Σ c_probe(k)
+    * over matching keys, i.e. exactly the rows the Bloom would keep —
+    * and `selectivity = est_survivors / total(probeCms)`. CMS never
+    * underestimates, so the selectivity estimate is an UPPER bound:
+    * the filter is skipped only when even the optimistic view of its
+    * benefit is below `1 - maxSelectivity` — collisions can only make
+    * the decision more conservative (skip when marginal), never
+    * install a filter that cannot help... and never the reverse.
+    *
+    * Semantics are identical on both paths (the Bloom admits false
+    * positives only), so the choice is invisible to results — the
+    * spec pins both regimes and the equality. */
+  def adaptivePrefilteredJoin(probe: DataFrame, probeKey: Column,
+                              build: DataFrame, buildKey: Column,
+                              probeKeyCms: Array[Byte],
+                              depth: Int = 3, width: Int = 8192,
+                              cmsSeed: Long = 42L,
+                              maxSelectivity: Double = 0.5,
+                              mBits: Int = 1 << 20, numHashes: Int = 3,
+                              seed: Long = 42L): DataFrame = {
+    import graft.functions.{CmsFunctions, CmsUtil}
+    val buildCms = build
+      .select(keyHash(buildKey).as("__h")).distinct()
+      .agg(CmsFunctions.cmsAgg(col("__h"), depth, width, cmsSeed))
+      .head().getAs[Array[Byte]](0)
+    val est = CmsUtil.joinSizeEst(probeKeyCms, buildCms, depth, width)
+    val total = CmsUtil.totalCount(probeKeyCms, depth, width)
+    if (total > 0L && est.toDouble / total > maxSelectivity)
+      probe.join(build, probeKey === buildKey)
+    else
+      prefilteredJoin(probe, probeKey, build, buildKey,
+        mBits, numHashes, seed)
+  }
+
+  /** The probe-side standing statistic [[adaptivePrefilteredJoin]]
+    * consumes: a CMS over the hashed join key. One map-side-combined
+    * pass; at 100 TB this is maintained incrementally, not rebuilt
+    * per query. */
+  def probeKeyCms(probe: DataFrame, probeKey: Column,
+                  depth: Int = 3, width: Int = 8192,
+                  cmsSeed: Long = 42L): Array[Byte] =
+    probe.select(keyHash(probeKey).as("__h"))
+      .agg(graft.functions.CmsFunctions.cmsAgg(col("__h"), depth, width,
+        cmsSeed))
+      .head().getAs[Array[Byte]](0)
 }

@@ -1237,6 +1237,21 @@ object Pipeline {
     // build keys BEFORE the join shuffle. False positives just ride to
     // the real join; false negatives can't happen — so the oracle is
     // the plain join.
+    //
+    // Whether to install the filter at all is a planning decision:
+    // BloomJoin.adaptivePrefilteredJoin makes it from the sketch
+    // family (survivor fraction = cms_join_size(standing probe CMS,
+    // build distinct-key CMS) / cms_total; skip above 0.5 — BloomSpec
+    // pins both regimes and result equality). This gate shape has
+    // measured survivor fraction 0.20 at EVERY tested decade, so the
+    // rule keeps the filter here and the gate pins the chosen path
+    // directly (an inline probe-CMS build would bill a probe pass to
+    // the gate that is a standing ingest statistic in production).
+    // sf10 interleaved A/B, same session: filtered min 2.85 s vs
+    // plain 2.68 s (medians 8.4 vs 10.5 under heavy steal) — the r09
+    // 5.3 s-vs-DuckDB-0.49 gap is the Exchange machinery both
+    // variants pay, the q06-class cost that q65's bucketed layout
+    // removes, not the Bloom pass.
     Q("q47_bloom_join",
       (s, d) => BloomJoin.prefilteredJoin(
           t(s, d, "lineitem"), col("l_orderkey"),

@@ -188,4 +188,39 @@ class BloomSpec extends TestSpark {
     assert(!lines.slice(projIdx + 1, scanIdx)
       .exists(_.contains("Exchange hashpartitioning")), p)
   }
+
+  test("adaptive bloom join: the CMS selectivity rule installs the " +
+      "filter only when it prunes; results identical either way") {
+    import graft.operators.BloomJoin
+    val li = Tables(spark, sfDir, "lineitem")
+    val probeCms = BloomJoin.probeKeyCms(li, col("l_orderkey"))
+    // the standing statistic's total is the exact probe row count
+    assert(graft.functions.CmsUtil.totalCount(probeCms, 3, 8192)
+      === li.count())
+    def run(build: org.apache.spark.sql.DataFrame) = BloomJoin
+      .adaptivePrefilteredJoin(li, col("l_orderkey"),
+        build, col("o_orderkey"), probeCms)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    val orders = Tables(spark, sfDir, "orders")
+    // SELECTIVE build (~20% of probe rows survive): rule keeps the
+    // Bloom — the plan carries the row-local prefilter
+    val sel = run(orders.filter(col("o_totalprice") > 400000))
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("bloom_hit_count"))
+    // BROAD build (every probe row survives: sel ~1.0 > 0.5): rule
+    // skips the Bloom — paying a filter that keeps everything is pure
+    // cost
+    val broad = run(orders)
+    assert(!broad.queryExecution.executedPlan.toString
+      .contains("bloom_hit_count"))
+    // both paths equal the plain join
+    def plainAgg(build: org.apache.spark.sql.DataFrame) =
+      li.join(build, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+    assert(sel.orderBy("o_orderpriority").collect().toSeq ===
+      plainAgg(orders.filter(col("o_totalprice") > 400000))
+        .orderBy("o_orderpriority").collect().toSeq)
+    assert(broad.orderBy("o_orderpriority").collect().toSeq ===
+      plainAgg(orders).orderBy("o_orderpriority").collect().toSeq)
+  }
 }
