@@ -230,5 +230,94 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cdc_segments: modB must be >= 1, got $modB")
         CdcSegments(args.head, modB)
       }))
+
+    // ---- table-valued operator wrappers -----------------------------------
+    // the reference's UX is "type a line, get a table"; these put the
+    // whole-operator surface behind plain SQL so the REPL (and any SQL
+    // client on a session with graft.GraftExtensions) can run the
+    // §2.D-ish pipeline operators without Scala: table arguments are
+    // names resolved against the session catalog (temp views included),
+    // column arguments are name strings, thresholds are literals.
+    // Heavy by design — a call builds the operator's full DataFrame
+    // plan (dedup_corpus eagerly materializes its clustering stages,
+    // like the Scala API it wraps).
+    import org.apache.spark.sql.{GraftInternal, SparkSession}
+    import org.apache.spark.sql.functions.col
+    def strArg(fn: String, args: Seq[Expression], i: Int): String =
+      args.lift(i) match {
+        case Some(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: string literal expected at arg $i, got $other")
+      }
+    def numArg(fn: String, args: Seq[Expression], i: Int,
+               default: Double): Double =
+      args.lift(i) match {
+        case Some(Literal(v: Int, _))     => v.toDouble
+        case Some(Literal(v: Long, _))    => v.toDouble
+        case Some(Literal(v: Double, _))  => v
+        case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+          d.toDouble
+        case None                         => default
+        case other => throw new IllegalArgumentException(
+          s"$fn: numeric literal expected at arg $i, got $other")
+      }
+
+    ext.injectTableFunction((
+      FunctionIdentifier("dedup_corpus"),
+      info("dedup_corpus",
+        "_FUNC_(table, idCol, textCol[, minJaccard]) - the end-to-end " +
+          "dedup pipeline as a table: exact dedup, MinHash-LSH pair " +
+          "mining, connected components, one representative per cluster; " +
+          "returns the surviving rows with the source schema"),
+      (args: Seq[Expression]) => {
+        arity("dedup_corpus", args, 3, 4)
+        val spark = SparkSession.active
+        val df = spark.table(strArg("dedup_corpus", args, 0))
+        GraftInternal.logicalPlan(graft.operators.Dedup.dedupCorpus(df,
+          col(strArg("dedup_corpus", args, 1)),
+          col(strArg("dedup_corpus", args, 2)),
+          minJaccard = numArg("dedup_corpus", args, 3, 0.7)))
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("decontaminate"),
+      info("decontaminate",
+        "_FUNC_(corpusTable, idCol, textCol, benchTable, benchIdCol, " +
+          "benchTextCol[, minOverlapMilli]) - drop every corpus row whose " +
+          "shingle overlap with ANY benchmark row reaches the threshold"),
+      (args: Seq[Expression]) => {
+        arity("decontaminate", args, 6, 7)
+        val spark = SparkSession.active
+        GraftInternal.logicalPlan(graft.operators.Dedup.decontaminate(
+          spark.table(strArg("decontaminate", args, 0)),
+          col(strArg("decontaminate", args, 1)),
+          col(strArg("decontaminate", args, 2)),
+          spark.table(strArg("decontaminate", args, 3)),
+          col(strArg("decontaminate", args, 4)),
+          col(strArg("decontaminate", args, 5)),
+          minOverlapMilli =
+            numArg("decontaminate", args, 6, 800.0).toLong))
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      info("asof_join",
+        "_FUNC_(leftTable, leftKeyCol, leftTimeCol, rightTable, " +
+          "rightKeyCol, rightTimeCol, payloadCols) - each left row picks " +
+          "up the payload of the latest right row at or before its time, " +
+          "per key; payloadCols is a comma-separated column list"),
+      (args: Seq[Expression]) => {
+        arity("asof_join", args, 7, 7)
+        val spark = SparkSession.active
+        val payload = strArg("asof_join", args, 6)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftInternal.logicalPlan(graft.operators.AsofJoin(
+          spark.table(strArg("asof_join", args, 0)),
+          col(strArg("asof_join", args, 1)),
+          col(strArg("asof_join", args, 2)),
+          spark.table(strArg("asof_join", args, 3)),
+          col(strArg("asof_join", args, 4)),
+          col(strArg("asof_join", args, 5)),
+          rightPayload = payload))
+      }))
   }
 }

@@ -27,6 +27,14 @@ object GraftInternal {
   def scalarSubquery(df: Dataset[_]): Column =
     column(catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
 
+  /** The analyzed LogicalPlan behind a DataFrame — what an injected
+    * TABLE function returns (SparkSessionExtensions.injectTableFunction
+    * takes Seq[Expression] => LogicalPlan; graft's table-valued
+    * operator wrappers build the operator DataFrame and hand its plan
+    * to the analyzer). */
+  def logicalPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Free the block-manager storage behind a `localCheckpoint`ed
     * Dataset. `Dataset.unpersist` only knows CacheManager entries, so
     * checkpoint blocks otherwise live until the RDD is GC'd; iterative

@@ -50,6 +50,41 @@ class ReplSpec extends TestSpark {
     assert(csv.length === 6) // header + 5 regions
   }
 
+  test("table-valued operators through plain SQL text: dedup_corpus and " +
+      "asof_join run end-to-end from the REPL") {
+    import spark.implicits._
+    Tables.registerAll(spark, sfDir)
+    val repl = new SqlRepl(spark)
+    // dedup: two exact copies + one unique doc -> 2 survivors
+    Seq((1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight"),
+        (3L, "completely different words about spark engines and data"))
+      .toDF("doc_id", "text").createOrReplaceTempView("repl_docs")
+    val dedup = repl.runLine(
+      "SELECT doc_id FROM dedup_corpus('repl_docs', 'doc_id', 'text', 0.7) " +
+        "ORDER BY doc_id")
+    assert(dedup.startsWith("+"), dedup)
+    assert(dedup.contains("1") && dedup.contains("3") &&
+      !dedup.lines().anyMatch(l => l.contains("| 2")), dedup)
+    // as-of: each fact picks up the latest dim at or before its ts
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100.0),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 200.0))
+      .toDF("k", "ts", "px").createOrReplaceTempView("repl_dim")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 7L),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 8L))
+      .toDF("k", "ts", "fact_id").createOrReplaceTempView("repl_fact")
+    val asof = repl.runLine(
+      "SELECT fact_id, px FROM asof_join('repl_fact', 'k', 'ts', " +
+        "'repl_dim', 'k', 'ts', 'px') ORDER BY fact_id")
+    assert(asof.contains("100") && asof.contains("200"), asof)
+    // bad table name fails as a normal analysis error (the REPL loop's
+    // catch renders those as "Error: ..." — covered by the loop test)
+    val e = intercept[Exception] {
+      repl.runLine("SELECT * FROM dedup_corpus('no_such_table', 'a', 'b')")
+    }
+    assert(e.getMessage.contains("no_such_table"))
+  }
+
   test("CLI parity: -f xlsx -s sheet loads excel_rows and serves SQL + |out= " +
        "end-to-end (reference demo workflow in one command)") {
     import java.io.{BufferedReader, ByteArrayOutputStream, PrintStream, StringReader}
