@@ -23,7 +23,11 @@ Default DuckDB row groups (~122k rows) mean the sf1 files are
 multi-row-group, so BOTH engines can parallelize the scan — unlike
 the single-row-group sf0.1 files (see SURVEY §6).
 
-Usage: tools/gen_sf1.py [src_dir] [out_dir] [factor]
+Usage: tools/gen_sf1.py [src_dir] [out_dir] [factor] [only_tables]
+`only_tables` (comma-separated) restricts generation — used for the
+sf100 documents-only decade, where the row-local text/multimodal ops
+are gated a further 10x without paying for 13 GB of lineitem nobody
+scans (FK checks are skipped unless their tables are generated).
 Not part of the shipped library.
 """
 import sys, os, glob
@@ -35,6 +39,7 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "testdata_sf1")
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for p in glob.glob(os.path.join(src, "*.parquet")):
@@ -89,6 +94,8 @@ def main():
                           FROM embeddings {rep}""",
     }
     for name, q in tables.items():
+        if only is not None and name not in only:
+            continue
         dst = os.path.join(out, f"{name}.parquet")
         # Spark parallelizes a parquet scan at ROW-GROUP granularity
         # (DuckDB splits within a group, so it is indifferent). With the
@@ -127,6 +134,8 @@ def main():
          ["events", "customer"]),
     ]
     bad = 0
+    if only is not None:
+        checks = [c for c in checks if all(n in only for n in c[2])]
     for label, sql, names in checks:
         paths = [os.path.join(out, f"{n}.parquet") for n in names]
         orphans = con.execute(sql, paths).fetchone()[0]
