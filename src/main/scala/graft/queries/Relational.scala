@@ -94,12 +94,23 @@ object Relational {
                FROM orders JOIN customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Join ORDER is the declared order (no CBO stats on raw parquet,
+    // so Spark will not reorder inner joins): grow the small side
+    // first. (lineitem ⋈ orders) ⋈ customer shuffles the 60M-row fact
+    // TWICE — once on l_orderkey, then the joined 60M again on
+    // o_custkey; (orders ⋈ customer) ⋈ lineitem shuffles orders once
+    // on o_custkey (15M), the 15M result once on o_orderkey, and
+    // lineitem exactly once — ~135M -> ~91M shuffled rows, and the
+    // second exchange carries dim-narrow rows. The dims broadcast
+    // onto the orders side BEFORE the fact join, so the fact rows
+    // never re-exchange for them either.
     Q("q06_multijoin",
       (s, d) => t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "orders")
+            .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("r_name", "n_name")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
              count(lit(1)).as("cnt"))
