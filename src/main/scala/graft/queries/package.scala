@@ -18,27 +18,13 @@ package object queries {
     *
     * Raw SUM/AVG over doubles is partition-order-dependent (fp addition
     * is not associative), so the same query can hash differently between
-    * Spark and DuckDB — or between two Spark runs. Rounding each row to
-    * scale 4 first makes the sum exact (inputs carry <=4 decimal
+    * Spark and DuckDB — or between two Spark runs. Casting each row to
+    * DECIMAL(27,4) first makes the sum exact (inputs carry <=4 decimal
     * digits), and the final cast back to DOUBLE is then identical on any
-    * engine. AVG = exact-sum / exact-count, one IEEE division.
-    *
-    * Round 10: the per-row value goes through `scaled_long4` (x·10⁴
-    * HALF_UP — bit-identical to the previous CAST(x AS DECIMAL(27,4)),
-    * both resolve the double via BigDecimal.valueOf) and the sum runs
-    * over compact DECIMAL(18,0) longs instead of BigDecimal-backed
-    * DECIMAL(27,4) buffers: measured 8.6 s → 1.6 s on the sf10 q03
-    * shape, identical result doubles. The decimal division by 10⁴ is
-    * exact (scale headroom) and the final double cast is the same
-    * correctly-rounded conversion as before. D4 remains for shapes
-    * that need decimal VALUES mid-plan (window partials, q54's
-    * mergeable rollup state, q49's factored products). */
+    * engine. AVG = exact-sum / exact-count, one IEEE division. */
   val D4: DecimalType = DecimalType(27, 4)
-  private val D18: DecimalType = DecimalType(18, 0)
-  def dsum(c: Column): Column =
-    (sum(graft.functions.ScaledLongFunctions.scaledLong4(c).cast(D18))
-      / 10000).cast(DoubleType)
-  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  def dsum(c: Column): Column = sum(c.cast(D4)).cast(DoubleType)
+  def davg(c: Column): Column = sum(c.cast(D4)).cast(DoubleType) / count(lit(1))
   /** Oracle-side spelling of [[dsum]]/[[davg]].
     *
     * The decimal->double hop goes through VARCHAR because DuckDB's direct

@@ -25,5 +25,16 @@ OPENS=(
   --add-opens=java.base/sun.security.action=ALL-UNNAMED
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
 )
-exec java "${OPENS[@]}" -Xmx96g -Dderby.stream.error.file=/tmp/derby.log \
+# Pinned pre-touched heap: with a growable heap (-Xmx alone) G1
+# uncommits regions after concurrent cycles and the next allocation
+# burst page-faults tens of GB back in — measured on this box as
+# random 50-250s full-process stalls at 80% kernel time (vmstat sys,
+# JVM unresponsive to jstack, zero GC activity in -Xlog:gc). Medians
+# can't reject a stall that hits 1 in 6 samples. -Xms=-Xmx stops the
+# uncommit; AlwaysPreTouch moves the one-time page-zeroing cost to
+# startup where it isn't timed. SPARK_GRAFT_HEAP overrides (bench
+# uses the same knob).
+HEAP="${SPARK_GRAFT_HEAP:-64g}"
+exec java "${OPENS[@]}" -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
+  -Dderby.stream.error.file=/tmp/derby.log \
   -cp "$CP" "$@"
