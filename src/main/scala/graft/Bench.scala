@@ -128,7 +128,42 @@ object Bench {
     // reports the amortized regime, exactly the 100 TB contract)
     "q65_bucketed_join")
 
+  /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
+    * timing anything. With a growable heap (-Xmx alone, the natural
+    * invocation) G1 uncommits regions after each concurrent cycle and
+    * the next allocation burst page-faults tens of GB back from the
+    * kernel — measured on this host as random 50–250 s whole-process
+    * stalls at ~80% system time (JVM unresponsive to jstack, zero GC
+    * activity in -Xlog:gc, ~50 GB of free memory committed during the
+    * stall). One such stall in 3 samples poisons a median; a bench
+    * that can silently absorb a 250 s lie is not a measurement.
+    * -Xms=-Xmx stops the uncommit cycle entirely and AlwaysPreTouch
+    * moves the one-time page-zeroing to child startup, outside every
+    * timed region. Skipped when the parent already runs pinned
+    * (SPARK_GRAFT_BENCH_PINNED=1, which the child sets). */
+  private def reexecPinned(args: Array[String]): Nothing = {
+    val heap = sys.env.getOrElse("SPARK_GRAFT_HEAP", "64g")
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    jvmArgs.forEach { a =>
+      // strip the parent's heap sizing; ours is appended below
+      if (!a.startsWith("-Xms") && !a.startsWith("-Xmx")) cmd.add(a)
+    }
+    cmd.add(s"-Xms$heap"); cmd.add(s"-Xmx$heap"); cmd.add("-XX:+AlwaysPreTouch")
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.Bench"); args.foreach(cmd.add)
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_BENCH_PINNED", "1")
+    pb.inheritIO()
+    sys.exit(pb.start().waitFor())
+  }
+
   def main(args: Array[String]): Unit = {
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_PINNED")) reexecPinned(args)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_BENCH_ONLY=q50_funnel,q51_retention benches a subset

@@ -35,6 +35,8 @@ OPENS=(
 # startup where it isn't timed. SPARK_GRAFT_HEAP overrides (bench
 # uses the same knob).
 HEAP="${SPARK_GRAFT_HEAP:-64g}"
+# already pinned here — tell graft.Bench not to re-exec a second child
+export SPARK_GRAFT_BENCH_PINNED=1
 exec java "${OPENS[@]}" -Xms"$HEAP" -Xmx"$HEAP" -XX:+AlwaysPreTouch \
   -Dderby.stream.error.file=/tmp/derby.log \
   -cp "$CP" "$@"
