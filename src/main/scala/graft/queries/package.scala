@@ -23,8 +23,17 @@ package object queries {
     * digits), and the final cast back to DOUBLE is then identical on any
     * engine. AVG = exact-sum / exact-count, one IEEE division. */
   val D4: DecimalType = DecimalType(27, 4)
-  def dsum(c: Column): Column = sum(c.cast(D4)).cast(DoubleType)
-  def davg(c: Column): Column = sum(c.cast(D4)).cast(DoubleType) / count(lit(1))
+  /** Round 10: dsum runs as [[graft.functions.SumScaled4]] — same
+    * exact-integer semantics and bit-identical output doubles, but the
+    * accumulator is a primitive two-long 128-bit buffer instead of a
+    * BigDecimal-backed DECIMAL(37,4): measured 5.3 s → ~1 s on the
+    * sf10 q03 shape (4 sums over 60M rows), where the decimal buffer
+    * churn was ~90% of the query. The decimal spelling remains the
+    * right tool where decimal VALUES travel mid-plan (window partials,
+    * q54's mergeable rollup state, q49's factored products). */
+  def dsum(c: Column): Column =
+    graft.functions.ExactSumFunctions.sumScaled4(c.cast(DoubleType))
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
   /** Oracle-side spelling of [[dsum]]/[[davg]].
     *
     * The decimal->double hop goes through VARCHAR because DuckDB's direct
