@@ -68,4 +68,60 @@ class SourceSinkSpec extends TestSpark {
     // fails at JDBC driver resolution, not inside graft's wrapper
     assert(e.getMessage != null)
   }
+
+  test("jsonl: documents round-trip shard-per-partition, schema-first read") {
+    import graft.sinks.JsonLinesSink
+    import graft.sources.JsonLines
+    val dir = Files.createTempDirectory("jsonlspec").toString + "/docs"
+    val src = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").repartition(3)
+    JsonLinesSink.write(src, dir)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(shards.length === 3) // one shard file per partition
+    assert(shards.forall(_.getName.endsWith(".gz"))) // compressed shards
+    val back = JsonLines.read(spark, dir, src.schema)
+    assert(back.count() === src.count())
+    assert(back.agg(sum(length(col("text")))).as[Long].head() ===
+      src.agg(sum(length(col("text")))).as[Long].head())
+  }
+
+  test("jsonl: corrupt lines surface in _corrupt_record instead of vanishing") {
+    import graft.sources.JsonLines
+    val dir = Files.createTempDirectory("jsonlcorrupt").toString
+    val f = new java.io.File(dir, "shard.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "ok"}
+        |{"doc_id": 2, "text": "also ok"}
+        |{"doc_id": 3, "text": TRUNCATED
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // Spark refuses to query _corrupt_record straight off the files
+    // (the column exists only while parsing) — cache materializes it
+    val back = JsonLines.read(spark, f.toString, schema, keepCorrupt = true)
+      .cache()
+    assert(back.count() === 3) // nothing dropped
+    assert(back.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(back.filter(col("_corrupt_record").isNull).count() === 2)
+  }
+
+  test("orc: round-trip with predicate pushdown and column pruning in the scan") {
+    import graft.sources.Orc
+    val dir = Files.createTempDirectory("orcspec").toString + "/li"
+    val src = Tables(spark, sfDir, "lineitem")
+    Orc.write(src, dir)
+    val back = Orc.read(spark, dir)
+      .filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      scan) // pushdown reached the ORC scan
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      scan) // only the 2 projected columns are read
+    assert(back.count() ===
+      src.filter(col("l_quantity") > 40).count())
+  }
 }
