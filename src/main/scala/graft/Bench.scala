@@ -126,7 +126,11 @@ object Bench {
     // sample pays the one-time clustered write, the rest measure the
     // steady-state zero-Exchange zero-Sort merge join (median of 3
     // reports the amortized regime, exactly the 100 TB contract)
-    "q65_bucketed_join")
+    "q65_bucketed_join",
+    // round-10: k-means model training (Lloyd scans shrink map-side
+    // to nCells×dims; broadcast centroids) and the cluster-balanced
+    // quota sample over the trained model
+    "q66_kmeans_train", "q67_cluster_sample")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

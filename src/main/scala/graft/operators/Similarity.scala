@@ -551,4 +551,68 @@ object Similarity {
     kept.withColumn("cell_rep", min(col("vec_id")).over(w))
       .select(col("vec_id"), col("cell_rep"))
   }
+
+  /** The k-means MODEL as a first-class result (q66): per cell its
+    * min-member-id label (numbering-independent — Spark numbers cells
+    * positionally, an oracle may keep seed ids; the min member id is
+    * the same under any scheme), member count, and the trained
+    * centroid. This is the training half that s03 (IVF), s04 (PQ) and
+    * q55 (SemDeDup) consume implicitly; exposing it makes the trainer
+    * itself oracle-checkable and gives curation pipelines the artifact
+    * they actually persist (a centroid table to re-assign against —
+    * retraining per downstream query would re-scan the corpus).
+    *
+    * Scale shape is [[trainCentroids]]'s: each Lloyd step is one
+    * corpus scan whose (cell, dim) partials shrink map-side to
+    * nCells×dims rows; centroids broadcast; the final stats pass is
+    * one nCells-sized aggregation. Empty cells (every vector nearer
+    * some other centroid) drop out on both engines by the same
+    * membership rule. */
+  def kmeansModel(corpus: DataFrame, nCells: Int = 16,
+                  lloydIters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, lloydIters)
+    // stats first (cells-sized), attach the broadcast centroid array
+    // AFTER the aggregation — carrying the nCells×dims array per
+    // corpus row through the shuffle would multiply the exchange by
+    // the model size
+    assignCells(corpus, centroids, 1)
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell_id"))
+      .groupBy("cell_id")
+      .agg(min(col("vec_id")).as("cell_rep"),
+        count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cell_rep"), col("n_members"),
+        transform(element_at(col("cents"), col("cell_id") + 1),
+          _.cast("double")).as("centroid"))
+  }
+
+  /** Cluster-balanced subset selection (q67): up to `quota` vectors
+    * per k-means cell, picked in deterministic hash order — the
+    * cluster-coverage sampling curation recipes use to keep topical
+    * diversity while shrinking a corpus (a uniform sample keeps the
+    * head topics; per-cell quotas keep the tail). Order inside a cell
+    * is (md5(vec_id), vec_id) — content-independent, engine-portable
+    * (the same hex ranking the seed step already relies on), and
+    * stable under any partitioning.
+    *
+    * Scale shape: assignment is row-local (broadcast centroids); the
+    * quota cut is ONE window shuffle keyed by cell — and cells are
+    * ~constant-size by construction (nCells grows with the corpus),
+    * so no window partition is ever skewed. */
+  def clusterBalancedSample(corpus: DataFrame, quota: Int,
+                            nCells: Int = 16,
+                            lloydIters: Int = 1): DataFrame = {
+    val centroids = trainCentroids(corpus, nCells, lloydIters)
+    val cells = assignCells(corpus, centroids, 1)
+      .select(col("vec_id"), element_at(col("cells"), 1).as("cell_id"))
+    val w = Window.partitionBy("cell_id")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+        col("vec_id").asc)
+    val repW = Window.partitionBy("cell_id")
+    cells
+      .withColumn("cell_rep", min(col("vec_id")).over(repW))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .select(col("vec_id"), col("cell_rep"))
+  }
 }

@@ -487,6 +487,40 @@ object Pipeline {
         FROM ranked WHERE rank <= $k ORDER BY query_id, rank"""
   }
 
+  /** DuckDB replica of the k-means MODEL (q66): the shared IVF assign
+    * chain, per-cell stats from the final assignment, centroids joined
+    * from the final centroid CTE. Cell labels are min member ids on
+    * both sides (Spark numbers cells positionally, this replica keeps
+    * seed vec_ids — min-id is numbering-independent, the q55
+    * argument). */
+  private def q66Oracle(nCells: Int, lloydIters: Int): String = {
+    val (ctes, cent) = ivfAssignCtes(nCells, lloydIters)
+    s"""WITH $ctes,
+          stats AS (
+            SELECT cell, MIN(vec_id) AS cell_rep, COUNT(*) AS n_members
+            FROM afin GROUP BY cell)
+        SELECT s.cell_rep, s.n_members, c.ce AS centroid
+        FROM stats s JOIN $cent c ON c.cell = s.cell
+        ORDER BY s.cell_rep"""
+  }
+
+  /** DuckDB replica of cluster-balanced sampling (q67): final IVF
+    * assignment, then up to `quota` per cell in (md5(vec_id), vec_id)
+    * order — the engine-portable hash ranking the seed step uses. */
+  private def q67Oracle(quota: Int, nCells: Int, lloydIters: Int): String = {
+    val (ctes, _) = ivfAssignCtes(nCells, lloydIters)
+    s"""WITH $ctes,
+          reps AS (
+            SELECT cell, MIN(vec_id) AS cell_rep FROM afin GROUP BY cell),
+          ranked AS (
+            SELECT a.vec_id, r.cell_rep,
+                   row_number() OVER (PARTITION BY a.cell
+                     ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rn
+            FROM afin a JOIN reps r USING (cell))
+        SELECT vec_id, cell_rep FROM ranked WHERE rn <= $quota
+        ORDER BY vec_id"""
+  }
+
   /** DuckDB replica of semantic dedup (q55): the shared IVF assign
     * chain, then in-cell `cos >= eps` pairs with the higher id
     * dropped, survivors labeled by the min surviving vec_id of their
@@ -1983,6 +2017,30 @@ object Pipeline {
           .orderBy("query_id", "rank")
       },
       Some(s03Oracle(k = 10, nCells = 16, nProbe = 4, lloydIters = 2))),
+
+    // -- k-means model as an artifact (q66) --------------------------------
+    // the training half s03/s04/q55 consume implicitly, exposed as the
+    // persistable result a curation pipeline actually ships: per cell
+    // its min-member-id label, size, and trained centroid. Each Lloyd
+    // step is one corpus scan shrinking map-side to nCells×dims rows;
+    // centroids broadcast; the stats pass is one cells-sized agg with
+    // the model attached AFTER aggregation (never per corpus row).
+    Q("q66_kmeans_train",
+      (s, d) => Similarity.kmeansModel(t(s, d, "embeddings"),
+          nCells = 16, lloydIters = 2)
+        .orderBy("cell_rep"),
+      Some(q66Oracle(nCells = 16, lloydIters = 2))),
+
+    // -- cluster-balanced subset selection (q67) ---------------------------
+    // per-cell quotas in deterministic (md5, id) order: the cluster-
+    // coverage sampling that keeps tail topics a uniform sample
+    // drops. Assignment is row-local (broadcast model); the cut is
+    // one cell-keyed window over ~constant-size cells.
+    Q("q67_cluster_sample",
+      (s, d) => Similarity.clusterBalancedSample(t(s, d, "embeddings"),
+          quota = 20, nCells = 16, lloydIters = 2)
+        .orderBy("vec_id"),
+      Some(q67Oracle(quota = 20, nCells = 16, lloydIters = 2))),
 
     Q("s04_pq_ann",
       (s, d) => {

@@ -215,4 +215,40 @@ class SimilaritySpec extends TestSpark {
     // selection is stable and each id appears exactly once
     assert(out.distinct === out)
   }
+
+  test("kmeansModel: sizes partition the corpus, centroids have the " +
+      "corpus dimensionality, labels are member ids") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val model = Similarity.kmeansModel(emb, nCells = 8, lloydIters = 1)
+      .collect()
+    assert(model.map(_.getAs[Long]("n_members")).sum === emb.count())
+    val dims = emb.selectExpr("size(embedding)").as[Int].head()
+    assert(model.forall(_.getAs[Seq[Double]]("centroid").length === dims))
+    // every cell label is one of its members' ids (min member)
+    val ids = emb.select("vec_id").as[Long].collect().toSet
+    assert(model.forall(r => ids(r.getAs[Long]("cell_rep"))))
+  }
+
+  test("clusterBalancedSample: quota enforced per cell, every cell " +
+      "covered, deterministic under repartitioning") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val quota = 3
+    val sample = Similarity.clusterBalancedSample(emb, quota,
+      nCells = 8, lloydIters = 1)
+    val perCell = sample.groupBy("cell_rep").count().collect()
+    assert(perCell.forall(_.getAs[Long]("count") <= quota))
+    // cells large enough hit the quota exactly (coverage, not a cap)
+    val model = Similarity.kmeansModel(emb, nCells = 8, lloydIters = 1)
+      .collect().map(r => r.getAs[Long]("cell_rep") -> r.getAs[Long]("n_members"))
+      .toMap
+    perCell.foreach { r =>
+      val want = math.min(quota.toLong, model(r.getAs[Long]("cell_rep")))
+      assert(r.getAs[Long]("count") === want, r)
+    }
+    // same rows under a different physical layout
+    val again = Similarity.clusterBalancedSample(emb.repartition(7), quota,
+      nCells = 8, lloydIters = 1)
+    assert(sample.orderBy("vec_id").collect().toSeq ===
+      again.orderBy("vec_id").collect().toSeq)
+  }
 }
