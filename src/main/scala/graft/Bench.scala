@@ -130,7 +130,11 @@ object Bench {
     // round-10: k-means model training (Lloyd scans shrink map-side
     // to nCells×dims; broadcast centroids) and the cluster-balanced
     // quota sample over the trained model
-    "q66_kmeans_train", "q67_cluster_sample")
+    "q66_kmeans_train", "q67_cluster_sample",
+    // round-10: CDC merge — one co-partitioned full-outer join lands
+    // the batch; the bucketed-snapshot variant of the same shape is
+    // q65's territory
+    "q68_apply_changeset")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

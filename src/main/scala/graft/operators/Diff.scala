@@ -46,4 +46,66 @@ object Diff {
             .otherwise(lit("unchanged")).as("status"): _*)
       .filter(col("status") =!= "unchanged")
   }
+
+  /** MERGE/upsert — apply a changeset to a snapshot, the inverse of
+    * [[snapshotDiff]] and the write half of every incremental pipeline
+    * (a warehouse that can only diff but not apply still re-dumps).
+    *
+    * `changes` carries the snapshot's columns plus `opCol` ∈
+    * {insert, update, delete} (snapshotDiff's vocabulary, so
+    * diff → enrich-with-payload → apply composes). Semantics:
+    * delete drops the key, insert/update both land the change row
+    * (upsert — the op tag is validated, not trusted, since CDC feeds
+    * routinely mislabel the two after replays). Unknown op values
+    * fail LOUDLY per row (`raise_error` branch — a silently dropped
+    * typo'd op is an unnoticed data loss). When `seqCol` is given,
+    * the latest change per key wins (ties fail the unique contract);
+    * without it the batch must be key-unique — enforced by the same
+    * loud error, because "two changes, arbitrary winner" is the
+    * classic nondeterministic-merge bug.
+    *
+    * Scale shape: one window over the (change-sized, not
+    * snapshot-sized) batch to pick winners, then ONE co-partitioned
+    * full-outer join on the key — and a bucketed snapshot layout
+    * (q65's) makes the snapshot side of that exchange disappear,
+    * which is how a 100 TB table absorbs a daily changeset without
+    * ever being re-shuffled. */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame,
+                     keys: Seq[String], opCol: String = "op",
+                     seqCol: Option[String] = None): DataFrame = {
+    val payload = snapshot.columns.filterNot(keys.contains).toSeq
+    // ordering: latest seq first; with no seq every row is a "peer"
+    // of every other (constant sort key), so the peer count below
+    // flags ANY key with >1 change
+    val ord = seqCol.map(c => col(c).desc).getOrElse(lit(1).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(ord)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      // RANGE CURRENT ROW..CURRENT ROW = this row plus its order-key
+      // peers: same-seq ties (or, seq-less, the whole key group)
+      .withColumn("__dup", count(lit(1)).over(w.rangeBetween(0, 0)))
+      .filter(col("__rn") === 1)
+      .withColumn(opCol,
+        when(col("__dup") > 1, raise_error(concat(
+          lit(s"applyChangeset: multiple changes for key "),
+          concat_ws(",", keys.map(col): _*),
+          lit(seqCol.fold(" and no seq column orders them")(c =>
+            s" share the latest $c")))))
+        .when(!col(opCol).isin("insert", "update", "delete"),
+          raise_error(concat(lit("applyChangeset: unknown op '"),
+            col(opCol), lit("'"))))
+        .otherwise(col(opCol)))
+      .drop("__rn", "__dup")
+    val s = snapshot.as("s")
+    val c = latest.as("c")
+    val keyCond = keys.map(k => col(s"s.$k") === col(s"c.$k")).reduce(_ && _)
+    val hasChange = col(s"c.$opCol").isNotNull
+    s.join(c, keyCond, "full_outer")
+      .filter(!hasChange || col(s"c.$opCol") =!= "delete")
+      .select(
+        keys.map(k => coalesce(col(s"c.$k"), col(s"s.$k")).as(k)) ++
+          payload.map(p =>
+            when(hasChange, col(s"c.$p")).otherwise(col(s"s.$p")).as(p)): _*)
+  }
 }

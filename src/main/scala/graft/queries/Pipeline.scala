@@ -2330,6 +2330,63 @@ object Pipeline {
               SELECT o_orderkey, status FROM j
               WHERE status <> 'unchanged' ORDER BY o_orderkey""")),
 
+    // -- changeset APPLY / MERGE upsert (q68) ------------------------------
+    // q57's inverse and the write half of incremental maintenance:
+    // land a CDC batch (insert/update/delete + payload) onto a
+    // snapshot in ONE co-partitioned full-outer join (bucketed
+    // snapshot layout ⇒ the snapshot side never re-shuffles — the
+    // 100 TB daily-merge shape). The changeset here is derived from
+    // orders with the same CASE arithmetic in both engines: keys
+    // ≡0 (mod 7) repriced +1000, keys ≡3 (mod 11) deleted (mod-7
+    // overlap excluded so the batch is key-unique), keys ≡0 (mod
+    // 101) re-inserted under key+10⁸ — no fixture data needed.
+    Q("q68_apply_changeset",
+      (s, d) => {
+        val snap = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("o_orderstatus"))
+        val updates = snap.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("op", lit("update"))
+        val deletes = snap.filter(col("o_orderkey") % 11 === 3 &&
+            col("o_orderkey") % 7 =!= 0)
+          .withColumn("op", lit("delete"))
+        val inserts = snap.filter(col("o_orderkey") % 101 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), lit(42.0).as("o_totalprice"),
+            lit("O").as("o_orderstatus"), lit("insert").as("op"))
+        Diff.applyChangeset(snap,
+            updates.unionByName(deletes).unionByName(inserts),
+            keys = Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snap AS (
+                SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+                FROM orders),
+              chg AS (
+                SELECT o_orderkey, o_custkey,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderstatus, 'update' AS op
+                FROM snap WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       o_orderstatus, 'delete'
+                FROM snap WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, 42.0, 'O', 'insert'
+                FROM snap WHERE o_orderkey % 101 = 0)
+              SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+                     CASE WHEN c.op IS NOT NULL THEN c.o_custkey
+                          ELSE s.o_custkey END AS o_custkey,
+                     CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                          ELSE s.o_totalprice END AS o_totalprice,
+                     CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+                          ELSE s.o_orderstatus END AS o_orderstatus
+              FROM snap s FULL OUTER JOIN chg c
+                ON s.o_orderkey = c.o_orderkey
+              WHERE c.op IS NULL OR c.op <> 'delete'
+              ORDER BY o_orderkey""")),
+
     // -- Z-order layout key (q56) ------------------------------------------
     // the two-dimensional data-skipping cluster key: interleave the
     // low 16 bits of (user_id, hour index) with the Morton

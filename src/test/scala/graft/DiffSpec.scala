@@ -35,4 +35,88 @@ class DiffSpec extends TestSpark {
       Diff.snapshotDiff(a, b, keys = Seq("k"))
     }
   }
+
+  test("applyChangeset: upsert + delete semantics on a known fixture") {
+    import org.apache.spark.sql.functions._
+    val snap = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "price", "tag")
+    val chg = Seq(
+      (2L, 21.0, "b", "update"),
+      (3L, 0.0, "", "delete"),
+      (4L, 40.0, "d", "insert"))
+      .toDF("k", "price", "tag", "op")
+    val out = Diff.applyChangeset(snap, chg, keys = Seq("k"))
+      .orderBy("k").as[(Long, Double, String)].collect().toSeq
+    assert(out === Seq((1L, 10.0, "a"), (2L, 21.0, "b"), (4L, 40.0, "d")))
+  }
+
+  test("applyChangeset: seq column resolves intra-batch ordering, " +
+      "latest wins; same-seq ties fail loudly") {
+    import org.apache.spark.sql.functions._
+    val snap = Seq((1L, 10.0)).toDF("k", "price")
+    val chg = Seq(
+      (1L, 11.0, "update", 1L),
+      (1L, 12.0, "update", 2L), // latest — must win
+      (2L, 20.0, "insert", 1L))
+      .toDF("k", "price", "op", "seq")
+    val out = Diff.applyChangeset(snap, chg, keys = Seq("k"),
+        seqCol = Some("seq"))
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 12.0), (2L, 20.0)))
+    val tied = Seq((1L, 11.0, "update", 5L), (1L, 12.0, "update", 5L))
+      .toDF("k", "price", "op", "seq")
+    val e = intercept[Exception] {
+      Diff.applyChangeset(snap, tied, keys = Seq("k"),
+        seqCol = Some("seq")).collect()
+    }
+    assert(e.getMessage.contains("multiple changes") ||
+      (e.getCause != null && e.getCause.getMessage.contains("multiple changes")),
+      e.toString)
+  }
+
+  test("applyChangeset: key-duplicate batch without a seq column and " +
+      "unknown op values both fail loudly (no arbitrary winner, no " +
+      "silent drop)") {
+    val snap = Seq((1L, 10.0)).toDF("k", "price")
+    val dup = Seq((1L, 11.0, "update"), (1L, 12.0, "update"))
+      .toDF("k", "price", "op")
+    val e1 = intercept[Exception] {
+      Diff.applyChangeset(snap, dup, keys = Seq("k")).collect()
+    }
+    assert(e1.toString.contains("multiple changes") ||
+      e1.getCause != null, e1.toString)
+    val typo = Seq((1L, 11.0, "upsert")).toDF("k", "price", "op")
+    val e2 = intercept[Exception] {
+      Diff.applyChangeset(snap, typo, keys = Seq("k")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e2).contains("unknown op"), e2.toString)
+  }
+
+  test("applyChangeset inverts snapshotDiff: old + (diff enriched " +
+      "with new payload) == new") {
+    import org.apache.spark.sql.functions._
+    val old = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") % 101 =!= 0)
+    val nu = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .filter(col("o_orderkey") % 103 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val diff = Diff.snapshotDiff(old, nu, keys = Seq("o_orderkey"))
+    // enrich: insert/update payload from nu; delete payload from old
+    val chg = diff.as("d")
+      .join(nu.as("n"), col("d.o_orderkey") === col("n.o_orderkey"), "left")
+      .join(old.as("o"), col("d.o_orderkey") === col("o.o_orderkey"), "left")
+      .select(col("d.o_orderkey").as("o_orderkey"),
+        coalesce(col("n.o_custkey"), col("o.o_custkey")).as("o_custkey"),
+        coalesce(col("n.o_totalprice"), col("o.o_totalprice")).as("o_totalprice"),
+        col("d.status").as("op"))
+    val applied = Diff.applyChangeset(old, chg, keys = Seq("o_orderkey"))
+    assert(applied.count() === nu.count())
+    assert(applied.exceptAll(nu).isEmpty && nu.exceptAll(applied).isEmpty)
+  }
 }
