@@ -52,6 +52,10 @@ final case class FunnelBuf(folded: FunnelProg, buf: Seq[(Long, String)])
 final case class AsofBuf(dimTs: Option[Long], dimId: Long, dimVal: Double,
                          buf: Seq[(Long, String, Long, Double)])
 
+/** Per-key state for [[Streams.upsertState]]: the LWW register —
+  * highest seq applied, liveness (false = tombstone), value. */
+final case class UpsertSt(seq: Long, live: Boolean, value: Double)
+
 /** Structured Streaming operators over the events schema
   * (event_id, ts, user_id, event_type, value).
   *
@@ -639,4 +643,66 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), max(col("ts")).as("s_end"))
       .select(col("user_id"), col("sw.start").as("s_start"),
         col("s_end"), col("n_events"))
+
+  /** One CDC changelog row for [[upsertState]]: `op` ∈
+    * insert|update|delete, `seq` = upstream commit order. */
+  final case class ChangeRow(key: Long, seq: Long, op: String, value: Double)
+
+  /** The materialized current version of a key after a batch of
+    * changes: `live = false` is a delete notification (value retains
+    * the tombstone's seq so downstream consumers can order it). */
+  final case class UpsertOut(key: Long, seq: Long, live: Boolean,
+                             value: Double)
+
+  /** Streaming MERGE upsert (st13) — q68's live face: a CDC changelog
+    * stream materialized into per-key state, emitting each touched
+    * key's new current version per microbatch (Update-mode changelog —
+    * exactly what a downstream sink applies idempotently).
+    *
+    * Conflict rule is LAST-WRITER-WINS ON `seq`, which makes the fold
+    * ORDER-INSENSITIVE: a stale change arriving after a newer one
+    * (cross-batch reordering, replayed partitions) is ignored because
+    * state keeps the max seq — no reorder buffer needed, the LWW
+    * register argument. Deletes store a TOMBSTONE (seq kept, value
+    * dead) rather than clearing state: dropping it would let a stale
+    * pre-delete update resurrect the row — the classic CDC
+    * apply-side corruption. A change with seq <= the applied seq is
+    * IGNORED — including equality, which makes at-least-once
+    * redelivery of the same change idempotent. (This is deliberately
+    * weaker than q68's batch operator, which sees the whole batch and
+    * can refuse same-seq CONFLICTS loudly; a stream that already
+    * applied seq s cannot distinguish "conflicting second change at
+    * s" from "redelivery of the change it applied" without keeping
+    * every seen change — so it must pick the convergent reading, and
+    * idempotent replay is the one that makes the fold arrival-order-
+    * insensitive.) Update ops on absent keys insert (upsert — feeds
+    * mislabel insert/update after replays, same as q68).
+    *
+    * State per key is O(1) (seq, live, value) and the state size is
+    * the key cardinality — a materialized table IS its state; at
+    * 100 TB the state store is RocksDB-backed and this op's state is
+    * the table's current version, which is the minimum any streaming
+    * materialization holds. On a batch Dataset the same fold runs once
+    * per key and equals `Diff.applyChangeset(empty-snapshot, batch)` —
+    * the spec pins stream == batch face == q68's operator. */
+  def upsertState(changes: Dataset[ChangeRow]): Dataset[UpsertOut] = {
+    import changes.sparkSession.implicits._
+    val streaming = changes.isStreaming
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[UpsertSt, UpsertOut](GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ChangeRow], state: GroupState[UpsertSt]) =>
+          var st = state.getOption.getOrElse(
+            UpsertSt(Long.MinValue, live = false, 0.0))
+          it.toSeq.sortBy(_.seq).foreach { c =>
+            if (c.seq > st.seq) st = c.op match {
+              case "insert" | "update" => UpsertSt(c.seq, live = true, c.value)
+              case "delete" => UpsertSt(c.seq, live = false, 0.0)
+              case other => throw new IllegalStateException(
+                s"upsertState: unknown op '$other' for key $key")
+            }
+          }
+          if (streaming) state.update(st) else state.remove()
+          UpsertOut(key, st.seq, st.live, st.value)
+      }
+  }
 }

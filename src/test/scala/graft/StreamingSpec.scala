@@ -829,4 +829,72 @@ class StreamingSpec extends TestSpark {
     assert(q.recentProgress.nonEmpty)
     assert(q.recentProgress.exists(_.stateOperators.nonEmpty))
   }
+
+  test("st13 upsertState: LWW on seq across microbatches — stale " +
+       "updates ignored, tombstones block resurrection, updates " +
+       "after a delete revive; final state == batch face == " +
+       "Diff.applyChangeset") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = Seq(
+      Streams.ChangeRow(1L, 1L, "insert", 10.0),
+      Streams.ChangeRow(2L, 1L, "insert", 20.0),
+      Streams.ChangeRow(3L, 1L, "insert", 30.0))
+    val b2 = Seq(
+      Streams.ChangeRow(1L, 3L, "update", 11.0),
+      Streams.ChangeRow(2L, 2L, "delete", 0.0),
+      Streams.ChangeRow(4L, 1L, "update", 40.0)) // update-on-absent inserts
+    val b3 = Seq(
+      Streams.ChangeRow(1L, 2L, "update", 999.0), // STALE: < seq 3, ignored
+      Streams.ChangeRow(2L, 1L, "update", 888.0), // STALE vs tombstone seq 2
+      Streams.ChangeRow(3L, 4L, "update", 31.0),
+      Streams.ChangeRow(2L, 5L, "update", 21.0))  // after-delete revive
+    val ms = MemoryStream[Streams.ChangeRow](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.ChangeRow](),
+      spark.sqlContext)
+    val q = Streams.upsertState(ms.toDS())
+      .writeStream.format("memory").queryName("upsert13")
+      .outputMode("update").start()
+    Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+    assert(q.recentProgress.exists(_.stateOperators.nonEmpty))
+    q.stop()
+    // last emission per key is the materialized current version
+    val lastPerKey = spark.table("upsert13").as[Streams.UpsertOut].collect()
+      .groupBy(_.key).map { case (k, vs) => vs.maxBy(_.seq) }
+      .toSeq.sortBy(_.key)
+    val want = Seq(
+      Streams.UpsertOut(1L, 3L, true, 11.0),
+      Streams.UpsertOut(2L, 5L, true, 21.0),
+      Streams.UpsertOut(3L, 4L, true, 31.0),
+      Streams.UpsertOut(4L, 1L, true, 40.0))
+    assert(lastPerKey === want)
+    // batch face: same fold in one pass over the union
+    val all = (b1 ++ b2 ++ b3).toDS()
+    val face = Streams.upsertState(all).collect().toSeq.sortBy(_.key)
+    assert(face === want)
+    // and q68's operator agrees on the live set (empty snapshot +
+    // the whole changelog with seq resolution)
+    val snap = Seq.empty[(Long, Double)].toDF("key", "value")
+    val chg = all.select(col("key"), col("value"), col("op"), col("seq"))
+    val applied = graft.operators.Diff.applyChangeset(snap, chg,
+        keys = Seq("key"), seqCol = Some("seq"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(applied === want.filter(_.live).map(o => (o.key, o.value)))
+  }
+
+  test("st13 upsertState: equal-seq redelivery is idempotent (the " +
+       "arrival-order-insensitive reading), unknown ops fail loudly") {
+    // redelivery of the applied change: seq ties resolve to the
+    // FIRST-SORTED application and the replica is ignored — the state
+    // converges to the same row whichever copy a partition saw first
+    val redeliver = Seq(
+      Streams.ChangeRow(7L, 5L, "update", 1.0),
+      Streams.ChangeRow(7L, 5L, "update", 1.0)).toDS()
+    val out = Streams.upsertState(redeliver).collect().toSeq
+    assert(out === Seq(Streams.UpsertOut(7L, 5L, true, 1.0)))
+    val typo = Seq(Streams.ChangeRow(7L, 5L, "upsert", 1.0)).toDS()
+    val e = intercept[Exception] { Streams.upsertState(typo).collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("unknown op"), e.toString)
+  }
 }

@@ -47,6 +47,7 @@ HEADLINE = [
     "q62_global_topk_percent", "d20_semantic_decontaminate",
     "q63_mi_feature_select", "q64_join_size_sketch",
     "q65_bucketed_join",
+    "q66_kmeans_train", "q67_cluster_sample", "q68_apply_changeset",
 ]
 
 def connect(sf_dir):
