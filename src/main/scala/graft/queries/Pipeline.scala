@@ -2339,7 +2339,11 @@ object Pipeline {
     // orders with the same CASE arithmetic in both engines: keys
     // ≡0 (mod 7) repriced +1000, keys ≡3 (mod 11) deleted (mod-7
     // overlap excluded so the batch is key-unique), keys ≡0 (mod
-    // 101) re-inserted under key+10⁸ — no fixture data needed.
+    // 101) re-inserted under key+2⁴⁰ — the m10 offset convention,
+    // above every reachable o_orderkey at any tested SF (a first cut
+    // used 10⁸ and the sf10 gate caught the collision with real keys
+    // immediately: the operator itself refused the then-duplicated
+    // batch LOUDLY, which is the failure mode working as designed).
     Q("q68_apply_changeset",
       (s, d) => {
         val snap = t(s, d, "orders")
@@ -2352,7 +2356,7 @@ object Pipeline {
             col("o_orderkey") % 7 =!= 0)
           .withColumn("op", lit("delete"))
         val inserts = snap.filter(col("o_orderkey") % 101 === 0)
-          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          .select((col("o_orderkey") + 1099511627776L).as("o_orderkey"),
             col("o_custkey"), lit(42.0).as("o_totalprice"),
             lit("O").as("o_orderstatus"), lit("insert").as("op"))
         Diff.applyChangeset(snap,
@@ -2373,7 +2377,7 @@ object Pipeline {
                        o_orderstatus, 'delete'
                 FROM snap WHERE o_orderkey % 11 = 3 AND o_orderkey % 7 <> 0
                 UNION ALL
-                SELECT o_orderkey + 100000000, o_custkey, 42.0, 'O', 'insert'
+                SELECT o_orderkey + 1099511627776, o_custkey, 42.0, 'O', 'insert'
                 FROM snap WHERE o_orderkey % 101 = 0)
               SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
                      CASE WHEN c.op IS NOT NULL THEN c.o_custkey
