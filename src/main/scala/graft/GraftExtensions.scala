@@ -319,5 +319,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           col(strArg("asof_join", args, 5)),
           rightPayload = payload))
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("apply_changeset"),
+      info("apply_changeset",
+        "_FUNC_(snapshotTable, changesTable, keyCols[, seqCol]) - MERGE " +
+          "a CDC batch (snapshot columns + an 'op' column of " +
+          "insert|update|delete) onto a snapshot; keyCols is a " +
+          "comma-separated key list; with seqCol the latest change per " +
+          "key wins, without it the batch must be key-unique"),
+      (args: Seq[Expression]) => {
+        arity("apply_changeset", args, 3, 4)
+        val spark = SparkSession.active
+        val keys = strArg("apply_changeset", args, 2)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftInternal.logicalPlan(graft.operators.Diff.applyChangeset(
+          spark.table(strArg("apply_changeset", args, 0)),
+          spark.table(strArg("apply_changeset", args, 1)),
+          keys = keys,
+          seqCol = args.lift(3).map(_ =>
+            strArg("apply_changeset", args, 3))))
+      }))
   }
 }

@@ -83,6 +83,16 @@ class ReplSpec extends TestSpark {
       repl.runLine("SELECT * FROM dedup_corpus('no_such_table', 'a', 'b')")
     }
     assert(e.getMessage.contains("no_such_table"))
+    // CDC merge through SQL text: update lands, delete drops, insert adds
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .createOrReplaceTempView("repl_snap")
+    Seq((1L, 11.0, "update"), (2L, 0.0, "delete"), (3L, 30.0, "insert"))
+      .toDF("k", "v", "op").createOrReplaceTempView("repl_chg")
+    val merged = repl.runLine(
+      "SELECT k, v FROM apply_changeset('repl_snap', 'repl_chg', 'k') " +
+        "ORDER BY k")
+    assert(merged.contains("11") && merged.contains("30") &&
+      !merged.lines().anyMatch(l => l.contains("| 2 ")), merged)
   }
 
   test("CLI parity: -f xlsx -s sheet loads excel_rows and serves SQL + |out= " +
