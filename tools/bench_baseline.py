@@ -83,6 +83,14 @@ def main():
         run = [q for q in HEADLINE if q in req]
     else:
         run = HEADLINE
+    # BASELINE_ISOLATE=1 runs every query in a fresh SUBPROCESS: a
+    # DuckDB OOM exhausts the PROCESS allocator, not just the
+    # connection — measured at sf10, d17's failure left every later
+    # query dying on kilobyte allocations and then killed the script
+    # itself before the JSON line, so "reopen the connection" was not
+    # actually recovery. Subprocess isolation costs ~0.5s per query
+    # (view re-registration) and makes one blown oracle truly local.
+    isolate = os.environ.get("BASELINE_ISOLATE") == "1"
     per_query = {}
     for name in run:
         if name not in oracle:
@@ -90,7 +98,22 @@ def main():
             continue
         times = []
         failed = None
-        for _ in range(samples):
+        if isolate:
+            import subprocess
+            payload = json.dumps({"sql": oracle[name], "sf": sf_dir,
+                                  "samples": samples,
+                                  "mem": os.environ.get("DUCKDB_MEM_LIMIT")})
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                input=payload, capture_output=True, text=True)
+            if child.returncode == 0 and child.stdout.strip():
+                times = json.loads(child.stdout.strip())
+            else:
+                failed = (child.stderr.strip().splitlines() or ["killed"])[-1]
+                print(f"[baseline] {name:22s} FAILED {failed}",
+                      file=sys.stderr)
+        else:
+          for _ in range(samples):
             t0 = time.perf_counter()
             try:
                 con.sql(oracle[name]).fetchall()  # materialize fully
@@ -117,5 +140,22 @@ def main():
     print(json.dumps({"metric": "duckdb_baseline_total", "value": total,
                       "unit": "sec", "queries": per_query, "sf": sf_dir}))
 
+def child():
+    """--child mode: one query, fresh process. stdin: {sql, sf, samples,
+    mem}; stdout: JSON list of per-sample seconds."""
+    spec = json.load(sys.stdin)
+    if spec.get("mem"):
+        os.environ["DUCKDB_MEM_LIMIT"] = spec["mem"]
+    con = connect(spec["sf"])
+    times = []
+    for _ in range(spec["samples"]):
+        t0 = time.perf_counter()
+        con.sql(spec["sql"]).fetchall()
+        times.append(time.perf_counter() - t0)
+    print(json.dumps(times))
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child()
+    else:
+        main()
