@@ -881,6 +881,56 @@ class StreamingSpec extends TestSpark {
     assert(applied === want.filter(_.live).map(o => (o.key, o.value)))
   }
 
+  test("checkpoint recovery (st13): the LWW seq survives a restart — " +
+      "a stale change delivered to the RESTARTED stream is still " +
+      "rejected by the recovered register") {
+    // the recovery property that matters for a merge: if the state
+    // store were lost, run 2's stale seq-2 update would hit a fresh
+    // register (seq = MinValue) and APPLY — silently corrupting the
+    // materialization with a value run 1 had already superseded.
+    val stageDir = Files.createTempDirectory("ups-stage").toString
+    val ckpt = Files.createTempDirectory("ups-ckpt").toString
+    val out = collection.mutable.ArrayBuffer.empty[Streams.UpsertOut]
+    def run(): Unit = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.ChangeRow]].schema)
+        .parquet(stageDir).as[Streams.ChangeRow]
+      // update-mode changelog → foreachBatch (file sinks are
+      // append-only); the buffer only collects, idempotence is the
+      // operator's job
+      val q = Streams.upsertState(streamed)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.UpsertOut],
+                         _: Long) =>
+          out.synchronized { out ++= df.collect() }; ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    Seq(Streams.ChangeRow(1L, 3L, "insert", 11.0),
+        Streams.ChangeRow(2L, 1L, "insert", 20.0))
+      .toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    val afterRun1 = out.synchronized(out.toList)
+    assert(afterRun1.toSet === Set(
+      Streams.UpsertOut(1L, 3L, true, 11.0),
+      Streams.UpsertOut(2L, 1L, true, 20.0)))
+    Seq(Streams.ChangeRow(1L, 2L, "update", 999.0), // STALE vs recovered seq 3
+        Streams.ChangeRow(2L, 2L, "delete", 0.0),
+        Streams.ChangeRow(3L, 1L, "insert", 30.0))
+      .toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    val run2 = out.synchronized(out.toList).drop(afterRun1.size)
+      .groupBy(_.key).map { case (_, vs) => vs.last }.toSeq.sortBy(_.key)
+    assert(run2 === Seq(
+      Streams.UpsertOut(1L, 3L, true, 11.0),   // stale 999 rejected
+      Streams.UpsertOut(2L, 2L, false, 0.0),   // tombstone emitted
+      Streams.UpsertOut(3L, 1L, true, 30.0)))
+  }
+
   test("st13 upsertState: equal-seq redelivery is idempotent (the " +
        "arrival-order-insensitive reading), unknown ops fail loudly") {
     // redelivery of the applied change: seq ties resolve to the
