@@ -484,6 +484,46 @@ class PlanSpec extends TestSpark {
     }
   }
 
+  test("q66: k-means stats aggregate map-side on cell_id; the model " +
+       "array attaches by BROADCAST after the aggregation, never " +
+       "riding per corpus row through an exchange") {
+    val p = plan("q66_kmeans_train")
+    assert(p.contains("partial_min") && p.contains("partial_count"), p)
+    // the stats pass exchanges on cell_id only (Lloyd TRAINING steps
+    // above it pay their own nCells x dims-sized exchanges by design)
+    assert(p.contains("Exchange hashpartitioning(cell_id"), p)
+    // the centroid table is a broadcast attachment (one-row cross),
+    // and no exchange ever carries the model array per corpus row:
+    // every hash exchange key is a cell/pos grouping, never cents
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p)
+    assert(!p.contains("Exchange hashpartitioning(cents"), p)
+    // no shuffle join anywhere in training or stats
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q67: cluster sampling assigns row-locally (broadcast model) " +
+       "and pays exactly one cell-keyed window exchange") {
+    val p = plan("q67_cluster_sample")
+    assert(p.contains("Exchange hashpartitioning(cell_id"), p)
+    assert(p.contains("row_number"), p)
+    // no shuffle join anywhere — the model travels by broadcast
+    // (training exchanges above are cell/pos-keyed, never embedding-
+    // carrying joins)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p)
+  }
+
+  test("q68: the merge is ONE co-partitioned full-outer join; the " +
+       "winner window runs over the change-sized batch on the same " +
+       "key partitioning the join consumes") {
+    val p = plan("q68_apply_changeset")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    // two key exchanges total: snapshot side + change side (the
+    // window's exchange IS the join-side exchange, reused)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("row_number"), p)
+  }
+
   test("q59: the curation pipeline shuffles the corpus exactly once — " +
        "quality gate in the scan stage, exact dedup via a WindowGroupLimit-" +
        "trimmed window (no groupBy+join-back), split assignment row-local " +
