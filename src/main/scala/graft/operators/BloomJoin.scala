@@ -54,8 +54,21 @@ object BloomJoin {
       .select(keyHash(buildKey).as("__h"))
       .agg(BloomFunctions.bloomAgg(col("__h"), mBits, numHashes, seed)
         .as("__bloom")))
-    val kept = probe.filter(BloomFunctions.bloomHitCount(bits,
-      array(keyHash(probeKey)), mBits, numHashes, seed) === 1L)
+    // The probe filter goes through a PROJECTED column, not a direct
+    // predicate on the join key: InferFiltersFromConstraints mirrors
+    // any join-key predicate onto the OTHER side of the equi-join, so
+    // the direct spelling re-probed every BUILD row against the Bloom
+    // of its own keys (all pass — pure per-row cost) and duplicated
+    // the sketch subquery into a second instance (the build-side
+    // filter can't reuse the probe side's). The constraint on a
+    // derived `__keep` attribute transfers nowhere; the filter still
+    // sits directly above the probe scan, before the join exchange —
+    // which is the only placement that matters.
+    val kept = probe
+      .withColumn("__keep", BloomFunctions.bloomHitCount(bits,
+        array(keyHash(probeKey)), mBits, numHashes, seed))
+      .filter(col("__keep") === 1L)
+      .drop("__keep")
     kept.join(build, probeKey === buildKey)
   }
 
