@@ -197,15 +197,17 @@ object Relational {
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy("o_orderdate", "o_orderkey")
+        // dsum works over window frames too (DeclarativeAggregate:
+        // running frames are update-only) — the primitive (hi, lo)
+        // frame buffer replaces a BigDecimal add per (row, frame)
         t(s, d, "orders")
           .withColumn("running_total",
-            sum(col("o_totalprice").cast(D4)).over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-              .cast("double"))
+            dsum(col("o_totalprice")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("prev_price", lag("o_totalprice", 1).over(w))
           .withColumn("moving_avg_3",
-            (sum(col("o_totalprice").cast(D4)).over(
-              w.rowsBetween(-2, Window.currentRow)).cast("double") /
+            (dsum(col("o_totalprice")).over(
+              w.rowsBetween(-2, Window.currentRow)) /
               count(lit(1)).over(w.rowsBetween(-2, Window.currentRow))))
           .select("o_custkey", "o_orderkey", "o_totalprice",
                   "running_total", "prev_price", "moving_avg_3")

@@ -65,14 +65,17 @@ final case class UpsertSt(seq: Long, live: Boolean, value: Double)
   */
 object Streams {
 
-  /** Decimal-accumulated double sum — same recipe as the batch
-    * queries' `dsum`: DECIMAL(27,4) accumulation is COMMUTATIVE AND
-    * EXACT, so the result is bit-identical under any partitioning,
-    * microbatch split, or engine (the DuckDB oracle spells the same
-    * cast) — where a plain double sum varies in the last ulp with
-    * reduction order. */
-  private def dsum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(27, 4))).cast("double")
+  /** Exact deterministic double sum — the batch queries' `dsum`
+    * (128-bit scaled-long accumulation, see
+    * [[graft.functions.SumScaled4]]): COMMUTATIVE AND EXACT, so the
+    * result is bit-identical under any partitioning, microbatch
+    * split, or engine (the DuckDB oracle spells the equivalent
+    * decimal cast) — where a plain double sum varies in the last ulp
+    * with reduction order. In streaming the (hi, lo, seen) buffer is
+    * the state-store row: fixed-width primitives, and merging a new
+    * microbatch's partials into stored state is the same carry
+    * arithmetic as a shuffle merge. */
+  private def dsum(c: Column): Column = graft.queries.dsum(c)
 
   /** Tumbling-window count+sum per event_type with a watermark —
     * late data beyond 10 minutes is dropped, bounding state. */
