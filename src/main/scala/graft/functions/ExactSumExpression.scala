@@ -36,13 +36,13 @@ import org.apache.spark.sql.types._
   * form (and to the DuckDB oracle's VARCHAR-hop cast) — the sf0.01
   * gate re-ran hash-green over every dsum query after the switch.
   *
-  * Determinism contract (same as the decimal form): inputs carry ≤4
-  * decimal digits, so x·10⁴ is an exact integer double and every
-  * rounding rule agrees; the sum is then exact integer arithmetic,
-  * identical under any partitioning, any merge order, any engine.
-  * Rows with |x·10⁴| ≥ 2⁵² throw LOUDLY (the exact-integer range of
-  * a double ends there); NaN/Infinity become NULL exactly like the
-  * decimal cast they replace. */
+  * Determinism contract (same as the decimal form): the per-row
+  * conversion is the decimal cast's own shortest-decimal HALF_UP
+  * rounding (see [[Scaled4Util.toScaled]]), the sum is exact integer
+  * arithmetic — identical under any partitioning, any merge order,
+  * any engine. Rows beyond the signed-long scaled range throw
+  * LOUDLY; NaN/Infinity become NULL exactly like the decimal cast
+  * they replace. */
 case class DoubleToScaled4(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -72,21 +72,33 @@ case class DoubleToScaled4(child: Expression) extends UnaryExpression {
 }
 
 object Scaled4Util {
-  /** 2⁵²: above this, doubles no longer represent every integer and
-    * the "x·10⁴ is exact" contract breaks — refuse loudly. */
-  private val ExactBound = 4.503599627370496e15
-
-  def toScaled(d: Double): Long = {
-    val scaled = d * 1.0e4
-    if (java.lang.Math.abs(scaled) >= ExactBound)
+  /** Per-row value as an exact scale-4 long, with EXACTLY the decimal
+    * cast's semantics: BigDecimal.valueOf resolves the double via its
+    * SHORTEST decimal representation, then HALF_UP at scale 4 — the
+    * same two steps as `CAST(x AS DECIMAL(27,4))` in Spark and in the
+    * DuckDB oracle. A float-side shortcut (rint(x·10⁴)) is NOT
+    * equivalent: a ScalaCheck sweep falsified it at 16-significant-
+    * digit inputs, where the shortest decimal of the nearest double
+    * differs from the binary value's rounding — rint rounds the
+    * binary expansion, the cast rounds the shortest decimal. The
+    * BigDecimal hop costs ~100 ns/row; the aggregate's win lives in
+    * the PRIMITIVE 128-bit buffer (the decimal form paid BigDecimal
+    * allocation per row AND per buffer add AND per merge).
+    *
+    * Values whose scaled form exceeds a signed long (|x| ≳ 9.2·10¹⁴)
+    * throw LOUDLY — the decimal cast silently admitted up to 10²³ and
+    * overflowed to NULL past that; a money column nearing 10¹⁵ per
+    * row deserves an explicit decimal pipeline, not silence. */
+  def toScaled(d: Double): Long =
+    try java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    catch { case _: ArithmeticException =>
       throw new ArithmeticException(
-        s"dsum: |$d| x 10^4 leaves the exact-integer double range " +
-          "(2^52) — aggregate this column through an explicit DECIMAL " +
-          "cast instead")
-    // ties cannot occur on contract inputs (x*1e4 is an exact
-    // integer), so rint's HALF_EVEN == the decimal cast's HALF_UP
-    java.lang.Math.rint(scaled).toLong
-  }
+        s"dsum: |$d| x 10^4 exceeds the signed-long per-row bound " +
+          "(~9.2e14) — aggregate this column through an explicit " +
+          "DECIMAL cast instead")
+    }
 
   /** (hi, lo) signed-128 scaled-by-10⁴ → double, through the same
     * BigDecimal.doubleValue() as Spark's decimal→double cast (bit-

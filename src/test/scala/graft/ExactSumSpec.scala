@@ -96,8 +96,10 @@ class ExactSumSpec extends AnyFunSuite with TestSpark {
   }
 
   test("contract violation throws loudly instead of losing digits") {
+    // beyond the signed-long scaled range (~9.2e14): the decimal cast
+    // would admit this and NULL silently past 1e23; dsum refuses
     val ex = intercept[Exception] {
-      Seq(1e13).toDF("x").agg(dsum(col("x"))).collect()
+      Seq(1e15).toDF("x").agg(dsum(col("x"))).collect()
     }
     def chain(t: Throwable): Seq[Throwable] =
       if (t == null) Nil else t +: chain(t.getCause)
@@ -115,6 +117,39 @@ class ExactSumSpec extends AnyFunSuite with TestSpark {
       val want = new java.math.BigDecimal(bi, 4).doubleValue()
       assert(Scaled4Util.toDouble(hi, lo) == want, s"($hi,$lo)")
     }
+  }
+
+  test("property: dsum == BigDecimal reference on arbitrary scale-4 " +
+      "inputs under arbitrary partitioning (signs, nulls, magnitudes " +
+      "up to the long-crossing range)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // scale-4 values as exact longs up to ~4.5e11 in magnitude — big
+    // enough that a few hundred rows cross the single-long scaled
+    // range, exercising the hi limb in both directions
+    val value: Gen[Option[Double]] = Gen.frequency(
+      6 -> Gen.choose(-4500000000000000L, 4500000000000000L)
+        .map(v => Some(v / 1e4)),
+      2 -> Gen.choose(-99999999L, 99999999L).map(v => Some(v / 1e4)),
+      1 -> Gen.const(None))
+    val prop = Prop.forAll(Gen.listOf(value), Gen.choose(1, 8)) {
+      (vs, parts) =>
+        val want: Option[Double] = {
+          val present = vs.flatten
+          if (present.isEmpty) None
+          else Some(present.map(v =>
+            BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble)
+        }
+        val row = vs.toDF("x").repartition(parts)
+          .agg(dsum(col("x"))).collect()(0)
+        val got = if (row.isNullAt(0)) None else Some(row.getDouble(0))
+        got.map(java.lang.Double.doubleToLongBits) ==
+          want.map(java.lang.Double.doubleToLongBits)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20).withWorkers(1),
+      prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("q03's aggregate stays a codegen HashAggregate (primitive buffer)") {
