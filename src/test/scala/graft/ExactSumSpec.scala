@@ -106,6 +106,25 @@ class ExactSumSpec extends AnyFunSuite with TestSpark {
     assert(chain(ex).exists(_.isInstanceOf[ArithmeticException]), ex.toString)
   }
 
+  test("toScaled: the rint fast path agrees with the BigDecimal slow " +
+      "path across a 1M-value randomized sweep of every regime " +
+      "(money-shaped, fast-window, beyond-window, non-scale-4, tiny)") {
+    val rnd = new scala.util.Random(42)
+    def ref(d: Double): Long = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+    val gens: Seq[() => Double] = Seq(
+      () => (rnd.nextLong() % 2500000000000000L) / 1e4, // inside fast window
+      () => (rnd.nextLong() % 9000000000000000L) / 1e4, // crosses the bound
+      () => rnd.nextDouble() * 2e-4 - 1e-4,             // rounding boundary zone
+      () => rnd.nextDouble() * 6e11 - 3e11,             // non-scale-4, near cutoff
+      () => rnd.nextInt(2000000) / 100.0)               // the money shape
+    for (g <- gens; _ <- 1 to 200000) {
+      val d = g()
+      assert(Scaled4Util.toScaled(d) === ref(d), s"disagree at $d")
+    }
+  }
+
   test("Scaled4Util.toDouble: wide path == BigDecimal reference") {
     // exercise the BigInteger reconstruction against a direct model
     val cases = Seq(
