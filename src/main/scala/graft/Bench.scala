@@ -134,7 +134,9 @@ object Bench {
     // round-10: CDC merge — one co-partitioned full-outer join lands
     // the batch; the bucketed-snapshot variant of the same shape is
     // q65's territory
-    "q68_apply_changeset")
+    "q68_apply_changeset",
+    // round-10: pivot's inverse — one Expand over the 6-row aggregate
+    "q69_unpivot")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

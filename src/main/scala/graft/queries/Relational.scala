@@ -342,6 +342,32 @@ object Relational {
               FROM orders JOIN customer ON o_custkey = c_custkey
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // q20's inverse: wide measure columns melted back to (key,
+    // measure, value) rows — Dataset.unpivot is Spark's native melt
+    // (a single Expand node: row-local, zero shuffle beyond the
+    // upstream agg; the wide aggregate is 6 rows, so the melt is
+    // metadata-cheap at any corpus scale)
+    Q("q69_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+             dsum(col("l_extendedprice")).as("sum_price"),
+             davg(col("l_discount")).as("avg_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"),
+      Some(s"""WITH wide AS (
+                 SELECT l_returnflag,
+                        ${sqlSum("l_quantity")} AS sum_qty,
+                        ${sqlSum("l_extendedprice")} AS sum_price,
+                        ${sqlAvg("l_discount")} AS avg_disc
+                 FROM lineitem GROUP BY l_returnflag)
+               SELECT l_returnflag, measure, value
+               FROM wide UNPIVOT (value FOR measure IN
+                 (sum_qty, sum_price, avg_disc))
+               ORDER BY l_returnflag, measure""")),
+
     Q("q21_percentile",
       (s, d) => t(s, d, "customer")
         .groupBy("c_mktsegment")

@@ -48,6 +48,7 @@ HEADLINE = [
     "q63_mi_feature_select", "q64_join_size_sketch",
     "q65_bucketed_join",
     "q66_kmeans_train", "q67_cluster_sample", "q68_apply_changeset",
+    "q69_unpivot",
 ]
 
 def connect(sf_dir):
