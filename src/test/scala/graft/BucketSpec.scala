@@ -49,4 +49,49 @@ class BucketSpec extends TestSpark {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("q68 over a bucketed snapshot: the snapshot side of the merge " +
+      "pays NO exchange — only the change batch shuffles (the 100 TB " +
+      "daily-merge contract applyChangeset's doc claims)") {
+    import graft.operators.Diff
+    import java.nio.file.Files
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = Files.createTempDirectory("ups-bucket").toString
+      // bucket count must equal the join's partition count or the
+      // bucketed side's HashPartitioning cannot satisfy the SMJ's
+      // required distribution and Spark re-shuffles it anyway — the
+      // same bucket-sizing contract q65 documents
+      val nb = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      graft.sinks.ParquetSink.writeBucketed(
+        Tables(spark, sfDir, "orders")
+          .select("o_orderkey", "o_totalprice"),
+        "orders_snap_b", s"$dir/orders_snap_b", nb, Seq("o_orderkey"))
+      val snap = spark.table("orders_snap_b")
+      val changes = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("update").as("op"))
+      val merged = Diff.applyChangeset(snap, changes, keys = Seq("o_orderkey"))
+      val p = merged.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+      // exactly one hash exchange: the CHANGE side (window + join
+      // reuse it); the snapshot reads its buckets in place
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      // and the merge is still correct over the bucketed layout
+      val got = merged.agg(sum(col("o_totalprice"))).head().getDouble(0)
+      val want = Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .agg(sum(col("o_totalprice"))).head().getDouble(0)
+      assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.sql("DROP TABLE IF EXISTS orders_snap_b")
+    }
+  }
 }
