@@ -492,16 +492,27 @@ object Pipeline {
     * from the final centroid CTE. Cell labels are min member ids on
     * both sides (Spark numbers cells positionally, this replica keeps
     * seed vec_ids — min-id is numbering-independent, the q55
-    * argument). */
+    * argument). The centroid is emitted LONG-FORM — one
+    * (cell_rep, dim, component) row per coordinate — because the
+    * compare layer hashes scalar cells; an ARRAY column is opaque to
+    * it (round 10 measured: the driver compare crashed on the wide
+    * array shape even though the values were cross-engine
+    * bit-identical). */
   private def q66Oracle(nCells: Int, lloydIters: Int): String = {
     val (ctes, cent) = ivfAssignCtes(nCells, lloydIters)
     s"""WITH $ctes,
           stats AS (
             SELECT cell, MIN(vec_id) AS cell_rep, COUNT(*) AS n_members
-            FROM afin GROUP BY cell)
-        SELECT s.cell_rep, s.n_members, c.ce AS centroid
-        FROM stats s JOIN $cent c ON c.cell = s.cell
-        ORDER BY s.cell_rep"""
+            FROM afin GROUP BY cell),
+          model AS (
+            SELECT s.cell_rep, s.n_members, c.ce
+            FROM stats s JOIN $cent c ON c.cell = s.cell)
+        SELECT * FROM (
+          SELECT cell_rep, n_members,
+                 CAST(unnest(range(1, len(ce) + 1)) AS INT) AS dim,
+                 unnest(ce) AS c
+          FROM model)
+        ORDER BY cell_rep, dim"""
   }
 
   /** DuckDB replica of cluster-balanced sampling (q67): final IVF
@@ -2025,10 +2036,19 @@ object Pipeline {
     // step is one corpus scan shrinking map-side to nCells×dims rows;
     // centroids broadcast; the stats pass is one cells-sized agg with
     // the model attached AFTER aggregation (never per corpus row).
+    // The gate flattens the array-valued centroid to long form — one
+    // (cell_rep, dim, c) row per coordinate — because the compare
+    // layer hashes scalar cells only (an array column crashed the
+    // round-10 driver compare despite bit-identical values). The
+    // library artifact keeps the array shape; this is a gate reshape.
     Q("q66_kmeans_train",
       (s, d) => Similarity.kmeansModel(t(s, d, "embeddings"),
           nCells = 16, lloydIters = 2)
-        .orderBy("cell_rep"),
+        .select(col("cell_rep"), col("n_members"),
+          posexplode(col("centroid")))
+        .select(col("cell_rep"), col("n_members"),
+          (col("pos") + 1).cast("int").as("dim"), col("col").as("c"))
+        .orderBy("cell_rep", "dim"),
       Some(q66Oracle(nCells = 16, lloydIters = 2))),
 
     // -- cluster-balanced subset selection (q67) ---------------------------
