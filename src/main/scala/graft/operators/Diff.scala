@@ -80,7 +80,16 @@ object Diff {
     val ord = seqCol.map(c => col(c).desc).getOrElse(lit(1).asc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(ord)
-    val latest = changes
+    // op vocabulary is validated BEFORE the winner filter: a typo'd op
+    // on a change row that loses the seq race would otherwise be
+    // silently discarded with the row — "fail LOUDLY per row" means
+    // every row, not just winners
+    val validated = changes.withColumn(opCol,
+      when(!col(opCol).isin("insert", "update", "delete"),
+        raise_error(concat(lit("applyChangeset: unknown op '"),
+          col(opCol), lit("'"))))
+      .otherwise(col(opCol)))
+    val latest = validated
       .withColumn("__rn", row_number().over(w))
       // RANGE CURRENT ROW..CURRENT ROW = this row plus its order-key
       // peers: same-seq ties (or, seq-less, the whole key group)
@@ -92,9 +101,6 @@ object Diff {
           concat_ws(",", keys.map(col): _*),
           lit(seqCol.fold(" and no seq column orders them")(c =>
             s" share the latest $c")))))
-        .when(!col(opCol).isin("insert", "update", "delete"),
-          raise_error(concat(lit("applyChangeset: unknown op '"),
-            col(opCol), lit("'"))))
         .otherwise(col(opCol)))
       .drop("__rn", "__dup")
     val s = snapshot.as("s")

@@ -47,8 +47,18 @@ object FuzzyJoin {
     * entry runs it ON (cap 8) over a mixed dense+selective key table
     * so both the drop and the survive path are oracle-checked. */
   def editDistance1Pairs(df: DataFrame, id: Column, str: Column,
-                         maxBucket: Option[Long] = None): DataFrame =
-    editDistance1PairsStaged(df, id, str, maxBucket).result
+                         maxBucket: Option[Long] = None): DataFrame = {
+    // EAGER: materialize the (near-pair-sized, corpus-independent)
+    // result off the persisted variant stage, then drop the stage —
+    // the lazy form leaked a corpus-sized cached variant table per
+    // invocation for the session lifetime (each bench sample, each
+    // gate run). Callers who want lazy control over the stage use
+    // editDistance1PairsStaged + cleanup() themselves.
+    val staged = editDistance1PairsStaged(df, id, str, maxBucket)
+    val out = staged.result.localCheckpoint(true)
+    staged.cleanup()
+    out
+  }
 
   /** [[editDistance1Pairs]] with the persisted variant stage exposed
     * for caller-owned cleanup (Dedup.Staged convention). The variant

@@ -65,13 +65,51 @@ object Layout {
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
                      load: => DataFrame, table: String, path: String,
                      buckets: Int, bucketBy: Seq[String]): DataFrame = {
-    val ready = spark.catalog.tableExists(table) &&
-      new java.io.File(path).exists()
+    // Freshness is checked through the Hadoop FileSystem of the path
+    // (HDFS/S3/local alike — java.io.File would silently report
+    // "missing" for any non-local scheme and rewrite every call), and
+    // against a fingerprint of the SOURCE listing stored in the table
+    // properties: a bucketed copy built from since-regenerated source
+    // data must be rebuilt, not silently served.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val destFs = dest.getFileSystem(hconf)
+    val src = load
+    val fp = sourceFingerprint(hconf, src)
+    val stored: Option[String] =
+      if (!spark.catalog.tableExists(table)) None
+      else spark.sql(s"SHOW TBLPROPERTIES `$table`")
+        .where(col("key") === FingerprintProp)
+        .collect().headOption.map(_.getString(1))
+    val ready = stored.contains(fp) && destFs.exists(dest)
     if (!ready) {
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      graft.sinks.ParquetSink.writeBucketed(load, table, path, buckets, bucketBy)
+      graft.sinks.ParquetSink.writeBucketed(src, table, path, buckets, bucketBy)
+      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+        s"('$FingerprintProp'='$fp')")
     }
     spark.table(table)
+  }
+
+  private val FingerprintProp = "graft.source.fingerprint"
+
+  /** 64-bit fingerprint of a DataFrame's source FILE LISTING — path,
+    * length, modification time per input file (metadata-only: one
+    * status call per file on the driver, a one-time-per-session cost,
+    * never a data read). Sources with no file listing (in-memory
+    * test frames) fingerprint as a constant and so rewrite once per
+    * session — the pre-fingerprint behavior. */
+  private def sourceFingerprint(hconf: org.apache.hadoop.conf.Configuration,
+                                df: DataFrame): String = {
+    val parts = df.inputFiles.sorted.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      s"$f:${st.getLen}:${st.getModificationTime}"
+    }
+    val h = parts.foldLeft(1125899906842597L) { (acc, s) =>
+      s.foldLeft(acc)((a, c) => a * 31 + c)
+    }
+    java.lang.Long.toHexString(h)
   }
 
   /** Cluster `df` for two-dimensional skipping: range-partition into

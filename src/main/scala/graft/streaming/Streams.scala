@@ -678,8 +678,12 @@ object Streams {
     * s" from "redelivery of the change it applied" without keeping
     * every seen change — so it must pick the convergent reading, and
     * idempotent replay is the one that makes the fold arrival-order-
-    * insensitive.) Update ops on absent keys insert (upsert — feeds
-    * mislabel insert/update after replays, same as q68).
+    * insensitive.) The same argument must also hold WITHIN a
+    * microbatch: distinct changes sharing one seq are resolved by the
+    * deterministic (seq, op, value) total order, never by arrival
+    * order — so the winner is replay-stable there too. Update ops on
+    * absent keys insert (upsert — feeds mislabel insert/update after
+    * replays, same as q68).
     *
     * State per key is O(1) (seq, live, value) and the state size is
     * the key cardinality — a materialized table IS its state; at
@@ -696,7 +700,14 @@ object Streams {
         (key: Long, it: Iterator[ChangeRow], state: GroupState[UpsertSt]) =>
           var st = state.getOption.getOrElse(
             UpsertSt(Long.MinValue, live = false, 0.0))
-          it.toSeq.sortBy(_.seq).foreach { c =>
+          // Total order, not just seq: two DISTINCT changes sharing a
+          // seq within one microbatch would otherwise be resolved by
+          // arrival order (stable sort), which is shuffle-iteration-
+          // dependent — the winner could flip across replays/retries,
+          // breaking the arrival-order-insensitive convergence claim.
+          // (op, value) completes the order deterministically; the
+          // first in it wins because equal-seq successors are ignored.
+          it.toSeq.sortBy(c => (c.seq, c.op, c.value)).foreach { c =>
             if (c.seq > st.seq) st = c.op match {
               case "insert" | "update" => UpsertSt(c.seq, live = true, c.value)
               case "delete" => UpsertSt(c.seq, live = false, 0.0)

@@ -119,4 +119,21 @@ class DiffSpec extends TestSpark {
     assert(applied.count() === nu.count())
     assert(applied.exceptAll(nu).isEmpty && nu.exceptAll(applied).isEmpty)
   }
+
+  test("applyChangeset: an unknown op on a change row that LOSES the " +
+      "seq race still fails loudly (vocabulary is checked per row, " +
+      "before the winner filter)") {
+    val snap = Seq((1L, 10.0)).toDF("k", "price")
+    val chg = Seq(
+      (1L, 11.0, "upsert", 1L),  // mislabeled op, loses to seq 2
+      (1L, 12.0, "update", 2L))
+      .toDF("k", "price", "op", "seq")
+    val e = intercept[Exception] {
+      Diff.applyChangeset(snap, chg, keys = Seq("k"),
+        seqCol = Some("seq")).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("unknown op"), e.toString)
+  }
 }

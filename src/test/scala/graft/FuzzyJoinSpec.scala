@@ -85,6 +85,19 @@ class FuzzyJoinSpec extends TestSpark {
     assert(capped === Set((20L, 21L)))
   }
 
+  test("bare editDistance1Pairs frees its variant stage (no corpus-" +
+      "sized cache left behind for the session lifetime)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz")).toDF("id", "name")
+    val out = FuzzyJoin.editDistance1Pairs(rows, col("id"), col("name"))
+    assert(out.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet === Set((1L, 2L)))
+    // only the eager result checkpoint may remain persisted — the
+    // corpus-sized variant stage must be gone
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs: $leaked")
+  }
+
   test("Staged variant: the variant table is persisted once and freed " +
       "by cleanup()") {
     val rows = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz")).toDF("id", "name")

@@ -76,4 +76,29 @@ class LayoutSpec extends TestSpark {
     assert(zRows <= total / 16,
       s"z layout read $zRows of $total rows — stats not pruning")
   }
+
+  test("ensureBucketed reuses a fresh copy and REBUILDS when the " +
+      "source data is regenerated (fingerprint staleness check)") {
+    val dir = Files.createTempDirectory("fpbucket").toString
+    val srcPath = s"$dir/src"
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(srcPath)
+    def load = spark.read.parquet(srcPath)
+    try {
+      assert(Layout.ensureBucketed(spark, load, "fp_bk", s"$dir/b",
+        buckets = 4, bucketBy = Seq("k")).count() === 1)
+      // unchanged source: second call serves the existing copy — the
+      // bucketed files keep their modification times (no rewrite)
+      def destMtimes = new java.io.File(s"$dir/b").listFiles()
+        .map(f => f.getName -> f.lastModified()).toMap
+      val before = destMtimes
+      Layout.ensureBucketed(spark, load, "fp_bk", s"$dir/b",
+        buckets = 4, bucketBy = Seq("k"))
+      assert(destMtimes === before, "unchanged source triggered a rewrite")
+      // regenerated source: a stale bucketed copy must NOT be served
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+        .write.mode("overwrite").parquet(srcPath)
+      assert(Layout.ensureBucketed(spark, load, "fp_bk", s"$dir/b",
+        buckets = 4, bucketBy = Seq("k")).count() === 2)
+    } finally spark.sql("DROP TABLE IF EXISTS fp_bk")
+  }
 }

@@ -947,4 +947,30 @@ class StreamingSpec extends TestSpark {
       if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
     assert(msgs(e).contains("unknown op"), e.toString)
   }
+
+  test("st13 upsertState: DISTINCT same-seq changes within one batch " +
+       "resolve by the (seq, op, value) total order, not arrival " +
+       "order — the winner is identical under reversed input") {
+    // two different updates and a delete, all at seq 5: a stable
+    // sort on seq alone would crown whichever arrived first in
+    // shuffle-iteration order — replay-unstable. The total order
+    // sorts "delete" < "update" and lower value first, so the delete
+    // wins deterministically whatever the input permutation.
+    val changes = Seq(
+      Streams.ChangeRow(9L, 5L, "update", 2.0),
+      Streams.ChangeRow(9L, 5L, "delete", 0.0),
+      Streams.ChangeRow(9L, 5L, "update", 1.0))
+    val fwd = Streams.upsertState(changes.toDS()).collect().toSeq
+    val rev = Streams.upsertState(changes.reverse.toDS()).collect().toSeq
+    assert(fwd === rev)
+    assert(fwd === Seq(Streams.UpsertOut(9L, 5L, live = false, 0.0)))
+    // same-seq updates only: the lower (op, value) pair wins
+    val uu = Seq(
+      Streams.ChangeRow(8L, 5L, "update", 2.0),
+      Streams.ChangeRow(8L, 5L, "update", 1.0))
+    assert(Streams.upsertState(uu.toDS()).collect().toSeq ===
+      Streams.upsertState(uu.reverse.toDS()).collect().toSeq)
+    assert(Streams.upsertState(uu.toDS()).collect().toSeq ===
+      Seq(Streams.UpsertOut(8L, 5L, live = true, 1.0)))
+  }
 }
