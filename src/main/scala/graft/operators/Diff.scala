@@ -114,4 +114,54 @@ object Diff {
           payload.map(p =>
             when(hasChange, col(s"c.$p")).otherwise(col(s"s.$p")).as(p)): _*)
   }
+
+  /** SCD TYPE-2 history build (q70): from a CDC changelog
+    * (keys, `opCol`, `seqCol`, payload) produce the versioned
+    * dimension table warehouses keep — one row per (key, version)
+    * with half-open `[valid_from, valid_to)` seq bounds and an
+    * `is_current` flag. Every insert/update OPENS a version at its
+    * seq (update-on-absent opens too — the upsert convention shared
+    * with [[applyChangeset]] and the streaming upsert, because CDC
+    * feeds mislabel the two after replays); the NEXT change on the
+    * key — any op — CLOSES it (`valid_to` = that change's seq);
+    * deletes close their predecessor and open nothing, so a
+    * delete-then-reinsert leaves a gap in the key's validity
+    * timeline, which is the correct history. Op vocabulary is
+    * validated per row BEFORE any filtering (a typo'd op must never
+    * be silently absorbed into an interval), and duplicate
+    * (key, seq) pairs fail LOUDLY — two versions opening at one
+    * instant is [[applyChangeset]]'s arbitrary-winner bug in
+    * history form.
+    *
+    * Scale shape: ONE window shuffle over the CHANGELOG
+    * (change-sized, not snapshot-sized) keyed by the dimension key —
+    * `lead` and the duplicate-seq peer count share a single Window
+    * exec. A 100 TB fact table never participates; the history of a
+    * dimension is the changelog reshaped, and even a full rebuild is
+    * a single exchange of that changelog. */
+  def scd2History(changes: DataFrame, keys: Seq[String],
+                  opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => keys.contains(c) || c == opCol || c == seqCol).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol).asc)
+    val validated = changes.withColumn(opCol,
+      when(!col(opCol).isin("insert", "update", "delete"),
+        raise_error(concat(lit("scd2History: unknown op '"),
+          col(opCol), lit("'"))))
+      .otherwise(col(opCol)))
+    validated
+      // RANGE CURRENT ROW..CURRENT ROW = this row plus its seq peers:
+      // >1 means two changes share (key, seq)
+      .withColumn("__dup", count(lit(1)).over(w.rangeBetween(0, 0)))
+      .withColumn("valid_to",
+        when(col("__dup") > 1, raise_error(concat(
+          lit(s"scd2History: duplicate $seqCol for key "),
+          concat_ws(",", keys.map(col): _*))))
+        .otherwise(lead(col(seqCol), 1).over(w)))
+      .filter(col(opCol) =!= "delete")
+      .select(keys.map(col) ++ payload.map(col) ++ Seq(
+        col(seqCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
 }

@@ -2411,6 +2411,61 @@ object Pipeline {
               WHERE c.op IS NULL OR c.op <> 'delete'
               ORDER BY o_orderkey""")),
 
+    // -- SCD type-2 history build (q70) ------------------------------------
+    // the third face of the CDC family: q57 derives a changelog, q68
+    // applies it, q70 RESHAPES it into the versioned dimension table —
+    // one row per (key, version) with half-open [valid_from, valid_to)
+    // seq bounds. One window shuffle over the CHANGELOG (change-sized,
+    // never snapshot-sized); lead() and the duplicate-seq guard share
+    // a single Window exec. The changelog is derived from orders with
+    // the same CASE arithmetic in both engines: every key inserted at
+    // seq 1, keys ≡0 (mod 7) repriced at seq 2, keys ≡3 (mod 11)
+    // deleted at seq 3 (closing their version — and leaving a GAP for
+    // keys also ≡0 mod 13, which re-open at seq 4: the
+    // delete-then-revive timeline).
+    Q("q70_scd2_history",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val ins = o.withColumn("op", lit("insert")).withColumn("seq", lit(1L))
+        val up2 = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("op", lit("update")).withColumn("seq", lit(2L))
+        val del = o.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("op", lit("delete")).withColumn("seq", lit(3L))
+        val up4 = o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+          .withColumn("o_orderstatus", lit("F"))
+          .withColumn("op", lit("update")).withColumn("seq", lit(4L))
+        Diff.scd2History(
+            ins.unionByName(up2).unionByName(del).unionByName(up4),
+            keys = Seq("o_orderkey"))
+          .orderBy("o_orderkey", "valid_from")
+      },
+      Some("""WITH chg AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       'insert' AS op, 1 AS seq FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 1000.0, o_orderstatus,
+                       'update', 2 FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       'delete', 3 FROM orders WHERE o_orderkey % 11 = 3
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 5000.0, 'F',
+                       'update', 4 FROM orders WHERE o_orderkey % 13 = 0),
+              v AS (
+                SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+                  ORDER BY seq) AS valid_to
+                FROM chg)
+              SELECT o_orderkey, o_totalprice, o_orderstatus,
+                     CAST(seq AS BIGINT) AS valid_from,
+                     CAST(valid_to AS BIGINT) AS valid_to,
+                     (valid_to IS NULL) AS is_current
+              FROM v WHERE op <> 'delete'
+              ORDER BY o_orderkey, valid_from""")),
+
     // -- Z-order layout key (q56) ------------------------------------------
     // the two-dimensional data-skipping cluster key: interleave the
     // low 16 bits of (user_id, hour index) with the Morton

@@ -120,6 +120,45 @@ class DiffSpec extends TestSpark {
     assert(applied.exceptAll(nu).isEmpty && nu.exceptAll(applied).isEmpty)
   }
 
+  test("scd2History: versions open at their seq and close at the next " +
+      "change; deletes close and leave a gap; duplicate (key, seq) " +
+      "and unknown ops fail loudly") {
+    val chg = Seq(
+      (1L, 1L, "insert", 10.0),  // [1, 3) closed by the update
+      (1L, 3L, "update", 11.0),  // [3, ∞) current
+      (2L, 1L, "insert", 20.0),  // [1, 2) closed by the delete
+      (2L, 2L, "delete", 0.0),   //   gap [2, 5)
+      (2L, 5L, "insert", 21.0),  // [5, ∞) current — the revive
+      (3L, 4L, "update", 30.0))  // update-on-absent opens (upsert)
+      .toDF("k", "seq", "op", "v")
+    val out = Diff.scd2History(chg, keys = Seq("k"))
+      .orderBy("k", "valid_from")
+      .as[(Long, Double, Long, Option[Long], Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 10.0, 1L, Some(3L), false),
+      (1L, 11.0, 3L, None, true),
+      (2L, 20.0, 1L, Some(2L), false),
+      (2L, 21.0, 5L, None, true),
+      (3L, 30.0, 4L, None, true)))
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    val dup = Seq((1L, 1L, "insert", 1.0), (1L, 1L, "update", 2.0))
+      .toDF("k", "seq", "op", "v")
+    val e1 = intercept[Exception] {
+      Diff.scd2History(dup, keys = Seq("k")).collect()
+    }
+    assert(msgs(e1).contains("duplicate seq"), e1.toString)
+    // a typo'd op closing an interval must fail even though the
+    // delete filter would have kept the row — and one on a row the
+    // output FILTERS must fail too (per-row vocabulary check)
+    val typo = Seq((1L, 1L, "upsert", 1.0)).toDF("k", "seq", "op", "v")
+    val e2 = intercept[Exception] {
+      Diff.scd2History(typo, keys = Seq("k")).collect()
+    }
+    assert(msgs(e2).contains("unknown op"), e2.toString)
+  }
+
   test("applyChangeset: an unknown op on a change row that LOSES the " +
       "seq race still fails loudly (vocabulary is checked per row, " +
       "before the winner filter)") {
