@@ -138,7 +138,10 @@ object Bench {
     // q65's territory
     "q68_apply_changeset",
     // round-10: pivot's inverse — one Expand over the 6-row aggregate
-    "q69_unpivot")
+    "q69_unpivot",
+    // round-11: SCD2 history (one change-sized window) and PPS
+    // systematic sampling (distributed prefix sum + row-local grid)
+    "q70_scd2_history", "q71_pps_sample")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

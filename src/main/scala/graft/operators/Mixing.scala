@@ -93,4 +93,55 @@ object Mixing {
       .join(broadcast(caps), domainCol)
       .filter(col("rk") <= col("cap"))
   }
+
+  /** Probability-proportional-to-size SYSTEMATIC sampling (q71): a
+    * k-point sample where each item's inclusion count is proportional
+    * to its weight — the classic survey-sampling scheme (randomize
+    * order, then walk a fixed-stride grid over the cumulative weight
+    * axis), and the shape a token-budgeted curation pass wants:
+    * "sample k shards proportional to token count" keeps long
+    * documents' representation without the variance of independent
+    * Bernoulli draws (systematic guarantees EXACTLY k grid hits, and
+    * an item heavier than the stride is hit multiple times —
+    * multiplicity is reported, it IS the sample's honest shape).
+    *
+    * Everything is EXACT long arithmetic — the grid points sit at
+    * (2j+1)·T/(2k) and membership is decided by cross-multiplied
+    * integer comparisons, never a float — so any engine replays the
+    * selection bit-for-bit (the transcendental-free alternative to
+    * A-ES weighted reservoirs, whose -ln(u)/w keys are only as
+    * portable as each engine's libm). Order is (md5(id), id) — the
+    * content-independent deterministic shuffle every sampler here
+    * uses.
+    *
+    * Scale shape: the cumulative axis is [[Packing.globalRunningSum]]
+    * — the two-phase distributed prefix sum (per-bucket windows +
+    * broadcast bucket offsets), NO single-reducer global window — and
+    * the grid test is then row-local arithmetic. One window-class
+    * shuffle over the corpus, total. */
+  def ppsSystematicSample(df: DataFrame, id: Column, weight: Column,
+                          k: Int): DataFrame = {
+    require(k > 0, s"ppsSystematicSample: k must be positive, got $k")
+    val base = df.select(id.cast("long").as("id"),
+        weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("__ord", md5(col("id").cast("string").cast("binary")))
+    val cum = Packing.globalRunningSum(base,
+      bucket = substring(col("__ord"), 1, 1),
+      ordCols = Seq(col("__ord"), col("id")),
+      weight = col("w"), outCol = "__cw")
+    val tot = base.agg(sum(col("w")).as("__t"))
+    // g(W) = #grid points strictly below W, in positive-operand long
+    // arithmetic (ceil(a/b) = (a + b - 1) div b needs a > 0 — the
+    // CASE guard supplies it)
+    def g(w: String): String =
+      s"CASE WHEN ${2L * k} * ($w) <= __t THEN CAST(0 AS BIGINT) " +
+        s"ELSE least(CAST($k AS BIGINT), " +
+        s"(${2L * k} * ($w) - __t + 2 * __t - 1) div (2 * __t)) END"
+    cum.crossJoin(broadcast(tot))
+      .withColumn("mult",
+        (expr(g("__cw")) - expr(g("__cw - w"))).cast("int"))
+      .filter(col("mult") > 0)
+      .select(col("id"), col("w"), col("mult"))
+  }
 }

@@ -2739,6 +2739,40 @@ object Pipeline {
                     FROM documents)
               ORDER BY doc_id""")),
 
+    // -- PPS systematic sampling (q71) -------------------------------------
+    // EXACTLY k grid hits over the cumulative-weight axis, inclusion
+    // proportional to n_chars, multiplicity reported for items heavier
+    // than the stride. Selection is exact cross-multiplied long
+    // arithmetic on q53's distributed prefix sum — transcendental-free
+    // (A-ES's -ln(u)/w keys are only as portable as each engine's
+    // libm), so the oracle replays the grid bit-for-bit from the
+    // naive-window cumsum.
+    Q("q71_pps_sample",
+      (s, d) => Mixing.ppsSystematicSample(t(s, d, "documents"),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("id").as("doc_id"), col("w"), col("mult"))
+        .orderBy("doc_id"),
+      Some("""WITH base AS (
+                SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w
+                FROM documents WHERE n_chars > 0),
+              c AS (
+                SELECT id, w,
+                       CAST(SUM(w) OVER (ORDER BY md5(CAST(id AS VARCHAR)), id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+                FROM base),
+              tot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM base),
+              m AS (
+                SELECT id, w,
+                       (CASE WHEN 200 * cw <= t THEN 0
+                             ELSE least(100, (200 * cw - t + 2 * t - 1)
+                                             // (2 * t)) END)
+                     - (CASE WHEN 200 * (cw - w) <= t THEN 0
+                             ELSE least(100, (200 * (cw - w) + 2 * t - 1 - t)
+                                             // (2 * t)) END) AS mult
+                FROM c, tot)
+              SELECT id AS doc_id, w, CAST(mult AS INT) AS mult
+              FROM m WHERE mult > 0 ORDER BY doc_id""")),
+
     Q("t02_lang_id",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"), col("lang"),

@@ -98,4 +98,25 @@ class MixingSpec extends TestSpark {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("ppsSystematicSample: exactly k grid hits, multiplicity for " +
+      "items heavier than the stride, invariant under partitioning") {
+    // total weight 1003, k = 4 → stride ≈ 250.75: the 1000-weight
+    // item must absorb at least 3 grid points whatever the order
+    val items = Seq((1L, 1000L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("doc_id", "n")
+    val out = Mixing.ppsSystematicSample(items, col("doc_id"), col("n"), 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.values.sum === 4, s"systematic must hit exactly k: $out")
+    assert(out(1L) >= 3, s"heavy item under-sampled: $out")
+    // corpus-scale: exactly k, and the selection is content-keyed —
+    // identical under a different input partitioning
+    val docs = Tables(spark, sfDir, "documents")
+    val a = Mixing.ppsSystematicSample(docs, col("doc_id"),
+      col("n_chars"), 50).collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(a.map(_._2).sum === 50)
+    val b = Mixing.ppsSystematicSample(docs.repartition(7), col("doc_id"),
+      col("n_chars"), 50).collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+  }
 }
