@@ -719,4 +719,62 @@ object Streams {
           UpsertOut(key, st.seq, st.live, st.value)
       }
   }
+
+  /** One CLOSED SCD2 version emitted by [[scd2Stream]]: the key held
+    * `value` over the half-open seq interval `[valid_from, valid_to)`.
+    * Closed intervals never change, which is why the stream runs in
+    * Append mode — the output is a plain append-only history table. */
+  final case class Scd2Closed(key: Long, valid_from: Long, valid_to: Long,
+                              value: Double)
+
+  /** Streaming SCD TYPE-2 history (st14) — q70's live face: the CDC
+    * changelog stream folded into per-key OPEN-version state, emitting
+    * each version the moment a newer change CLOSES it. The open
+    * version is deliberately NOT emitted (it isn't final); the
+    * materialized current row is [[upsertState]]'s job — run both
+    * against one changelog and you have the live table AND its
+    * append-only history, the lakehouse pair.
+    *
+    * Conflict rules are [[upsertState]]'s, for the same convergence
+    * reasons: changes at seq <= the open version's seq are IGNORED
+    * (idempotent redelivery; a late below-state change would need
+    * retroactive history rewrite, which only the batch operator
+    * [[graft.operators.Diff.scd2History]] can do — the documented
+    * weakening, like st13 vs q68), same-seq changes within a batch
+    * resolve by the (seq, op, value) total order, unknown ops fail
+    * loudly. Deletes close the open version and open nothing — the
+    * validity GAP q70 keeps.
+    *
+    * State per key is O(1) (the open version) and closed rows leave
+    * immediately: at 100 TB the state store holds the key cardinality
+    * and the history accumulates in the SINK, not in state — Append
+    * mode writes straight to files with no changelog sink required.
+    * On a batch Dataset the same fold runs once per key and equals
+    * the closed (is_current = false) rows of [[Diff.scd2History]] —
+    * the spec pins stream == batch face == q70's operator. */
+  def scd2Stream(changes: Dataset[ChangeRow]): Dataset[Scd2Closed] = {
+    import changes.sparkSession.implicits._
+    val streaming = changes.isStreaming
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[UpsertSt, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, it: Iterator[ChangeRow], state: GroupState[UpsertSt]) =>
+          var st = state.getOption.getOrElse(
+            UpsertSt(Long.MinValue, live = false, 0.0))
+          val out = List.newBuilder[Scd2Closed]
+          it.toSeq.sortBy(c => (c.seq, c.op, c.value)).foreach { c =>
+            if (c.seq > st.seq) {
+              if (st.live) out += Scd2Closed(key, st.seq, c.seq, st.value)
+              st = c.op match {
+                case "insert" | "update" => UpsertSt(c.seq, live = true, c.value)
+                case "delete" => UpsertSt(c.seq, live = false, 0.0)
+                case other => throw new IllegalStateException(
+                  s"scd2Stream: unknown op '$other' for key $key")
+              }
+            }
+          }
+          if (streaming) state.update(st) else state.remove()
+          out.result().iterator
+      }
+  }
 }

@@ -948,6 +948,81 @@ class StreamingSpec extends TestSpark {
     assert(msgs(e).contains("unknown op"), e.toString)
   }
 
+  test("st14 scd2Stream: closed versions emitted as newer changes seal " +
+      "them — multi-batch stream == one-batch fold == the closed " +
+      "(is_current = false) rows of Diff.scd2History") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = Seq(
+      Streams.ChangeRow(1L, 1L, "insert", 10.0),
+      Streams.ChangeRow(2L, 1L, "insert", 20.0))
+    val b2 = Seq(
+      Streams.ChangeRow(1L, 3L, "update", 11.0),  // closes key1 [1, 3)
+      Streams.ChangeRow(2L, 2L, "delete", 0.0))   // closes key2 [1, 2), gap
+    val b3 = Seq(
+      Streams.ChangeRow(2L, 5L, "insert", 21.0))  // re-opens key2 — no emit
+    val ms = MemoryStream[Streams.ChangeRow](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.ChangeRow](),
+      spark.sqlContext)
+    val q = Streams.scd2Stream(ms.toDS())
+      .writeStream.format("memory").queryName("scd14")
+      .outputMode("append").start()
+    Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("scd14").as[Streams.Scd2Closed]
+      .collect().toSet
+    val want = Set(
+      Streams.Scd2Closed(1L, 1L, 3L, 10.0),
+      Streams.Scd2Closed(2L, 1L, 2L, 20.0))
+    assert(streamed === want)
+    // one-batch fold == the stream
+    val all = (b1 ++ b2 ++ b3).toDS()
+    assert(Streams.scd2Stream(all).collect().toSet === want)
+    // == q70's operator on the same changelog, closed rows only
+    val asDf = all.toDF("k", "seq", "op", "v")
+    val batchClosed = graft.operators.Diff.scd2History(asDf, keys = Seq("k"))
+      .filter(!col("is_current"))
+      .select("k", "valid_from", "valid_to", "v")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batchClosed ===
+      want.map(c => (c.key, c.valid_from, c.valid_to, c.value)))
+  }
+
+  test("checkpoint recovery (st14): the OPEN version survives a " +
+      "restart — the closure emitted by the restarted stream carries " +
+      "run 1's valid_from, and a stale change is still rejected") {
+    val stageDir = Files.createTempDirectory("scd-stage").toString
+    val ckpt = Files.createTempDirectory("scd-ckpt").toString
+    val out = collection.mutable.ArrayBuffer.empty[Streams.Scd2Closed]
+    def run(): Unit = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.ChangeRow]].schema)
+        .parquet(stageDir).as[Streams.ChangeRow]
+      val q = Streams.scd2Stream(streamed)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.Scd2Closed],
+                         _: Long) =>
+          out.synchronized { out ++= df.collect() }; ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    Seq(Streams.ChangeRow(1L, 3L, "insert", 11.0))
+      .toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    assert(out.synchronized(out.toList).isEmpty) // nothing closed yet
+    Seq(Streams.ChangeRow(1L, 2L, "update", 999.0), // STALE vs recovered 3
+        Streams.ChangeRow(1L, 7L, "update", 12.0))  // closes [3, 7)
+      .toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    // had the state been lost, the stale seq-2 row would have opened a
+    // phantom version and the emission would read [2, 7) value 999
+    assert(out.synchronized(out.toList) ===
+      List(Streams.Scd2Closed(1L, 3L, 7L, 11.0)))
+  }
+
   test("st13 upsertState: DISTINCT same-seq changes within one batch " +
        "resolve by the (seq, op, value) total order, not arrival " +
        "order — the winner is identical under reversed input") {
