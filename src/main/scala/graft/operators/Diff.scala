@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot DIFF — derive a change stream (insert/update/delete rows)
@@ -113,6 +113,59 @@ object Diff {
         keys.map(k => coalesce(col(s"c.$k"), col(s"s.$k")).as(k)) ++
           payload.map(p =>
             when(hasChange, col(s"c.$p")).otherwise(col(s"s.$p")).as(p)): _*)
+  }
+
+  /** Merkle-style RANGE DIGEST of a table (q72, build half): group
+    * rows into contiguous key ranges and reduce each range to an
+    * order-independent fingerprint triple — row count, 64-bit XOR of
+    * the row hashes, and a 31-bit-modular SUM of them. Comparing two
+    * replicas of a 100 TB table then exchanges RANGE-COUNT rows, not
+    * table rows: only ranges whose triples differ need a row-level
+    * diff ([[snapshotDiff]] scoped to those key ranges), which is how
+    * replica anti-entropy (Dynamo/Cassandra's Merkle repair) avoids
+    * ever shipping the table. The digest aggregation is map-side
+    * combined (XOR and modular sum are commutative monoids), so the
+    * shuffle moves one triple per (partition, range).
+    *
+    * The row hash is the PORTABLE md5-prefix integer (the md5
+    * conventions every sampler here uses): 52 bits survive exactly in
+    * any engine's BIGINT and double. `cols` must render identically
+    * across engines — integers and strings do; raw doubles do NOT
+    * (each engine formats its own shortest decimal), so callers cast
+    * doubles to DECIMAL first. XOR alone cancels duplicate row PAIRS;
+    * the (count, xor, sum) triple makes a silent collision require
+    * three simultaneous coincidences. */
+  def rangeDigest(df: DataFrame, key: Column, rangeSize: Long,
+                  cols: Seq[Column]): DataFrame = {
+    require(rangeSize > 0, s"rangeDigest: rangeSize must be positive")
+    val h = expr(s"CAST(conv(substring(md5(__rd_cat), 1, 13), 16, 10) " +
+      "AS BIGINT)")
+    df.withColumn("__rd_cat", concat_ws("|", cols: _*))
+      .withColumn("__rd_h", h)
+      .groupBy((key.cast("long") / rangeSize).cast("long").as("range_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__rd_h)").as("xor64"),
+        sum(col("__rd_h") % 2147483648L).as("sum31"))
+  }
+
+  /** Replica comparison over [[rangeDigest]] triples (q72, compare
+    * half): full-outer join the two digest tables on range_id and keep
+    * ranges that disagree — `only_a`/`only_b` for ranges one replica
+    * lacks entirely, `mismatch` where both have rows but the triples
+    * differ. Output is metadata-sized (the damaged ranges), the input
+    * to a scoped row-level repair. */
+  def checksumDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.as("a"); val r = b.as("b")
+    l.join(r, col("a.range_id") === col("b.range_id"), "full_outer")
+      .select(
+        coalesce(col("a.range_id"), col("b.range_id")).as("range_id"),
+        when(col("a.range_id").isNull, lit("only_b"))
+          .when(col("b.range_id").isNull, lit("only_a"))
+          .when(col("a.n_rows") =!= col("b.n_rows") ||
+            col("a.xor64") =!= col("b.xor64") ||
+            col("a.sum31") =!= col("b.sum31"), lit("mismatch"))
+          .otherwise(lit("equal")).as("status"))
+      .filter(col("status") =!= "equal")
   }
 
   /** SCD TYPE-2 history build (q70): from a CDC changelog

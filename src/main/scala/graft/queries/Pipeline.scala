@@ -2466,6 +2466,79 @@ object Pipeline {
               FROM v WHERE op <> 'delete'
               ORDER BY o_orderkey, valid_from""")),
 
+    // -- Merkle-style replica checksum diff (q72) --------------------------
+    // anti-entropy for 100 TB replicas: reduce each contiguous key
+    // range to an order-independent (count, xor, modular-sum) triple
+    // of portable md5-prefix row hashes — map-side-combined, so the
+    // comparison exchanges RANGE rows, never table rows — then keep
+    // only disagreeing ranges. Replica B here: one whole range
+    // dropped (→ only_a), sparse rows dropped and statuses flipped
+    // (→ mismatch), a 2⁴⁰-offset block appended (→ only_b). The
+    // row-level repair those ranges feed is q57's snapshotDiff scoped
+    // to them.
+    Q("q72_table_checksum",
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"))
+        val b = o.filter(expr("o_orderkey div 64") =!= 5 &&
+            col("o_orderkey") % 997 =!= 0)
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 1009 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .unionByName(o.filter(col("o_orderkey") % 499 === 0)
+            .withColumn("o_orderkey",
+              col("o_orderkey") + 1099511627776L))
+        def cols(df: org.apache.spark.sql.DataFrame) =
+          Seq(col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"), col("o_orderstatus"))
+        Diff.checksumDiff(
+            Diff.rangeDigest(o, col("o_orderkey"), 64L, cols(o)),
+            Diff.rangeDigest(b, col("o_orderkey"), 64L, cols(b)))
+          .orderBy("range_id")
+      },
+      Some("""WITH ca AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+              cb AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 1009 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus
+                FROM orders
+                WHERE o_orderkey // 64 <> 5 AND o_orderkey % 997 <> 0
+                UNION ALL
+                SELECT o_orderkey + 1099511627776, o_custkey, o_orderstatus
+                FROM orders WHERE o_orderkey % 499 = 0),
+              da AS (
+                SELECT o_orderkey // 64 AS range_id,
+                       COUNT(*) AS n, bit_xor(h) AS x,
+                       CAST(SUM(h % 2147483648) AS BIGINT) AS sm
+                FROM (SELECT o_orderkey,
+                        CAST(('0x' || substr(md5(
+                          CAST(o_orderkey AS VARCHAR) || '|' ||
+                          CAST(o_custkey AS VARCHAR) || '|' ||
+                          o_orderstatus), 1, 13)) AS BIGINT) AS h
+                      FROM ca)
+                GROUP BY 1),
+              db AS (
+                SELECT o_orderkey // 64 AS range_id,
+                       COUNT(*) AS n, bit_xor(h) AS x,
+                       CAST(SUM(h % 2147483648) AS BIGINT) AS sm
+                FROM (SELECT o_orderkey,
+                        CAST(('0x' || substr(md5(
+                          CAST(o_orderkey AS VARCHAR) || '|' ||
+                          CAST(o_custkey AS VARCHAR) || '|' ||
+                          o_orderstatus), 1, 13)) AS BIGINT) AS h
+                      FROM cb)
+                GROUP BY 1)
+              SELECT range_id, status FROM (
+                SELECT COALESCE(da.range_id, db.range_id) AS range_id,
+                       CASE WHEN da.range_id IS NULL THEN 'only_b'
+                            WHEN db.range_id IS NULL THEN 'only_a'
+                            WHEN da.n <> db.n OR da.x <> db.x
+                              OR da.sm <> db.sm THEN 'mismatch'
+                            ELSE 'equal' END AS status
+                FROM da FULL OUTER JOIN db ON da.range_id = db.range_id)
+              WHERE status <> 'equal' ORDER BY range_id""")),
+
     // -- Z-order layout key (q56) ------------------------------------------
     // the two-dimensional data-skipping cluster key: interleave the
     // low 16 bits of (user_id, hour index) with the Morton

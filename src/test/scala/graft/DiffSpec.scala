@@ -120,6 +120,32 @@ class DiffSpec extends TestSpark {
     assert(applied.exceptAll(nu).isEmpty && nu.exceptAll(applied).isEmpty)
   }
 
+  test("rangeDigest: order/partitioning-independent triples; " +
+      "checksumDiff classifies only_a/only_b/mismatch and is empty " +
+      "for identical replicas") {
+    val a = (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Diff.rangeDigest(df, col("k"), 50L,
+        Seq(col("k").cast("string"), col("v")))
+    // same rows, different physical order → identical digests
+    val da = digest(a)
+    val shuffled = digest(a.repartition(7).orderBy(col("k").desc))
+    assert(da.orderBy("range_id").collect().toSeq ===
+      shuffled.orderBy("range_id").collect().toSeq)
+    assert(Diff.checksumDiff(da, shuffled).count() === 0L)
+    // replica b: row 10 dropped (mismatch in range 0), row 60 edited
+    // (mismatch in range 1), ranges [150, 200) dropped (only_a),
+    // keys 1000..1004 appended (only_b in range 20)
+    val b = a.filter(col("k") =!= 10 && col("k") < 150)
+      .withColumn("v", when(col("k") === 60, lit("edited"))
+        .otherwise(col("v")))
+      .unionByName((1000L until 1005L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val got = Diff.checksumDiff(da, digest(b))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "mismatch", 1L -> "mismatch",
+      3L -> "only_a", 20L -> "only_b"))
+  }
+
   test("scd2History: versions open at their seq and close at the next " +
       "change; deletes close and leave a gap; duplicate (key, seq) " +
       "and unknown ops fail loudly") {
