@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.operators.Diff
 
 /** Snapshot diff (operators/Diff.scala): the four outcomes, null-safe
