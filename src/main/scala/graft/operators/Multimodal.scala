@@ -498,6 +498,60 @@ object Multimodal {
       .toDF("doc_id", "n_cuts", "sig")
   }
 
+  /** KEYFRAME selection per scene (m11): split each video at
+    * [[sceneCuts]]'s boundaries and pick, per scene, the frame with
+    * the MAXIMUM mean energy (ties → lowest frame index) — the
+    * representative-frame extraction a vision-training pipeline runs
+    * so that downstream embedding/captioning sees one frame per shot
+    * instead of every frame (a 100× decode-cost cut at typical shot
+    * lengths). A cut at frame f starts a new scene at f, matching
+    * m08's boundary definition exactly.
+    *
+    * One row per (doc, scene): scene start, its frame count, the
+    * chosen keyframe index and its energy. Entirely row-local
+    * (mapPartitions codec dispatch, m02's convention) — scene state
+    * never crosses a row, the 100 TB shape is a pure scan. Integer
+    * arithmetic only, so an oracle replays it from the frame-energy
+    * CTE bit-exactly. */
+  def keyframes(df: DataFrame, id: Column, bin: Column,
+                frameBytes: Int = 64, tau: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("doc_id"), bin.as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, bytes) =>
+          val n = bytes.length
+          val nf = math.max((n + frameBytes - 1) / frameBytes, 1)
+          val out = List.newBuilder[(Long, Long, Long, Long, Long)]
+          var sceneId = 0L
+          var sceneStart = 0L
+          var bestF = 0L
+          var bestE = Long.MinValue
+          var prev = 0L
+          var f = 0
+          while (f < nf) {
+            val i0 = f * frameBytes
+            val i1 = math.min((f + 1) * frameBytes, n)
+            var sum = 0L
+            var i = i0
+            while (i < i1) { sum += bytes(i) & 0xff; i += 1 }
+            val e = if (i1 > i0) sum / (i1 - i0) else 0L
+            if (f > 0 && math.abs(e - prev) > tau) {
+              out += ((docId, sceneId, sceneStart, bestF, bestE))
+              sceneId += 1; sceneStart = f; bestF = f; bestE = Long.MinValue
+            }
+            if (e > bestE) { bestE = e; bestF = f }
+            prev = e
+            f += 1
+          }
+          out += ((docId, sceneId, sceneStart, bestF, bestE))
+          out.result()
+        }
+      }
+      .toDF("doc_id", "scene_id", "start_frame", "key_frame", "key_energy")
+  }
+
   /** Near-duplicate videos (m09): equal scene signature + equal cut
     * count, id_a < id_b. The join key is the 3-long (doc_id, n_cuts,
     * sig) row — payloads never shuffle; at 100 TB the signature table

@@ -3877,6 +3877,61 @@ object Pipeline {
                        AND abs(e - pe) > 4) AS BIGINT) AS first_cut
               FROM dd GROUP BY doc_id ORDER BY doc_id""")),
 
+    // -- keyframe selection per scene (m11) --------------------------------
+    // split at m08's cut boundaries, pick the max-energy frame per
+    // scene (ties → lowest index): one representative frame per shot,
+    // the decode-cost cut a vision pipeline takes before embedding.
+    // Row-local single pass; the oracle rebuilds scenes from the same
+    // frame-energy CTE (cumulative cut count) and argmaxes per scene.
+    Q("m11_keyframe_select",
+      (s, d) => Multimodal.keyframes(
+          t(s, d, "documents").withColumn("payload", encode(col("text"), "UTF-8")),
+          col("doc_id"), col("payload"), frameBytes = 64, tau = 4)
+        .orderBy("doc_id", "scene_id"),
+      Some("""WITH base AS (
+                SELECT doc_id, text, length(text) AS len FROM documents
+                WHERE CASE WHEN length(text) = octet_length(encode(text))
+                           THEN true
+                           ELSE error('m11 oracle requires a pure-ASCII corpus: doc '
+                                      || doc_id || ' has multi-byte text') END),
+              fr AS (
+                SELECT doc_id, len, text,
+                       unnest(range(0, GREATEST((len + 63)//64, 1))) AS fi
+                FROM base),
+              en AS (
+                SELECT doc_id, fi,
+                       CASE WHEN LEAST((fi+1)*64, len) > fi*64 THEN
+                         list_sum(list_transform(
+                           range(fi*64, LEAST((fi+1)*64, len)),
+                           i -> unicode(substr(text, CAST(i+1 AS INT), 1))))
+                           // (LEAST((fi+1)*64, len) - fi*64)
+                       ELSE 0 END AS e
+                FROM fr),
+              dd AS (
+                SELECT doc_id, fi, e,
+                       lag(e) OVER (PARTITION BY doc_id ORDER BY fi) AS pe
+                FROM en),
+              sc AS (
+                SELECT doc_id, fi, e,
+                       CAST(SUM(CASE WHEN pe IS NOT NULL AND abs(e - pe) > 4
+                                     THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY fi
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+                FROM dd),
+              pick AS (
+                SELECT doc_id, scene_id, fi, e,
+                       row_number() OVER (PARTITION BY doc_id, scene_id
+                         ORDER BY e DESC, fi) AS rn,
+                       MIN(fi) OVER (PARTITION BY doc_id, scene_id)
+                         AS start_frame
+                FROM sc)
+              SELECT doc_id, scene_id,
+                     CAST(start_frame AS BIGINT) AS start_frame,
+                     CAST(fi AS BIGINT) AS key_frame,
+                     CAST(e AS BIGINT) AS key_energy
+              FROM pick WHERE rn = 1
+              ORDER BY doc_id, scene_id""")),
+
     // -- video near-dup pairs (m09) ----------------------------------------
     // equal scene SIGNATURE (rolling hash over m08's cut-to-cut frame
     // intervals — deltas, so leading-frame offsets cancel on aligned

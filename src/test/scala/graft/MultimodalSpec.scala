@@ -237,6 +237,30 @@ class MultimodalSpec extends TestSpark {
     assert(out(4L) === ((1L, 0L, None)))   // empty payload = 1 zero frame
   }
 
+  test("keyframes: one max-energy frame per scene, ties to the lowest " +
+       "index, scene boundaries exactly at sceneCuts' cuts") {
+    import spark.implicits._
+    def frames(es: Int*): Array[Byte] =
+      es.flatMap(e => Array.fill(64)(e.toByte)).toArray
+    // energies 10,100,100,12: cuts at frames 1 and 3 → scenes
+    // {0}, {1,2} (tie at 100 → frame 1), {3}
+    val jumpy = frames(10, 100, 100, 12)
+    val flat = frames(42, 42)   // one scene, tie → frame 0
+    val df = Seq((1L, jumpy), (2L, flat)).toDF("doc_id", "payload")
+    val out = Multimodal.keyframes(df, col("doc_id"), col("payload"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 0L, 10L),
+      (1L, 1L, 1L, 1L, 100L),   // tie between frames 1 and 2 → 1
+      (1L, 2L, 3L, 3L, 12L),
+      (2L, 0L, 0L, 0L, 42L)))
+    // structural law vs m08: scenes per doc == n_cuts + 1
+    val cuts = Multimodal.sceneCuts(df, col("doc_id"), col("payload"))
+      .select("doc_id", "n_cuts").as[(Long, Long)].collect().toMap
+    val scenes = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(scenes === cuts.map { case (k, c) => k -> (c + 1).toInt })
+  }
+
   test("videoNearDupPairs: same cut rhythm pairs across a leading-frame " +
        "offset; different rhythm and cut-poor payloads never pair") {
     import spark.implicits._
