@@ -139,9 +139,12 @@ object Bench {
     "q68_apply_changeset",
     // round-10: pivot's inverse — one Expand over the 6-row aggregate
     "q69_unpivot",
-    // round-11: SCD2 history (one change-sized window) and PPS
-    // systematic sampling (distributed prefix sum + row-local grid)
-    "q70_scd2_history", "q71_pps_sample")
+    // round-11: SCD2 history (one change-sized window), PPS
+    // systematic sampling (distributed prefix sum + row-local grid),
+    // Merkle replica checksum (map-side-combined range digests), and
+    // per-scene keyframe selection (row-local single pass)
+    "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
+    "m11_keyframe_select")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

@@ -339,5 +339,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           seqCol = args.lift(3).map(_ =>
             strArg("apply_changeset", args, 3))))
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("scd2_history"),
+      info("scd2_history",
+        "_FUNC_(changesTable, keyCols[, opCol, seqCol]) - reshape a CDC " +
+          "changelog into SCD type-2 history: one row per (key, version) " +
+          "with half-open [valid_from, valid_to) seq bounds and an " +
+          "is_current flag; keyCols is a comma-separated key list"),
+      (args: Seq[Expression]) => {
+        arity("scd2_history", args, 2, 4)
+        val spark = SparkSession.active
+        val keys = strArg("scd2_history", args, 1)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftInternal.logicalPlan(graft.operators.Diff.scd2History(
+          spark.table(strArg("scd2_history", args, 0)),
+          keys = keys,
+          opCol = args.lift(2).map(_ => strArg("scd2_history", args, 2))
+            .getOrElse("op"),
+          seqCol = args.lift(3).map(_ => strArg("scd2_history", args, 3))
+            .getOrElse("seq")))
+      }))
   }
 }

@@ -93,6 +93,14 @@ class ReplSpec extends TestSpark {
         "ORDER BY k")
     assert(merged.contains("11") && merged.contains("30") &&
       !merged.lines().anyMatch(l => l.contains("| 2 ")), merged)
+    // SCD2 history through SQL text: versions close at the next seq
+    Seq((1L, 10.0, "insert", 1L), (1L, 11.0, "update", 4L))
+      .toDF("k", "v", "op", "seq").createOrReplaceTempView("repl_hist")
+    val hist = repl.runLine(
+      "SELECT k, v, valid_from, valid_to, is_current FROM " +
+        "scd2_history('repl_hist', 'k') ORDER BY valid_from")
+    assert(hist.contains("10") && hist.contains("11"), hist)
+    assert(hist.contains("true") && hist.contains("false"), hist)
   }
 
   test("CLI parity: -f xlsx -s sheet loads excel_rows and serves SQL + |out= " +
