@@ -448,11 +448,22 @@ class PlanSpec extends TestSpark {
   test("d19: candidates come from an EQUI-join on variants (no " +
        "cartesian anywhere) and the verify is the bounded " +
        "edit_within_1 check, not the DP levenshtein") {
-    val p = plan("d19_fuzzy_join")
-    assert(p.contains("edit_within_1"), p)
-    assert(!p.contains("levenshtein"), p)
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the gate entry materializes EAGERLY (variant-stage cleanup), so
+    // its visible plan is the checkpoint scan; pin the OPERATOR's
+    // plan through the lazy staged API on the same input shape
+    import org.apache.spark.sql.functions.col
+    val sup = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey").cast("long").as("id"),
+        col("s_name").as("name"))
+    val staged = graft.operators.FuzzyJoin.editDistance1PairsStaged(
+      sup, col("id"), col("name"), maxBucket = Some(8L))
+    try {
+      val p = staged.result.queryExecution.executedPlan.toString
+      assert(p.contains("edit_within_1"), p)
+      assert(!p.contains("levenshtein"), p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally staged.cleanup()
   }
 
   test("q65: the bucketed fact-fact join reads co-located sorted buckets " +
@@ -534,5 +545,43 @@ class PlanSpec extends TestSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("rolling_fingerprint"), p)
+  }
+
+  test("q70: SCD2 reshape is ONE key-partitioned window over the " +
+       "changelog — lead() and the duplicate-seq guard share it, no " +
+       "join, no second exchange of the changes") {
+    val p = plan("q70_scd2_history")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("lead("), p)
+  }
+
+  test("q71: PPS selection rides the two-phase prefix sum — per-bucket " +
+       "windows plus BROADCAST offsets/total, the corpus never meets a " +
+       "shuffle join and never global-sorts") {
+    val p = plan("q71_pps_sample")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r
+      .findAllIn(p).nonEmpty, p)
+    // the only hash exchanges: the bucketed fact window + the 16-row
+    // bucket-totals aggregation feeding offsets
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q72: range digests aggregate map-side (partial xor/sum before " +
+       "the shuffle) — the replica comparison joins RANGE rows, and " +
+       "row payloads never reach the join") {
+    val p = plan("q72_table_checksum")
+    assert(p.contains("partial_bit_xor") || p.contains("partial"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // 2 per replica
+    // the join consumes the digest aggregates, not table rows
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("m11: keyframe selection is a row-local scan — no exchange, no " +
+       "window, no join anywhere in the plan") {
+    val p = plan("m11_keyframe_select")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
   }
 }
