@@ -49,6 +49,8 @@ HEADLINE = [
     "q65_bucketed_join",
     "q66_kmeans_train", "q67_cluster_sample", "q68_apply_changeset",
     "q69_unpivot",
+    "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
+    "m11_keyframe_select",
 ]
 
 def connect(sf_dir):
