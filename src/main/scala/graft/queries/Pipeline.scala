@@ -2539,6 +2539,50 @@ object Pipeline {
                 FROM da FULL OUTER JOIN db ON da.range_id = db.range_id)
               WHERE status <> 'equal' ORDER BY range_id""")),
 
+    // -- per-key interval union (q73) --------------------------------------
+    // merge overlapping-or-touching intervals into their disjoint
+    // union — the coverage reshape for validity windows (q70's
+    // output), sessions, maintenance windows. One hash exchange on
+    // the key: the sweep window and the (key, group) aggregation
+    // share the key partitioning. Intervals derived from orders in
+    // exact integer day space ([order date, +orderkey%30 days] per
+    // customer), identical CASE-free arithmetic in both engines.
+    Q("q73_interval_merge",
+      (s, d) => {
+        val iv = t(s, d, "orders").select(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).as("s0"),
+          (datediff(col("o_orderdate"), lit("1992-01-01")) +
+            col("o_orderkey") % 30).as("e0"))
+        Intervals.mergeOverlapping(iv, col("o_custkey"),
+            col("s0"), col("e0"))
+          .select(col("key").as("o_custkey"), col("m_start"),
+            col("m_end"), col("n_merged"))
+          .orderBy("o_custkey", "m_start")
+      },
+      Some("""WITH iv AS (
+                SELECT o_custkey,
+                       CAST(CAST(o_orderdate AS DATE)
+                            - DATE '1992-01-01' AS BIGINT) AS s,
+                       CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                            + o_orderkey % 30 AS BIGINT) AS e
+                FROM orders),
+              g AS (
+                SELECT o_custkey, s, e,
+                       CASE WHEN max(e) OVER w IS NULL
+                              OR s > max(e) OVER w THEN 1 ELSE 0 END AS ng
+                FROM iv
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+              gg AS (
+                SELECT *, SUM(ng) OVER (PARTITION BY o_custkey
+                  ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+                FROM g)
+              SELECT o_custkey, MIN(s) AS m_start, MAX(e) AS m_end,
+                     CAST(COUNT(*) AS BIGINT) AS n_merged
+              FROM gg GROUP BY o_custkey, grp
+              ORDER BY o_custkey, m_start""")),
+
     // -- Z-order layout key (q56) ------------------------------------------
     // the two-dimensional data-skipping cluster key: interleave the
     // low 16 bits of (user_id, hour index) with the Morton

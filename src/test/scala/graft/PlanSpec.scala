@@ -584,4 +584,12 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Exchange hashpartitioning"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q73: the interval sweep and the (key, group) aggregation share " +
+       "ONE key exchange — partitioning on the key satisfies the " +
+       "grouping's distribution, Catalyst adds no second shuffle") {
+    val p = plan("q73_interval_merge")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
 }
