@@ -720,6 +720,79 @@ object Streams {
       }
   }
 
+  /** One per-range digest emitted by [[rangeChecksumStream]] — the
+    * same (count, xor, modular-sum) triple [[graft.operators.Diff
+    * .rangeDigest]] computes over a table at rest. */
+  final case class RangeDigestOut(range_id: Long, n_rows: Long,
+                                  xor64: Long, sum31: Long)
+
+  /** LIVE Merkle range-digest gauge (st15) — q72's streaming face: a
+    * CDC changelog stream folded into per-RANGE state, each microbatch
+    * re-emitting the touched ranges' current digests (Update-mode
+    * gauge, st12's convention). A replica consuming the same changelog
+    * can compare digests continuously instead of scheduling full
+    * checksum scans — anti-entropy as a standing query.
+    *
+    * The digest is over the LIVE rows the changelog materializes
+    * (the upsertState fold per key, inside range-keyed state): LWW on
+    * seq, tombstones block resurrection, same-seq resolves by the
+    * (seq, op, value) total order, unknown ops loud. Row hash is the
+    * SAME portable md5-prefix integer `rangeDigest` uses, over
+    * "key|value" with Spark's double→string rendering — so the
+    * streamed digests are bit-comparable with a batch `rangeDigest`
+    * over the materialized table (the spec pins that equality).
+    *
+    * State per range is the range's live rows — summed over ranges
+    * that is the key cardinality, the same floor as st13's
+    * materialization, but grouped into range-sized values (the Merkle
+    * leaf width is the `rangeSize` knob): a RocksDB state store
+    * rewrites a leaf per touched range per batch, the honest price of
+    * whole-range digests. Keys must be non-negative (range_id =
+    * key / rangeSize, the q72 convention). */
+  def rangeChecksumStream(changes: Dataset[ChangeRow],
+                          rangeSize: Long): Dataset[RangeDigestOut] = {
+    require(rangeSize > 0, "rangeChecksumStream: rangeSize must be positive")
+    import changes.sparkSession.implicits._
+    val streaming = changes.isStreaming
+    changes.groupByKey(_.key / rangeSize)
+      .mapGroupsWithState[Map[Long, UpsertSt], RangeDigestOut](
+        GroupStateTimeout.NoTimeout()) {
+        (rid: Long, it: Iterator[ChangeRow],
+         state: GroupState[Map[Long, UpsertSt]]) =>
+          var rows = state.getOption.getOrElse(Map.empty[Long, UpsertSt])
+          it.toSeq.sortBy(c => (c.seq, c.op, c.value)).foreach { c =>
+            val cur = rows.getOrElse(c.key,
+              UpsertSt(Long.MinValue, live = false, 0.0))
+            if (c.seq > cur.seq) rows = c.op match {
+              case "insert" | "update" =>
+                rows + (c.key -> UpsertSt(c.seq, live = true, c.value))
+              case "delete" =>
+                rows + (c.key -> UpsertSt(c.seq, live = false, 0.0))
+              case other => throw new IllegalStateException(
+                s"rangeChecksumStream: unknown op '$other' for key ${c.key}")
+            }
+          }
+          if (streaming) state.update(rows) else state.remove()
+          var n = 0L; var x = 0L; var s31 = 0L
+          rows.foreach { case (k, st) =>
+            if (st.live) {
+              val h = rowHash52(s"$k|${st.value}")
+              n += 1; x ^= h; s31 += h % 2147483648L
+            }
+          }
+          RangeDigestOut(rid, n, x, s31)
+      }
+  }
+
+  /** The 52-bit portable row hash `rangeDigest` computes in SQL
+    * (first 13 hex chars of md5 → BIGINT), here for state-side use. */
+  private def rowHash52(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 13), 16)
+  }
+
   /** One CLOSED SCD2 version emitted by [[scd2Stream]]: the key held
     * `value` over the half-open seq interval `[valid_from, valid_to)`.
     * Closed intervals never change, which is why the stream runs in

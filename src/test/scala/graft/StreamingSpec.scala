@@ -948,6 +948,53 @@ class StreamingSpec extends TestSpark {
     assert(msgs(e).contains("unknown op"), e.toString)
   }
 
+  test("st15 rangeChecksumStream: streamed per-range digests equal the " +
+      "batch rangeDigest over the table the changelog materializes " +
+      "(LWW fold inside range state; tombstones hold)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b1 = Seq(
+      Streams.ChangeRow(1L, 1L, "insert", 10.0),    // range 0
+      Streams.ChangeRow(65L, 1L, "insert", 20.0),   // range 1
+      Streams.ChangeRow(130L, 1L, "insert", 30.0))  // range 2
+    val b2 = Seq(
+      Streams.ChangeRow(1L, 3L, "update", 11.0),
+      Streams.ChangeRow(65L, 2L, "delete", 0.0))
+    val b3 = Seq(
+      Streams.ChangeRow(66L, 1L, "insert", 21.5),
+      Streams.ChangeRow(65L, 1L, "update", 99.0))   // stale vs tombstone
+    val ms = MemoryStream[Streams.ChangeRow](
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Streams.ChangeRow](),
+      spark.sqlContext)
+    val q = Streams.rangeChecksumStream(ms.toDS(), rangeSize = 64L)
+      .writeStream.format("memory").queryName("chk15")
+      .outputMode("update").start()
+    Seq(b1, b2, b3).foreach { b => ms.addData(b); q.processAllAvailable() }
+    assert(q.recentProgress.exists(_.stateOperators.nonEmpty))
+    q.stop()
+    // the gauge: LAST emission per range is its current digest
+    val streamed = spark.table("chk15").as[Streams.RangeDigestOut]
+      .collect().zipWithIndex
+      .groupBy(_._1.range_id).map { case (_, vs) => vs.maxBy(_._2)._1 }
+      .toSet
+    // batch face of the SAME machinery on one Dataset
+    val all = (b1 ++ b2 ++ b3).toDS()
+    val batchFace = Streams.rangeChecksumStream(all, 64L).collect().toSet
+    // the table the changelog materializes (upsertState's live rows),
+    // digested by q72's batch operator with the same column rendering
+    val live = Streams.upsertState(all).filter(_.live)
+      .map(u => (u.key, u.value)).toDF("k", "v")
+    val batchDigest = graft.operators.Diff.rangeDigest(live, col("k"), 64L,
+        Seq(col("k").cast("string"), col("v").cast("string")))
+      .select("range_id", "n_rows", "xor64", "sum31")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => Streams.RangeDigestOut(t._1, t._2, t._3, t._4)).toSet
+    assert(streamed === batchDigest)
+    assert(batchFace === batchDigest)
+    // sanity on the fixture: three live rows, one per range
+    assert(batchDigest.map(_.range_id) === Set(0L, 1L, 2L))
+    assert(batchDigest.forall(_.n_rows == 1L))
+  }
+
   test("st14 scd2Stream: closed versions emitted as newer changes seal " +
       "them — multi-batch stream == one-batch fold == the closed " +
       "(is_current = false) rows of Diff.scd2History") {
