@@ -359,5 +359,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           seqCol = args.lift(3).map(_ => strArg("scd2_history", args, 3))
             .getOrElse("seq")))
       }))
+    ext.injectTableFunction((
+      FunctionIdentifier("interval_merge"),
+      info("interval_merge",
+        "_FUNC_(table, keyCol, startCol, endCol) - union of overlapping-" +
+          "or-touching closed intervals per key: one (key, m_start, " +
+          "m_end, n_merged) row per disjoint merged interval"),
+      (args: Seq[Expression]) => {
+        arity("interval_merge", args, 4, 4)
+        val spark = SparkSession.active
+        GraftInternal.logicalPlan(graft.operators.Intervals.mergeOverlapping(
+          spark.table(strArg("interval_merge", args, 0)),
+          col(strArg("interval_merge", args, 1)),
+          col(strArg("interval_merge", args, 2)),
+          col(strArg("interval_merge", args, 3))))
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("pps_sample"),
+      info("pps_sample",
+        "_FUNC_(table, idCol, weightCol, k) - probability-proportional-" +
+          "to-size systematic sample: exactly k grid hits over the " +
+          "cumulative weight axis in (md5(id), id) order; returns " +
+          "(id, w, mult) with multiplicity for items heavier than the " +
+          "stride"),
+      (args: Seq[Expression]) => {
+        arity("pps_sample", args, 4, 4)
+        val spark = SparkSession.active
+        GraftInternal.logicalPlan(graft.operators.Mixing.ppsSystematicSample(
+          spark.table(strArg("pps_sample", args, 0)),
+          col(strArg("pps_sample", args, 1)),
+          col(strArg("pps_sample", args, 2)),
+          k = numArg("pps_sample", args, 3, 0.0).toInt))
+      }))
+    ext.injectTableFunction((
+      FunctionIdentifier("range_digest"),
+      info("range_digest",
+        "_FUNC_(table, keyCol, rangeSize, cols) - Merkle-style range " +
+          "digests: (range_id, n_rows, xor64, sum31) per contiguous key " +
+          "range over the portable md5-prefix row hash of the " +
+          "comma-separated column list; compare two replicas' digests " +
+          "to localize damage without shipping rows"),
+      (args: Seq[Expression]) => {
+        arity("range_digest", args, 4, 4)
+        val spark = SparkSession.active
+        val cols = strArg("range_digest", args, 3)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        GraftInternal.logicalPlan(graft.operators.Diff.rangeDigest(
+          spark.table(strArg("range_digest", args, 0)),
+          col(strArg("range_digest", args, 1)),
+          rangeSize = numArg("range_digest", args, 2, 0.0).toLong,
+          cols = cols.map(col)))
+      }))
   }
 }

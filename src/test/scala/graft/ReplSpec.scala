@@ -101,6 +101,25 @@ class ReplSpec extends TestSpark {
         "scd2_history('repl_hist', 'k') ORDER BY valid_from")
     assert(hist.contains("10") && hist.contains("11"), hist)
     assert(hist.contains("true") && hist.contains("false"), hist)
+    // interval union through SQL text: [0,10]+[5,12] merge, [20,25] apart
+    Seq((1L, 0L, 10L), (1L, 5L, 12L), (1L, 20L, 25L))
+      .toDF("k", "s", "e").createOrReplaceTempView("repl_iv")
+    val merged2 = repl.runLine(
+      "SELECT m_start, m_end, n_merged FROM " +
+        "interval_merge('repl_iv', 'k', 's', 'e') ORDER BY m_start")
+    assert(merged2.contains("12") && merged2.contains("25"), merged2)
+    // PPS sample through SQL text: sum of multiplicities == k
+    Seq((1L, 100L), (2L, 1L), (3L, 1L)).toDF("id", "w")
+      .createOrReplaceTempView("repl_w")
+    val pps = repl.runLine(
+      "SELECT sum(mult) AS total FROM pps_sample('repl_w', 'id', 'w', 3)")
+    assert(pps.contains("3"), pps)
+    // range digests through SQL text: 2 ranges for keys {1, 65}
+    Seq((1L, "a"), (65L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("repl_rd")
+    val rd = repl.runLine(
+      "SELECT count(*) AS n FROM range_digest('repl_rd', 'k', 64, 'k,v')")
+    assert(rd.contains("2"), rd)
   }
 
   test("CLI parity: -f xlsx -s sheet loads excel_rows and serves SQL + |out= " +
