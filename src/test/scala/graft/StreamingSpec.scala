@@ -633,6 +633,62 @@ class StreamingSpec extends TestSpark {
     assert(q.recentProgress.exists(_.stateOperators.length === 2))
   }
 
+  test("checkpoint recovery (st11): the chained dedup→agg state " +
+      "survives a restart — a duplicate (user, window) delivered to " +
+      "the RESTARTED stream is not double-counted, and windows " +
+      "finalize exactly once") {
+    val stageDir = Files.createTempDirectory("sd-ck-stage").toString
+    val ckpt = Files.createTempDirectory("sd-ck-state").toString
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("ts", "timestamp")
+    def run(): Unit = {
+      val streamed = spark.readStream.schema(schema).parquet(stageDir)
+      val q = Streams.slidingDistinctStream(streamed)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select(col("w_ts").cast("long"), col("n_users"))
+            .as[(Long, Long)].collect()
+          out.synchronized { out ++= rows }; ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    def at(u: Long, offSec: Long) =
+      (u, new java.sql.Timestamp(t0.getTime + offSec * 1000))
+    // run 1: two users, two buckets — nothing finalizes (no sentinel)
+    Seq(at(1L, 0), at(2L, 600)).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    // run 2 on the SAME checkpoint: user 1's event REDELIVERED
+    // verbatim (must be suppressed by the recovered dedup state), a
+    // new user, and a far-future sentinel finalizing every window
+    Seq(at(1L, 0), at(3L, 0), at(-1L, 4 * 3600)).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    val maxRealW = (t0.getTime / 1000 + 600) / 600 * 600
+    val got = out.synchronized(out.toList)
+      .filter(_._1 <= maxRealW).sorted
+    // q61's batch formulation over the DISTINCT union of both deliveries
+    val want = Seq(at(1L, 0), at(2L, 600), at(3L, 0))
+      .toDF("user_id", "ts")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 600").as("b"))
+      .distinct()
+      .select(col("user_id"), col("b"),
+        explode(expr("sequence(0, 5)")).as("i"))
+      .select(col("user_id"), ((col("b") - col("i")) * 600).as("w_start"))
+      .distinct()
+      .groupBy("w_start").agg(count(lit(1)).as("n_users"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got === want)
+    // exactly-once: no window appeared twice across the two runs
+    assert(got.map(_._1).distinct.size === got.size)
+  }
+
   test("checkpoint recovery: a RESTARTED dedup stream remembers every " +
       "key the killed run already emitted") {
     // fault-tolerance, not just multi-batch equivalence: run 1
