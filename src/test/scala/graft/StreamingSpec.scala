@@ -660,30 +660,32 @@ class StreamingSpec extends TestSpark {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
     def at(u: Long, offSec: Long) =
       (u, new java.sql.Timestamp(t0.getTime + offSec * 1000))
-    // run 1: two users, two buckets — nothing finalizes (no sentinel)
-    Seq(at(1L, 0), at(2L, 600)).toDF("user_id", "ts")
+    // run 1: two users in ONE bucket — the checkpointed watermark ends
+    // at t0 − 600 (w_ts trails by the fan-out), leaving the two newest
+    // windows OPEN with (u1, w) dedup entries in state
+    Seq(at(1L, 0), at(2L, 0)).toDF("user_id", "ts")
       .coalesce(1).write.mode("append").parquet(stageDir)
     run()
     // run 2 on the SAME checkpoint: user 1's event REDELIVERED
-    // verbatim (must be suppressed by the recovered dedup state), a
-    // new user, and a far-future sentinel finalizing every window
+    // verbatim — its two ABOVE-WATERMARK windows are suppressed ONLY
+    // if the dedup state recovered (a fresh store would re-emit them
+    // into the agg and double-count); user 3 contributes to exactly
+    // those two windows (its older fan-out rows are legitimately
+    // late); the far-future sentinel finalizes every real window
     Seq(at(1L, 0), at(3L, 0), at(-1L, 4 * 3600)).toDF("user_id", "ts")
       .coalesce(1).write.mode("append").parquet(stageDir)
     run()
-    val maxRealW = (t0.getTime / 1000 + 600) / 600 * 600
+    val b0 = t0.getTime / 1000 / 600 * 600
     val got = out.synchronized(out.toList)
-      .filter(_._1 <= maxRealW).sorted
-    // q61's batch formulation over the DISTINCT union of both deliveries
-    val want = Seq(at(1L, 0), at(2L, 600), at(3L, 0))
-      .toDF("user_id", "ts")
-      .select(col("user_id"), expr("unix_timestamp(ts) div 600").as("b"))
-      .distinct()
-      .select(col("user_id"), col("b"),
-        explode(expr("sequence(0, 5)")).as("i"))
-      .select(col("user_id"), ((col("b") - col("i")) * 600).as("w_start"))
-      .distinct()
-      .groupBy("w_start").agg(count(lit(1)).as("n_users"))
-      .as[(Long, Long)].collect().toSeq.sorted
+      .filter(_._1 <= b0).sorted
+    // window t0: {u1, u2} + u3 with the duplicate suppressed → 3;
+    // older windows: {u1, u2} only — u3's fan-out rows at or below
+    // the recovered watermark (boundary INCLUSIVE, measured) are
+    // late-dropped, which is itself recovery evidence: a fresh
+    // checkpoint would have watermark 0 and admit all six
+    val want = (0 to 5).map { i =>
+      (b0 - 600L * i, if (i == 0) 3L else 2L)
+    }.sorted
     assert(got === want)
     // exactly-once: no window appeared twice across the two runs
     assert(got.map(_._1).distinct.size === got.size)
