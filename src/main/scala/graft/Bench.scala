@@ -144,7 +144,7 @@ object Bench {
     // Merkle replica checksum (map-side-combined range digests), and
     // per-scene keyframe selection (row-local single pass)
     "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
-    "m11_keyframe_select", "q73_interval_merge")
+    "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

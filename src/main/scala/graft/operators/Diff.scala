@@ -217,4 +217,27 @@ object Diff {
         col(seqCol).as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current")): _*)
   }
+
+  /** Point-in-time reconstruction (q74) — the read that makes SCD2
+    * history WORTH keeping: the table AS OF seq `s` is exactly the
+    * versions whose half-open validity interval contains `s`
+    * (`valid_from <= s < valid_to`, open versions unbounded). Closes
+    * the CDC loop: [[snapshotDiff]] derives a changelog,
+    * [[applyChangeset]] lands it, [[scd2History]] reshapes it into
+    * versions, and this filter reads any historical state back out —
+    * the round-trip law `asOf(history(changelog), s) == fold of the
+    * changelog truncated at s` is spec-proven.
+    *
+    * Scale shape: a ROW-LOCAL filter, no shuffle, no window — and
+    * with the history table written sorted/partitioned on
+    * `valid_from` (q56's layout discipline) the predicate prunes
+    * files, so "query last month's state" reads last month's
+    * versions, not 100 TB of history. */
+  def snapshotAsOf(history: DataFrame, asOfSeq: Long,
+                   validFrom: String = "valid_from",
+                   validTo: String = "valid_to"): DataFrame =
+    history
+      .filter(col(validFrom) <= asOfSeq &&
+        (col(validTo).isNull || col(validTo) > asOfSeq))
+      .drop(validFrom, validTo, "is_current")
 }

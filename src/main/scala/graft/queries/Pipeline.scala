@@ -2466,6 +2466,57 @@ object Pipeline {
               FROM v WHERE op <> 'delete'
               ORDER BY o_orderkey, valid_from""")),
 
+    // -- point-in-time snapshot from SCD2 history (q74) --------------------
+    // the read side of q70: the table AS OF seq 3 is the versions
+    // whose [valid_from, valid_to) contains 3 — a row-local filter
+    // over the history (file-prunable under a valid_from layout).
+    // At seq 3 the mod-7 repricing (seq 2) is visible, the mod-11
+    // deletes (seq 3, half-open: valid_to > 3 required) have taken
+    // effect, and the seq-4 updates have not happened yet.
+    Q("q74_snapshot_asof",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        val ins = o.withColumn("op", lit("insert")).withColumn("seq", lit(1L))
+        val up2 = o.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("op", lit("update")).withColumn("seq", lit(2L))
+        val del = o.filter(col("o_orderkey") % 11 === 3)
+          .withColumn("op", lit("delete")).withColumn("seq", lit(3L))
+        val up4 = o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+          .withColumn("o_orderstatus", lit("F"))
+          .withColumn("op", lit("update")).withColumn("seq", lit(4L))
+        Diff.snapshotAsOf(
+            Diff.scd2History(
+              ins.unionByName(up2).unionByName(del).unionByName(up4),
+              keys = Seq("o_orderkey")),
+            asOfSeq = 3L)
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH chg AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       'insert' AS op, 1 AS seq FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 1000.0, o_orderstatus,
+                       'update', 2 FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderstatus,
+                       'delete', 3 FROM orders WHERE o_orderkey % 11 = 3
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 5000.0, 'F',
+                       'update', 4 FROM orders WHERE o_orderkey % 13 = 0),
+              v AS (
+                SELECT *, lead(seq) OVER (PARTITION BY o_orderkey
+                  ORDER BY seq) AS valid_to
+                FROM chg)
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM v
+              WHERE op <> 'delete' AND seq <= 3
+                AND (valid_to IS NULL OR valid_to > 3)
+              ORDER BY o_orderkey""")),
+
     // -- Merkle-style replica checksum diff (q72) --------------------------
     // anti-entropy for 100 TB replicas: reduce each contiguous key
     // range to an order-independent (count, xor, modular-sum) triple

@@ -186,6 +186,36 @@ class DiffSpec extends TestSpark {
     assert(msgs(e2).contains("unknown op"), e2.toString)
   }
 
+  test("snapshotAsOf: the table AS OF s equals the changelog truncated " +
+      "at s and applied batch-by-batch — the CDC round-trip law at " +
+      "every seq") {
+    val chg = Seq(
+      (1L, 10.0, "insert", 1L), (2L, 20.0, "insert", 1L),
+      (3L, 30.0, "insert", 1L),
+      (1L, 11.0, "update", 2L),
+      (2L, 0.0, "delete", 3L),
+      (2L, 21.0, "insert", 4L), (3L, 31.0, "update", 4L))
+      .toDF("k", "v", "op", "seq")
+    val hist = Diff.scd2History(chg, keys = Seq("k"))
+    val empty = chg.select(col("k"), col("v")).filter(lit(false))
+    for (s <- 1L to 4L) {
+      val asOf = Diff.snapshotAsOf(hist, s)
+        .select("k", "v").as[(Long, Double)].collect().toSet
+      val ref = (1L to s).foldLeft(empty) { (snap, i) =>
+        Diff.applyChangeset(snap,
+          chg.filter(col("seq") === i).drop("seq"), keys = Seq("k"))
+      }.as[(Long, Double)].collect().toSet
+      assert(asOf === ref, s"as-of $s")
+    }
+    // spot checks: the delete window and the revive
+    assert(Diff.snapshotAsOf(hist, 3L).select("k", "v")
+      .as[(Long, Double)].collect().toSet ===
+      Set((1L, 11.0), (3L, 30.0)))
+    assert(Diff.snapshotAsOf(hist, 4L).select("k", "v")
+      .as[(Long, Double)].collect().toSet ===
+      Set((1L, 11.0), (2L, 21.0), (3L, 31.0)))
+  }
+
   test("applyChangeset: an unknown op on a change row that LOSES the " +
       "seq race still fails loudly (vocabulary is checked per row, " +
       "before the winner filter)") {

@@ -50,7 +50,7 @@ HEADLINE = [
     "q66_kmeans_train", "q67_cluster_sample", "q68_apply_changeset",
     "q69_unpivot",
     "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
-    "m11_keyframe_select", "q73_interval_merge",
+    "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof",
 ]
 
 def connect(sf_dir):
