@@ -285,13 +285,18 @@ object Bench {
     // record to a file the tail can't truncate, then end stdout with a
     // COMPACT line that provably fits the window — headline totals plus
     // the slowest queries, greedily packed under a hard byte budget.
+    // subset runs (SPARK_GRAFT_BENCH_ONLY) persist to a SEPARATE file:
+    // a 1-query refresh must never overwrite the committed full-suite
+    // record (measured: it did, round 11)
+    val fullFile = if (run.size == headline.size) "BENCH_last_full.json"
+                   else "BENCH_last_subset.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_last_full.json"),
+      java.nio.file.Paths.get(fullFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_last_full.json write failed: $e") }
+      System.err.println(s"[bench] $fullFile write failed: $e") }
     val head =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size},"full":"BENCH_last_full.json"$failedJson,"queries":{"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_min":$totalMin%.3f,"n_queries":${results.size},"full":"$fullFile"$failedJson,"queries":{"""
     val tail0 = s"""},"sf":"$sfDir"}"""
     val budget = 1600 - head.length - tail0.length
     val entries = results.sortBy { case (_, (med, _)) => -med }
