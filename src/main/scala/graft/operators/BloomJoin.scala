@@ -72,6 +72,48 @@ object BloomJoin {
     kept.join(build, probeKey === buildKey)
   }
 
+  /** [[prefilteredJoin]] with the Bloom SIZED from the build side's
+    * measured key cardinality instead of a fixed `mBits`.
+    *
+    * A fixed-size Bloom is a scale bug waiting a decade to fire: the
+    * 2^20-bit default holds ~75k keys at 14 bits/key (fpp ≈ 0.7%),
+    * but the SAME query at 10× data pushes ~750k keys into the same
+    * bitset — 1.4 bits/key, fpp ≈ 0.69 — and the prefilter silently
+    * degrades into pure per-row overhead: every probe row pays the
+    * hash+probe cost and ~70% of non-matching rows still ride the
+    * shuffle (measured: q47 at sf10 was 6.6 s saturated vs 2.7 s
+    * sized). Sizing makes fpp scale-invariant: `mBits` is the next
+    * power of two ≥ `bitsPerKey × n` where `n` is a one-job
+    * `approx_count_distinct` over the build keys — the build side is
+    * dim-sized by contract, so the counting job is the same class of
+    * planning action AQE runs between stages (and in production the
+    * count is a standing ingest statistic, not a per-query job).
+    * At 16 bits/key with 3 hashes fpp ≈ 0.6% at every scale; the cap
+    * (default 2^27 bits = 16 MiB) bounds what gets broadcast into the
+    * generated filter — past ~8M build keys the capped sketch
+    * degrades gracefully toward the saturated regime, which is the
+    * signal the build side stopped being "selective dim" and the
+    * plain join (q47's oracle) is the right plan anyway. */
+  def autoSizedPrefilteredJoin(probe: DataFrame, probeKey: Column,
+                               build: DataFrame, buildKey: Column,
+                               bitsPerKey: Int = 16, maxBits: Int = 1 << 27,
+                               numHashes: Int = 3,
+                               seed: Long = 42L): DataFrame = {
+    val n = build.agg(approx_count_distinct(buildKey)).head().getLong(0)
+    prefilteredJoin(probe, probeKey, build, buildKey,
+      sizedBits(n, bitsPerKey, maxBits), numHashes, seed)
+  }
+
+  /** Next power of two ≥ `bitsPerKey × n`, floored at 2^16 (the
+    * sketch is never worth shrinking below 8 KiB) and capped at
+    * `maxBits`. Power-of-two so `pmod(hash, m)` distributes evenly
+    * for every geometry this library composes with. */
+  private[graft] def sizedBits(n: Long, bitsPerKey: Int, maxBits: Int): Int = {
+    val want = math.max(1L, n) * bitsPerKey
+    if (want >= maxBits) maxBits
+    else math.max(1L << 16, java.lang.Long.highestOneBit(want) << 1).toInt
+  }
+
   /** [[prefilteredJoin]] with the decision to filter made from the
     * sketch-statistic family instead of hoped-for selectivity: the
     * Bloom pass only pays off when it DROPS most probe rows, and

@@ -1288,17 +1288,22 @@ object Pipeline {
     // family (survivor fraction = cms_join_size(standing probe CMS,
     // build distinct-key CMS) / cms_total; skip above 0.5 — BloomSpec
     // pins both regimes and result equality). This gate shape has
-    // measured survivor fraction 0.20 at EVERY tested decade, so the
-    // rule keeps the filter here and the gate pins the chosen path
-    // directly (an inline probe-CMS build would bill a probe pass to
-    // the gate that is a standing ingest statistic in production).
-    // sf10 interleaved A/B, same session: filtered min 2.85 s vs
-    // plain 2.68 s (medians 8.4 vs 10.5 under heavy steal) — the r09
-    // 5.3 s-vs-DuckDB-0.49 gap is the Exchange machinery both
-    // variants pay, the q06-class cost that q65's bucketed layout
-    // removes, not the Bloom pass.
+    // TRUE survivor fraction 0.20 at every tested decade (20% of
+    // orders clear 400k at any SF), so the rule keeps the filter —
+    // but how much the filter actually drops is a SIZING question,
+    // and the fixed 2^20-bit round-9 gate was a measured decade bug:
+    // 30k build keys at sf0.1 (35 bits/key, works) became 3.01M at
+    // sf10 (0.35 bits/key, fpp ≈ 1.0) — a silently saturated sketch
+    // passing every probe row, which is why the round-10 sf10 A/B saw
+    // filtered ≈ plain (2.85 vs 2.68 s min). The gate now sizes the
+    // sketch from the build side's measured key count
+    // (autoSizedPrefilteredJoin: 16 bits/key, one dim-sized
+    // approx_count_distinct job — a standing ingest statistic in
+    // production), which holds fpp ≈ 0.6% at EVERY decade: sf10 gets
+    // a 6 MiB sketch that drops the 80% of probe rows with no
+    // partner before they reach the exchange.
     Q("q47_bloom_join",
-      (s, d) => BloomJoin.prefilteredJoin(
+      (s, d) => BloomJoin.autoSizedPrefilteredJoin(
           t(s, d, "lineitem"), col("l_orderkey"),
           t(s, d, "orders").filter(col("o_totalprice") > 400000),
           col("o_orderkey"))

@@ -553,16 +553,23 @@ object Relational {
     // lifted to DECIMAL(27,4), q24's determinism recipe, so
     // snapshot+delta is bit-identical to the full recompute the
     // oracle runs). Merge cost is |rollup| + |delta|, never |corpus|.
+    // The snapshot and delta states are built in ONE corpus scan by
+    // adding the snapshot/delta boundary to the partial grouping key
+    // (day, event_type, ts >= cutoff) — the union-then-remerge
+    // spelling scanned events TWICE (measured sf10: 3.3 s vs 1.x s)
+    // to build states one grouped pass produces; the merge law being
+    // demonstrated (separately-aggregated algebraic states re-agg
+    // into the full recompute, bit-exactly) is identical either way,
+    // and the production shape reads the snapshot state rollup-sized
+    // from storage, so the bench should bill at most one corpus scan.
+    // Second exchange carries only rollup-sized merged state.
     Q("q54_incremental_rollup",
       (s, d) => {
         val cutoff = lit("2024-01-21").cast("timestamp")
-        def part(df: org.apache.spark.sql.DataFrame) = df
-          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        t(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"),
+            (col("ts") >= cutoff).as("__delta"))
           .agg(count(lit(1)).as("cnt"), sum(col("value").cast(D4)).as("sv"))
-        val ev = t(s, d, "events")
-        val snap = part(ev.filter(col("ts") < cutoff))
-        val delta = part(ev.filter(col("ts") >= cutoff))
-        snap.unionByName(delta)
           .groupBy("day", "event_type")
           .agg(sum("cnt").as("cnt"),
             sum("sv").cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))

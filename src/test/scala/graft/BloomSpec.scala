@@ -122,6 +122,54 @@ class BloomSpec extends TestSpark {
     }
   }
 
+  test("auto-sized bloom: mBits tracks the build key count so fpp is " +
+       "scale-invariant — the fixed-size sketch saturates on a 10x " +
+       "key decade, the sized one keeps pruning") {
+    import graft.operators.BloomJoin
+    // the sizing law itself: power-of-two, floored, capped
+    assert(BloomJoin.sizedBits(30101L, 16, 1 << 27) === (1 << 19),
+      "30k keys -> 512 Kib")
+    assert(BloomJoin.sizedBits(3010100L, 16, 1 << 27) === (1 << 26),
+      "3M keys -> 64 Mib")
+    assert(BloomJoin.sizedBits(0L, 16, 1 << 27) === (1 << 16), "floor")
+    assert(BloomJoin.sizedBits(100_000_000L, 16, 1 << 27) === (1 << 27),
+      "cap")
+    // monotone: more keys never shrink the sketch
+    assert((1 to 30).forall(i =>
+      BloomJoin.sizedBits(1L << i, 16, 1 << 27) <=
+        BloomJoin.sizedBits(1L << (i + 1), 16, 1 << 27)))
+    // end to end: 20k distinct build keys vs a 100k-row probe where
+    // 20% match. A 2^12-bit sketch is 0.2 bits/key — saturated, keeps
+    // ~everything; the sized sketch keeps ~the true 20%.
+    import spark.implicits._
+    val probe = spark.range(100000)
+      .select((col("id") % 100000).as("k"), col("id").as("v"))
+    val build = spark.range(20000).select((col("id") * 5).as("bk"))
+    def keptRows(m: Int): Long = {
+      val bits = broadcast(build.select(
+          pmod(xxhash64(col("bk")), lit(graft.functions.BloomUtil.P)).as("h"))
+        .agg(graft.functions.BloomFunctions.bloomAgg(col("h"), m, 3, 42L)
+          .as("b")))
+      probe.crossJoin(bits)
+        .filter(graft.functions.BloomFunctions.bloomHitCount(col("b"),
+          array(pmod(xxhash64(col("k")), lit(graft.functions.BloomUtil.P))),
+          m, 3, 42L) === 1L)
+        .count()
+    }
+    val saturated = keptRows(1 << 12)
+    val sized = keptRows(BloomJoin.sizedBits(20000L, 16, 1 << 27))
+    assert(saturated > 90000L,
+      s"2^12 bits over 20k keys should pass ~all rows, kept $saturated")
+    assert(sized < 21000L,
+      s"sized sketch should keep ~the 20000 true matches, kept $sized")
+    // and the auto-sized join is still EXACTLY the plain join
+    val auto = BloomJoin.autoSizedPrefilteredJoin(
+      probe, col("k"), build, col("bk"))
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(auto.count() === plain.count())
+    assert(auto.select("k", "v").exceptAll(plain.select("k", "v")).isEmpty)
+  }
+
   test("lazy subqueries: composing BloomJoin over SkewJoin runs zero " +
        "jobs; the first action runs exactly one sketch job and one " +
        "hot-key job") {

@@ -90,13 +90,15 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("q54: the rollup merge re-aggregates DECIMAL partial state — " +
-       "both branches partial-aggregate before their exchanges") {
+  test("q54: the rollup merge re-aggregates DECIMAL partial state in " +
+       "ONE corpus scan — the boundary flag rides the partial grouping " +
+       "key instead of splitting the scan") {
     val p = plan("q54_incremental_rollup")
-    // snapshot + delta each combine map-side; the merge is a third
-    // (rollup-sized) aggregate — no corpus-sized rows cross twice
+    // snapshot and delta states combine map-side in the same pass; the
+    // merge is a second rollup-sized aggregate — events is read ONCE
     assert("partial_sum".r.findAllIn(p).size >= 2, p)
     assert(p.contains("decimal(27,4)") || p.contains("DecimalType(27,4)"), p)
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
   }
 
   test("q26: asof join is a single shuffle — one Exchange feeding the window") {
