@@ -144,7 +144,9 @@ object Bench {
     // Merkle replica checksum (map-side-combined range digests), and
     // per-scene keyframe selection (row-local single pass)
     "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
-    "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof")
+    "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof",
+    "q75_column_profile", "q76_group_linregress", "q77_gap_fill",
+    "q78_weighted_median")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

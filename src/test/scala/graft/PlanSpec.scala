@@ -594,4 +594,39 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Join"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
+
+  test("q75: three exact distincts + the plain aggs in ONE corpus scan — " +
+      "the multi-distinct Expand shape") {
+    val p = plan("q75_column_profile")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q76: the regression sums partial-aggregate map-side in one scan; " +
+      "the closing scalar math never touches the corpus") {
+    val p = plan("q76_group_linregress")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q77: the day grid, key list and fill join all read the " +
+      "MATERIALIZED rollup — the events corpus is scanned once at the " +
+      "checkpoint, never inside the returned plan (lazy derivation " +
+      "measured to prune through the aggregate into THREE corpus scans)") {
+    val p = plan("q77_gap_fill")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q78: two bucket-local passes, no corpus-sized sort — both scans " +
+      "partial-aggregate map-side, the boundary join broadcasts, and " +
+      "every Sort under a window is preceded by a bucket/cell-sized " +
+      "aggregate, never raw rows") {
+    val p = plan("q78_weighted_median")
+    assert("FileScan parquet".r.findAllIn(p).size === 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("partial_sum".r.findAllIn(p).size >= 2, p)
+  }
+
 }

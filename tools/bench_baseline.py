@@ -51,6 +51,8 @@ HEADLINE = [
     "q69_unpivot",
     "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
     "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof",
+    "q75_column_profile", "q76_group_linregress", "q77_gap_fill",
+    "q78_weighted_median",
 ]
 
 def connect(sf_dir):
