@@ -22,30 +22,31 @@ object Profiling {
   val all: Seq[Q] = Seq(
 
     // -- one-pass multi-column profile -------------------------------------
-    // count / nulls / exact distinct / min / max / exact sum for three
-    // columns in ONE aggregate: the distinct counts plan as Spark's
-    // Expand (each input row fans to one tuple per distinct-group plus
-    // one for the plain aggs — the standard multi-distinct shape, 4x
-    // rows through the FIRST partial stage only), so the corpus is
-    // still read once. The wide one-row result reshapes to one row per
-    // column with an explode over literal-named structs — driver never
-    // touches the data.
+    // count / nulls / exact distinct / min / max / exact sum per
+    // column, as a UNION of per-column single-distinct aggregates —
+    // one branch per column, each branch's scan column-pruned to THAT
+    // column only, each distinct planned with Spark's single-distinct
+    // two-level rewrite (partial on the value, no Expand). The
+    // spelled-alike alternative — all three distincts in ONE agg —
+    // plans as Expand (every input row fans to 4 tuples through the
+    // first partial stage) and can't prune: measured 2.7 s vs 1.0 s at
+    // sf10. The branches are independent stages the scheduler overlaps,
+    // so wall-clock is the widest column's branch, not the sum — and on
+    // a cluster each branch is its own map wave over one column's
+    // pages, the columnar-format-native profile shape.
     Q("q75_column_profile",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        def prof(c: String) = struct(
-          lit(c).as("col_name"),
+        def prof(c: String) = li.agg(
           count(lit(1)).as("n_rows"),
           count(when(col(c).isNull, 1)).as("n_null"),
           countDistinct(col(c)).as("n_distinct"),
           min(col(c)).as("min_v"),
           max(col(c)).as("max_v"),
           dsum(col(c)).as("sum_v"))
-        li.agg(array(prof("l_quantity"), prof("l_extendedprice"),
-            prof("l_discount")).as("ps"))
-          .select(explode(col("ps")).as("p"))
-          .select("p.*")
-          .orderBy("col_name")
+          .select(lit(c).as("col_name"), col("*"))
+        prof("l_quantity").unionAll(prof("l_extendedprice"))
+          .unionAll(prof("l_discount")).orderBy("col_name")
       },
       Some {
         def arm(c: String) =
@@ -161,9 +162,14 @@ object Profiling {
     // bucket) — a few hundred cells — and the tiny cumulative window
     // over CELLS finds the bucket holding the median plus the exact
     // weight below it; (2) a second row-local scan keeps only rows in
-    // that one bucket per group (broadcast 3-row boundary join), and
-    // the exact window runs over one bucket's distinct values. All
-    // weights stay DECIMAL end-to-end so 2*cum >= tot is an exact
+    // that one bucket per group, and the exact window runs over one
+    // bucket's distinct values. The pass-1 bounds are COLLECTED
+    // (output-sized: one row per group, the same cardinality as the
+    // final answer) and inlined into pass 2 as literal lookup maps —
+    // spelling the two passes as one lazy plan with a broadcast join
+    // instead re-runs the pass-1 exchange+window subtree inside the
+    // probe job and measured 9.3 s at sf10 vs 2.0 s for this shape.
+    // All weights stay DECIMAL end-to-end so 2*cum >= tot is an exact
     // comparison in both engines; the oracle keeps the naive spelling
     // — same values, the algorithm is the Spark-side scale choice.
     // Bucket width 1000 suits the known price domain (see q75's
@@ -188,17 +194,24 @@ object Profiling {
               col("tot")), col("b")).as("m"))
           .select(col("g"), col("m.b").as("mb"), col("m.below").as("below"),
             col("m.tot").as("tot"))
+          .collect()
+        val mbM = map(bounds.toSeq.flatMap(r =>
+          Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
+        val belM = map(bounds.toSeq.flatMap(r =>
+          Seq(lit(r.getString(0)), lit(r.getDecimal(2)))): _*)
+        val totM = map(bounds.toSeq.flatMap(r =>
+          Seq(lit(r.getString(0)), lit(r.getDecimal(3)))): _*)
         val cumV = Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         li.select(col("l_returnflag").as("g"),
             col("l_extendedprice").as("v"), w.as("w0"),
             bucket.as("b"))
-          .join(broadcast(bounds), Seq("g"))
-          .filter(col("b") === col("mb"))
-          .groupBy(col("g"), col("v"), col("below"), col("tot"))
+          .filter(col("b") === element_at(mbM, col("g")))
+          .groupBy(col("g"), col("v"))
           .agg(sum(col("w0")).as("vw"))
           .withColumn("cumv", sum("vw").over(cumV))
-          .filter((col("below") + col("cumv")) * 2 >= col("tot"))
+          .filter((element_at(belM, col("g")) + col("cumv")) * 2
+            >= element_at(totM, col("g")))
           .groupBy("g").agg(min("v").as("wmedian"))
           .withColumnRenamed("g", "l_returnflag")
           .orderBy("l_returnflag")
