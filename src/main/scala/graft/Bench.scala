@@ -146,7 +146,12 @@ object Bench {
     "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
     "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof",
     "q75_column_profile", "q76_group_linregress", "q77_gap_fill",
-    "q78_weighted_median")
+    "q78_weighted_median",
+    // round-11: data-quality family — rule audit (one orders
+    // aggregate + two anti-joins), first-failing attrition cascade
+    // (one row-local scan), per-group sigma outliers (q78's
+    // output-sized stats collect + one flagging scan)
+    "q79_dq_audit", "t18_filter_attrition", "q80_group_outliers")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

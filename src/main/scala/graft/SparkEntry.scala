@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Pipeline, Profiling, Q, Relational}
+import graft.queries.{Pipeline, Profiling, Q, Quality, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
   /** Every implemented operator, in SURVEY §2 order. */
   def inventory: Seq[Q] =
-    Relational.all ++ Pipeline.all ++ Profiling.all
+    Relational.all ++ Pipeline.all ++ Profiling.all ++ Quality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -634,4 +634,38 @@ class PlanSpec extends TestSpark {
     assert("partial_sum".r.findAllIn(p).size >= 1, p)
   }
 
+  test("q79: all six rules from TWO partial-aggregated key exchanges and " +
+      "one co-partitioned full-outer join — no anti-joins, no broadcast " +
+      "of a fact-sized key table, no third key exchange (the separate " +
+      "anti-join spelling measured 9.2 s at sf10 vs 4.8 s)") {
+    val p = plan("q79_dq_audit")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("LeftAnti") && !p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert(p.contains("partial_count"), p)
+    // the stack() unpivot ships rule-count rows, not corpus rows
+    assert(p.contains("stack(6"), p)
+    // the child-side scan reads only the join key
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+  }
+
+  test("t18: the attrition cascade is ONE row-local corpus scan — no " +
+      "join, the CASE chain codegen'd into the partial aggregate") {
+    val p = plan("t18_filter_attrition")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q80: the RETURNED plan is the flagging pass alone — one scan, " +
+      "no join, the group stats inlined as literal maps (q78's " +
+      "output-sized collect recipe)") {
+    val p = plan("q80_group_outliers")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("element_at(map(keys:"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
 }

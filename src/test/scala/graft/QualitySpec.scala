@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Laws for the q79/t18/q80 data-quality family — every gated number is
+  * recomputed here through an independent spelling (filters and joins
+  * instead of CASE-counts and literal maps) on the same tables.
+  */
+class QualitySpec extends TestSpark {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q79: every rule's count matches an independently spelled filter") {
+    val out = q("q79_dq_audit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("r1_null_custkey", "r2_price_range",
+      "r3_status_domain", "r4_dup_orderkey", "r5_orphan_lineitem",
+      "r6_childless_order"))
+    val o = Tables(spark, sfDir, "orders")
+    val li = Tables(spark, sfDir, "lineitem")
+    assert(out("r1_null_custkey") === o.filter(col("o_custkey").isNull).count())
+    assert(out("r2_price_range") ===
+      o.filter(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0.0 || col("o_totalprice") > 450000.0).count())
+    assert(out("r3_status_domain") === 0)
+    assert(out("r4_dup_orderkey") ===
+      o.count() - o.select("o_orderkey").distinct().count())
+    assert(out("r5_orphan_lineitem") ===
+      li.count() - li.join(o, col("l_orderkey") === col("o_orderkey"),
+        "left_semi").count())
+    // childless = parents minus parents-with-children (orphans are zero
+    // on this data, so the semi-join count IS the children's parent set)
+    assert(out("r6_childless_order") ===
+      o.count() - o.join(li, col("o_orderkey") === col("l_orderkey"),
+        "left_semi").count())
+    assert(out("r6_childless_order") > 0,
+      "the synthetic data has childless orders — the audit must see them")
+  }
+
+  test("q79: a planted violation of each row-local rule is counted " +
+       "(nulls count as violations, not skipped rows)") {
+    val bad = Seq(
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Double], "O"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(10.0), "X"),
+      (java.lang.Long.valueOf(1L), java.lang.Double.valueOf(500000.0), "F"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+    val r = bad.agg(
+      count(when(col("o_totalprice").isNull ||
+        !(col("o_totalprice") > 0.0 && col("o_totalprice") <= 450000.0),
+        1)).as("r2"),
+      count(when(col("o_orderstatus").isNull ||
+        !col("o_orderstatus").isin("O", "F", "P"), 1)).as("r3"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("r4"))
+      .head()
+    assert(r.getLong(0) === 2, "null price + out-of-range price")
+    assert(r.getLong(1) === 1, "status X")
+    // countDistinct ignores the NULL key: 3 rows - 1 distinct key = 2,
+    // which deliberately counts the null-keyed row as a dup violation —
+    // a null key can't prove uniqueness
+    assert(r.getLong(2) === 2)
+  }
+
+  test("t18: stage counts sum to the corpus and each stage equals its " +
+       "independently spelled first-failing filter") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = q("t18_filter_attrition").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum === docs.count(), "attrition partitions the corpus")
+    val short = docs.filter(col("n_chars") < 120)
+    val lang = docs.filter(col("n_chars") >= 120 &&
+      !col("lang").isin("en", "es", "de", "fr"))
+    assert(out("1_too_short") === short.count())
+    assert(out("2_lang_filter") === lang.count())
+    assert(out.getOrElse("3_repetitive", 0L) > 0,
+      "the repetition rule fires on this corpus")
+    assert(out.getOrElse("0_survived", 0L) > 0, "some docs survive")
+  }
+
+  test("t18: ordering is first-failing — a doc failing BOTH length and " +
+       "language is attributed to length only") {
+    val one = Seq((1L, "zh zh", "zh", 5L)).toDF("doc_id", "text", "lang", "n_chars")
+    val toks = graft.operators.TextAnalysis.tokenCount(col("text")).cast("double")
+    val uniq = size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double")
+    val stage = when(col("n_chars") < 120, "1_too_short")
+      .when(!col("lang").isin("en", "es", "de", "fr"), "2_lang_filter")
+      .when(uniq / toks < 0.45, "3_repetitive")
+      .otherwise("0_survived")
+    assert(one.select(stage).head().getString(0) === "1_too_short")
+  }
+
+  test("q80: outlier counts match a two-sided filter recomputed from " +
+       "driver-side exact stats, and the 1.5-sigma rule fires") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val out = q("q80_group_outliers").collect()
+    assert(out.length === 3)
+    for (r <- out) {
+      val g = r.getString(0)
+      val rows = li.filter(col("l_returnflag") === g)
+        .select("l_extendedprice").as[Double].collect()
+      assert(r.getLong(1) === rows.length)
+      // independent spelling: exact decimal sums folded on the driver
+      // (dsum's documented per-row conversion — shortest-decimal
+      // HALF_UP at scale 4 — but a different accumulator and order)
+      def d4(v: Double): BigDecimal = BigDecimal(
+        java.math.BigDecimal.valueOf(v).setScale(4,
+          java.math.RoundingMode.HALF_UP))
+      val n = rows.length.toDouble
+      val sx = rows.map(d4).foldLeft(BigDecimal(0))(_ + _).toDouble
+      val sxx = rows.map(v => d4(v * v)).foldLeft(BigDecimal(0))(_ + _)
+        .toDouble
+      val mean = sx / n
+      val thr = 1.5 * math.sqrt(math.max(sxx / n - mean * mean, 0.0))
+      val expected = rows.count(v => math.abs(v - mean) > thr)
+      assert(r.getLong(2) === expected, s"group $g")
+      assert(r.getLong(2) > 0, s"1.5-sigma fires on near-uniform data ($g)")
+      assert(r.getLong(2) < rows.length, s"not everything is an outlier ($g)")
+    }
+  }
+}

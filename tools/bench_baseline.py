@@ -53,6 +53,7 @@ HEADLINE = [
     "m11_keyframe_select", "q73_interval_merge", "q74_snapshot_asof",
     "q75_column_profile", "q76_group_linregress", "q77_gap_fill",
     "q78_weighted_median",
+    "q79_dq_audit", "t18_filter_attrition", "q80_group_outliers",
 ]
 
 def connect(sf_dir):
