@@ -151,7 +151,11 @@ object Bench {
     // aggregate + two anti-joins), first-failing attrition cascade
     // (one row-local scan), per-group sigma outliers (q78's
     // output-sized stats collect + one flagging scan)
-    "q79_dq_audit", "t18_filter_attrition", "q80_group_outliers")
+    "q79_dq_audit", "t18_filter_attrition", "q80_group_outliers",
+    // round-11: rolling anomaly gauge (one event_type exchange, frame
+    // aggregates share the window buffer) and last-touch attribution
+    // (as-of as a window — one user_id exchange, no join)
+    "q81_rolling_anomaly", "q82_attribution")
 
   /** Re-exec into a child JVM with a PINNED, PRE-TOUCHED heap before
     * timing anything. With a growable heap (-Xmx alone, the natural

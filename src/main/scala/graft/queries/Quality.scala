@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
@@ -189,6 +190,96 @@ object Quality {
                         1.5 * sqrt(GREATEST(sxx/n - (sx/n)*(sx/n), 0))
                         THEN 1 END) AS n_outliers
                FROM lineitem l JOIN s ON s.g = l.l_returnflag
-               GROUP BY 1 ORDER BY 1"""))
+               GROUP BY 1 ORDER BY 1""")),
+
+    // -- rolling-window anomaly gauge ---------------------------------------
+    // q80's alarm against a MOVING baseline: each event is scored
+    // against the exact mean/σ of the 100 events BEFORE it in its
+    // type's stream (frame ends at 1 PRECEDING — the scored value
+    // never contaminates its own baseline), flagged when it exceeds
+    // mean + 1.5σ, and only full-history rows score (count over the
+    // frame == 100 — a warm-up row compared against 3 samples isn't a
+    // detection, it's noise). ONE event_type exchange + one
+    // partition-local sort; the three frame aggregates share the
+    // window buffer; the report is |types| rows. Exactness in a
+    // ROLLING frame needs the decimal spelling, not dsum (partial
+    // window state must travel as decimal values): sums are
+    // DECIMAL(27,4) — frame addition order is fixed by the frame
+    // itself — and the closing double math is spelled identically in
+    // both engines over the same VARCHAR-hop doubles. Order is total
+    // by (ts, event_id), so both engines score identical frames.
+    // 1.5σ for the same reason as q80 (near-uniform bench data);
+    // production tunes the knob, the one-exchange shape is the
+    // operator.
+    Q("q81_rolling_anomaly",
+      (s, d) => {
+        val f = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-100, -1)
+        val v = col("value")
+        val scored = t(s, d, "events")
+          .withColumn("n", count(lit(1)).over(f))
+          .withColumn("sx", sum(v.cast(D4)).over(f).cast("double"))
+          .withColumn("sxx", sum((v * v).cast(D4)).over(f).cast("double"))
+        val mean = col("sx") / 100.0
+        val thr = mean + lit(1.5) *
+          sqrt(greatest(col("sxx") / 100.0 - mean * mean, lit(0.0)))
+        scored.groupBy("event_type")
+          .agg(count(when(col("n") === 100, 1)).as("n_scored"),
+            count(when(col("n") === 100 && v > thr, 1)).as("n_anomalies"))
+          .orderBy("event_type")
+      },
+      Some("""WITH w AS (
+                SELECT event_type, value,
+                       COUNT(*) OVER f AS n,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER f
+                         AS VARCHAR) AS DOUBLE) AS sx,
+                       CAST(CAST(SUM(CAST(value*value AS DECIMAL(27,4)))
+                         OVER f AS VARCHAR) AS DOUBLE) AS sxx
+                FROM events
+                WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+              SELECT event_type,
+                     COUNT(CASE WHEN n = 100 THEN 1 END) AS n_scored,
+                     COUNT(CASE WHEN n = 100 AND value > sx/100.0 +
+                       1.5 * sqrt(GREATEST(sxx/100.0
+                         - (sx/100.0)*(sx/100.0), 0))
+                       THEN 1 END) AS n_anomalies
+              FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // -- streaming anomaly gauge, batch face ---------------------------------
+    // q81 as a STANDING query ([[graft.streaming.Streams.anomalyState]]):
+    // per-type ring-buffer state (last 100 sealed values as exact
+    // scale-4 longs with exact running integer sums — eviction
+    // subtracts exactly, so the moving baseline never drifts from a
+    // recompute), watermark reorder buffer, event-time seals. This
+    // gate runs the SAME per-key machine over the batch table and must
+    // reproduce q81's window plan row-for-row — the oracle is the
+    // per-row spelling of q81's SQL filtered to the alerts, so the
+    // ring-buffer arithmetic is hash-checked against the independent
+    // frame-aggregate derivation at every layout.
+    Q("st16_stream_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+          .as[graft.streaming.Streams.AnomEvent]
+        graft.streaming.Streams.anomalyState(ev)
+          .toDF().orderBy("event_type", "event_id")
+      },
+      Some("""WITH w AS (
+                SELECT event_type, event_id, value,
+                       COUNT(*) OVER f AS n,
+                       CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER f
+                         AS VARCHAR) AS DOUBLE) AS sx,
+                       CAST(CAST(SUM(CAST(value*value AS DECIMAL(27,4)))
+                         OVER f AS VARCHAR) AS DOUBLE) AS sxx
+                FROM events
+                WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING))
+              SELECT event_type, event_id, value FROM w
+              WHERE n = 100 AND value > sx/100.0 +
+                1.5 * sqrt(GREATEST(sxx/100.0 - (sx/100.0)*(sx/100.0), 0))
+              ORDER BY event_type, event_id"""))
   )
 }

@@ -543,6 +543,60 @@ object Relational {
               FROM ev JOIN firsts ON ev.user_id = firsts.user_id
               GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
 
+    // -- last-touch attribution (q82) ---------------------------------------
+    // the marketing-analytics staple q50/q51 complete: every purchase
+    // is attributed to the LAST non-purchase event of the same user
+    // within a 7-day lookback, and the report is conversions + exact
+    // revenue per attributed touch type (untouched purchases land in
+    // '(none)'). The as-of lookup is a WINDOW, not a join: last(...,
+    // ignoreNulls) over (user, ts rows unbounded..1 preceding) — the
+    // frame ends BEFORE the row, so a purchase never attributes to
+    // itself or a later event, and ignoreNulls skips interleaved
+    // purchases to the newest true touch. The fact table pays exactly
+    // ONE user_id exchange (q50's partitioning), the attribution is
+    // frame-local, and the report aggregate is |touch types| rows.
+    // Order is total by (ts, event_id) so both engines see identical
+    // frames; revenue rides dsum.
+    Q("q82_attribution",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val touch = last(
+          when(col("event_type") =!= "purchase",
+            struct(col("ts").as("tts"), col("event_type").as("ttype"))),
+          ignoreNulls = true).over(w)
+        t(s, d, "events")
+          .withColumn("t", touch)
+          .filter(col("event_type") === "purchase")
+          .select(
+            when(col("t").isNotNull &&
+              col("t.tts") >= col("ts") - expr("interval 7 days"),
+              col("t.ttype")).otherwise("(none)").as("touch_type"),
+            col("value"))
+          .groupBy("touch_type")
+          .agg(count(lit(1)).as("n_conversions"),
+            dsum(col("value")).as("revenue"))
+          .orderBy("touch_type")
+      },
+      Some(s"""WITH w AS (
+                 SELECT event_type, ts, value,
+                        LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS) OVER f AS ttype,
+                        LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                          THEN ts END IGNORE NULLS) OVER f AS tts
+                 FROM events
+                 WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING))
+               SELECT CASE WHEN ttype IS NOT NULL
+                             AND tts >= ts - INTERVAL 7 DAY
+                           THEN ttype ELSE '(none)' END AS touch_type,
+                      COUNT(*) AS n_conversions,
+                      ${sqlSum("value")} AS revenue
+               FROM w WHERE event_type = 'purchase'
+               GROUP BY 1 ORDER BY 1""")),
+
     // -- incremental rollup maintenance (q54) ------------------------------
     // materialized-view maintenance without rescanning the corpus: a
     // daily rollup SNAPSHOT (events before the cutoff — yesterday's

@@ -850,4 +850,105 @@ object Streams {
           out.result().iterator
       }
   }
+
+  /** One anomaly-gauge input row (q81's shape). */
+  final case class AnomEvent(event_type: String, ts: Timestamp,
+                             event_id: Long, value: Double)
+  /** One emitted alert: the event scored above its moving baseline. */
+  final case class AnomAlert(event_type: String, event_id: Long,
+                             value: Double)
+  /** Per-type state: the last up-to-100 SEALED values as exact scale-4
+    * longs (value, value²) in seal order, their running sums (exact
+    * integer arithmetic — evicting a value subtracts exactly, so the
+    * running sums never drift from a recompute), and the reorder
+    * buffer of still-above-watermark rows. */
+  final case class AnomBuf(hist: Vector[(Long, Long)],
+                           sumV: Long, sumV2: Long,
+                           pending: List[(Long, Long, Double)])
+
+  private val AnomWindow = 100
+
+  /** One watermark-seal step of [[anomalyState]]'s per-key machine,
+    * factored out like [[funnelSeal]] so its invariants are directly
+    * testable:
+    *
+    *  - rows with `ts <= wm` seal NOW in (ts, event_id) order — the
+    *    same total order as q81's window frame, so the streamed scores
+    *    are bit-identical to the batch gauge whatever order batches
+    *    arrived in;
+    *  - each sealing row scores BEFORE it enters the history (q81's
+    *    1-PRECEDING frame end: a spike never suppresses itself through
+    *    its own σ contribution), and only against a FULL history
+    *    (exactly 100 sealed predecessors);
+    *  - the closing math is q81's exactly: sx/sxx through the same
+    *    scale-4 decimal per-row conversion ([[Scaled4Util.toScaled]])
+    *    and decimal→double hop, then identical IEEE double ops;
+    *  - state is O(1): the history is capped at 100 pairs of longs and
+    *    the pending buffer holds only above-watermark rows. */
+  private[graft] def anomalySeal(prev: AnomBuf,
+                                 incoming: Seq[(Long, Long, Double)],
+                                 wm: Long): (AnomBuf, List[(Long, Double)]) = {
+    val (ready, pending) = (prev.pending ++ incoming).partition(_._1 <= wm)
+    var hist = prev.hist
+    var sumV = prev.sumV
+    var sumV2 = prev.sumV2
+    val alerts = List.newBuilder[(Long, Double)]
+    ready.sortBy(r => (r._1, r._2)).foreach { case (_, id, v) =>
+      if (hist.size == AnomWindow) {
+        val sx = java.math.BigDecimal.valueOf(sumV, 4).doubleValue()
+        val sxx = java.math.BigDecimal.valueOf(sumV2, 4).doubleValue()
+        val mean = sx / 100.0
+        val thr = mean + 1.5 * math.sqrt(
+          math.max(sxx / 100.0 - mean * mean, 0.0))
+        if (v > thr) alerts += ((id, v))
+      }
+      val sv = graft.functions.Scaled4Util.toScaled(v)
+      val sv2 = graft.functions.Scaled4Util.toScaled(v * v)
+      hist = hist :+ ((sv, sv2))
+      sumV += sv; sumV2 += sv2
+      if (hist.size > AnomWindow) {
+        val (ev, ev2) = hist.head
+        hist = hist.tail
+        sumV -= ev; sumV2 -= ev2
+      }
+    }
+    (AnomBuf(hist, sumV, sumV2, pending), alerts.result())
+  }
+
+  /** Streaming rolling-anomaly gauge — q81's moving-baseline alarm as
+    * a standing query: each event scores against the exact mean/σ of
+    * the 100 events sealed before it in its type's stream and emits an
+    * [[AnomAlert]] when it exceeds mean + 1.5σ. Watermark semantics
+    * follow [[funnelState]]: above-watermark rows wait in a reorder
+    * buffer, seals run in event-time order, and a timeout wakes the
+    * key when the watermark passes its oldest pending row — so the
+    * alert stream is arrival-order-independent and equal to the batch
+    * face (spec-pinned). On a batch Dataset the same seal runs once
+    * per key with an open watermark and the output is exactly the
+    * anomaly rows of q81's window plan — the gated batch face. */
+  def anomalyState(events: Dataset[AnomEvent],
+                   lateness: String = "10 minutes"): Dataset[AnomAlert] = {
+    import events.sparkSession.implicits._
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", lateness) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src.groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomBuf, AnomAlert](
+        OutputMode.Append(), timeoutConf) {
+        (tpe: String, it: Iterator[AnomEvent], state: GroupState[AnomBuf]) =>
+          val incoming = it.map(e => (e.ts.getTime, e.event_id, e.value)).toSeq
+          val prev = state.getOption.getOrElse(AnomBuf(Vector.empty, 0L, 0L, Nil))
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val (next, alerts) = anomalySeal(prev, incoming, wm)
+          if (streaming) {
+            state.update(next)
+            if (next.pending.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(next.pending.map(_._1).min, wm + 1))
+          } else state.remove()
+          alerts.iterator.map { case (id, v) => AnomAlert(tpe, id, v) }
+      }
+  }
 }

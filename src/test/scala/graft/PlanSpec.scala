@@ -668,4 +668,22 @@ class PlanSpec extends TestSpark {
     assert(p.contains("partial_count"), p)
   }
 
+  test("q81: the rolling gauge pays ONE event_type exchange — the report " +
+      "groupBy reuses the window's partitioning, no second shuffle of " +
+      "scored rows") {
+    val p = plan("q81_rolling_anomaly")
+    assert("FileScan parquet".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("windowspecdefinition(event_type"), p)
+  }
+
+  test("q82: attribution is a window, not a join — the fact table pays " +
+      "exactly one user_id exchange; only touch-type report rows shuffle " +
+      "again") {
+    val p = plan("q82_attribution")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    assert(p.contains("windowspecdefinition(user_id"), p)
+  }
+
 }

@@ -117,4 +117,103 @@ class QualitySpec extends TestSpark {
       assert(r.getLong(2) < rows.length, s"not everything is an outlier ($g)")
     }
   }
+
+  test("q81: rolling anomalies match a driver-side sliding window over " +
+       "the same total order, and only full-history rows score") {
+    val ev = Tables(spark, sfDir, "events")
+    val out = q("q81_rolling_anomaly").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((tpe, (nScored, nAnom)) <- out) {
+      val rows = ev.filter(col("event_type") === tpe)
+        .select("ts", "event_id", "value").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+        .sortBy(r => (r._1, r._2)).map(_._3)
+      assert(nScored === math.max(0, rows.length - 100).toLong, tpe)
+      def d4(v: Double) = BigDecimal(java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP))
+      val expected = (100 until rows.length).count { i =>
+        val f = rows.slice(i - 100, i)
+        val sx = f.map(d4).sum.toDouble
+        val sxx = f.map(v => d4(v * v)).sum.toDouble
+        val mean = sx / 100.0
+        rows(i) > mean + 1.5 * math.sqrt(
+          math.max(sxx / 100.0 - mean * mean, 0.0))
+      }
+      assert(nAnom === expected.toLong, tpe)
+    }
+    assert(out.values.map(_._2).sum > 0, "the gauge fires on real data")
+  }
+
+  test("q81: the frame excludes the scored row — a spike over a constant " +
+       "baseline flags itself instead of suppressing itself via its own " +
+       "contribution to sigma") {
+    import org.apache.spark.sql.expressions.Window
+    val base = (1 to 100).map(i => (i.toLong, 10.0)) :+ (101L, 11.0)
+    val df = base.toDF("event_id", "value").repartition(5)
+    val f = Window.orderBy("event_id").rowsBetween(-100, -1)
+    val scored = df
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("sx", sum(col("value").cast(graft.queries.D4)).over(f)
+        .cast("double"))
+      .withColumn("sxx", sum((col("value") * col("value"))
+        .cast(graft.queries.D4)).over(f).cast("double"))
+      .filter(col("n") === 100)
+      .collect()
+    assert(scored.length === 1)
+    val r = scored.head
+    val mean = r.getAs[Double]("sx") / 100.0
+    val sd = math.sqrt(math.max(
+      r.getAs[Double]("sxx") / 100.0 - mean * mean, 0.0))
+    assert(mean === 10.0 && sd === 0.0,
+      "constant baseline: exact mean, zero sigma")
+    assert(r.getAs[Double]("value") > mean + 1.5 * sd, "the spike flags")
+  }
+
+  test("q82: attribution picks the newest prior non-purchase within the " +
+       "lookback, skips interleaved purchases, and sends stale or " +
+       "touchless purchases to (none)") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def at(h: Long) = new java.sql.Timestamp(ts0.getTime + h * 3600 * 1000)
+    val ev = Seq(
+      // user 1: view then click then purchase -> click (newest touch)
+      (1L, at(0), 1L, "view", 1.0),
+      (2L, at(1), 1L, "click", 1.0),
+      (3L, at(2), 1L, "purchase", 10.0),
+      // ...and a SECOND purchase right after: the interleaved purchase
+      // is skipped, still attributed to click
+      (4L, at(3), 1L, "purchase", 20.0),
+      // user 2: touch 8 days before purchase -> (none)
+      (5L, at(0), 2L, "view", 1.0),
+      (6L, at(8 * 24 + 1), 2L, "purchase", 30.0),
+      // user 3: purchase with no prior event -> (none)
+      (7L, at(0), 3L, "purchase", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(7)
+    ev.createOrReplaceTempView("q82_fixture")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = last(when(col("event_type") =!= "purchase",
+      struct(col("ts").as("tts"), col("event_type").as("ttype"))),
+      ignoreNulls = true).over(w)
+    val got = ev.withColumn("t", touch)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        when(col("t").isNotNull &&
+          col("t.tts") >= col("ts") - expr("interval 7 days"),
+          col("t.ttype")).otherwise("(none)").as("touch_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(3L -> "click", 4L -> "click",
+      6L -> "(none)", 7L -> "(none)"))
+  }
+
+  test("q82 gate: conversions partition the purchases and revenue adds up") {
+    val ev = Tables(spark, sfDir, "events")
+    val out = q("q82_attribution").collect()
+    assert(out.map(_.getLong(1)).sum ===
+      ev.filter(col("event_type") === "purchase").count())
+    assert(out.map(_.getString(0)).contains("(none)"))
+    assert(!out.map(_.getString(0)).contains("purchase"),
+      "a purchase never attributes to a purchase")
+  }
 }

@@ -54,6 +54,7 @@ HEADLINE = [
     "q75_column_profile", "q76_group_linregress", "q77_gap_fill",
     "q78_weighted_median",
     "q79_dq_audit", "t18_filter_attrition", "q80_group_outliers",
+    "q81_rolling_anomaly", "q82_attribution",
 ]
 
 def connect(sf_dir):
