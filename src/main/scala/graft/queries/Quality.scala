@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
@@ -197,38 +198,34 @@ object Quality {
     // against the exact mean/σ of the 100 events BEFORE it in its
     // type's stream (frame ends at 1 PRECEDING — the scored value
     // never contaminates its own baseline), flagged when it exceeds
-    // mean + 1.5σ, and only full-history rows score (count over the
-    // frame == 100 — a warm-up row compared against 3 samples isn't a
-    // detection, it's noise). ONE event_type exchange + one
-    // partition-local sort; the three frame aggregates share the
-    // window buffer; the report is |types| rows. Exactness in a
-    // ROLLING frame needs the decimal spelling, not dsum (partial
-    // window state must travel as decimal values): sums are
-    // DECIMAL(27,4) — frame addition order is fixed by the frame
-    // itself — and the closing double math is spelled identically in
-    // both engines over the same VARCHAR-hop doubles. Order is total
-    // by (ts, event_id), so both engines score identical frames.
-    // 1.5σ for the same reason as q80 (near-uniform bench data);
-    // production tunes the knob, the one-exchange shape is the
-    // operator.
+    // mean + 1.5σ, and only full-history rows score (the frame holds
+    // exactly 100 rows ⇔ global row number ≥ 101 — a warm-up row
+    // compared against 3 samples isn't a detection, it's noise).
+    //
+    // The naive spelling — rowsBetween(-100,-1) over a per-type window
+    // — has two 100×-scale killers: Spark re-aggregates all 100 frame
+    // rows per output row (O(100·n) decimal adds; 7.75 s at sf0.1,
+    // 5× anything else in the suite), and parallelism is bounded by
+    // |event_type| = 5, so at scale each type's whole stream sorts and
+    // scores on ONE task. This spelling keeps the exact same numbers:
+    //   frame_sum(i) = cum(i) − v(i) − cum(i−101)
+    // where cum is the RUNNING decimal prefix sum (Spark's O(n)
+    // running-frame path) — decimal subtraction is exact, so the
+    // frame sums are bit-identical to the recomputed ones. Parallelism
+    // comes from ts-range CHUNKS inside each type: two output-sized
+    // collect passes (per-type ts min/max for uniform width_bucket
+    // chunking — ANY boundary placement yields the same answer,
+    // boundaries only set parallelism — then exact per-chunk
+    // count/Σv/Σv² merged so every chunk can serve a full 100-row
+    // history) turn local window sums
+    // into global ones via literal-map offsets, and each chunk's rows
+    // are re-exploded into the NEXT chunk as carry context so
+    // lag(cum, 101) always reaches 101 rows back across a boundary.
+    // Cost: two column-pruned stat scans (|types|·|chunks| rows
+    // collected) + one corpus pass with two (type, chunk) exchanges —
+    // every stage |types|·|chunks|-way parallel, O(1) work per row.
     Q("q81_rolling_anomaly",
-      (s, d) => {
-        val f = Window.partitionBy("event_type")
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(-100, -1)
-        val v = col("value")
-        val scored = t(s, d, "events")
-          .withColumn("n", count(lit(1)).over(f))
-          .withColumn("sx", sum(v.cast(D4)).over(f).cast("double"))
-          .withColumn("sxx", sum((v * v).cast(D4)).over(f).cast("double"))
-        val mean = col("sx") / 100.0
-        val thr = mean + lit(1.5) *
-          sqrt(greatest(col("sxx") / 100.0 - mean * mean, lit(0.0)))
-        scored.groupBy("event_type")
-          .agg(count(when(col("n") === 100, 1)).as("n_scored"),
-            count(when(col("n") === 100 && v > thr, 1)).as("n_anomalies"))
-          .orderBy("event_type")
-      },
+      (s, d) => rollingAnomaly(s, d),
       Some("""WITH w AS (
                 SELECT event_type, value,
                        COUNT(*) OVER f AS n,
@@ -282,4 +279,151 @@ object Quality {
                 1.5 * sqrt(GREATEST(sxx/100.0 - (sx/100.0)*(sx/100.0), 0))
               ORDER BY event_type, event_id"""))
   )
+
+  /** q81's chunk-carry plan. See the Q entry's comment for the shape. */
+  private def rollingAnomaly(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import java.math.{BigDecimal => JBD}
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 4)
+    val ev = t(s, d, "events")
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+    val v4 = col("value").cast(D4)
+    val vv4 = (col("value") * col("value")).cast(D4)
+
+    // pass 0a: per-type ts range. Chunks are UNIFORM ts buckets inside
+    // [min, max] — width_bucket is O(1) codegen'd per row, vs O(chunks)
+    // boundary comparisons for percentile splits. Correctness is
+    // invariant to where the boundaries land (equal-ts rows always
+    // share a chunk because the split key is ts alone, so chunk order
+    // refines (ts, event_id) order); they only set parallelism, and
+    // the ≥101-row merge below absorbs empty/skewed buckets.
+    val nChunks = math.max(8, math.min(64, s.sparkContext.defaultParallelism))
+    val tsl = unix_micros(col("ts"))
+    val ranges: Map[String, (Long, Long)] = ev
+      .groupBy("event_type")
+      .agg(min(tsl).as("lo"), max(tsl).as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val rangeM = map(ranges.toSeq.sortBy(_._1).flatMap { case (k, (lo, hi)) =>
+      Seq(lit(k), struct(lit(lo).as("lo"), lit(hi).as("hi"))) }: _*)
+    val rng = element_at(rangeM, col("event_type"))
+    val chunk = least(greatest(width_bucket(tsl.cast("double"),
+      rng.getField("lo").cast("double"),
+      (rng.getField("hi") + 1L).cast("double"), lit(nChunks)),
+      lit(1L)), lit(nChunks.toLong)).cast("int")
+
+    // pass 0b: exact per-raw-chunk (count, Σv, Σv²) — |types|·|chunks|
+    // rows collected (decimal group sums are exact in any order). The
+    // driver merges adjacent chunks until every non-final chunk holds
+    // ≥ 101 rows — the invariant that lets ONE previous chunk serve
+    // any row's full 100-row history — and walks the merged chunks
+    // into exclusive prefix offsets.
+    val rawStats = ev
+      .groupBy(col("event_type").as("tpe"), chunk.as("c"))
+      .agg(count(lit(1)).as("n"), sum(v4).as("sx"), sum(vv4).as("sxx"))
+      .collect()
+    def bd(x: Any): JBD =
+      if (x == null) JBD.ZERO else x.asInstanceOf[JBD]
+    final case class Off(m: Int, n: Long, sx: JBD, sxx: JBD)
+    // per type: raw chunk (1-based) -> merged id + exclusive offsets
+    val offs = scala.collection.mutable.Map.empty[String, Array[Off]]
+    val maxM = scala.collection.mutable.Map.empty[String, Int]
+    rawStats.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val ordered = rs.sortBy(_.getInt(1))
+      // greedy merge: close a group once it reaches 101 rows; a
+      // too-small tail folds into the previous group
+      var groups = Vector.empty[(Vector[Int], Long, JBD, JBD)]
+      var raws = Vector.empty[Int]; var n = 0L
+      var sx = JBD.ZERO; var sxx = JBD.ZERO
+      for (r <- ordered) {
+        raws :+= r.getInt(1); n += r.getLong(2)
+        sx = sx.add(bd(r.get(3))); sxx = sxx.add(bd(r.get(4)))
+        if (n >= 101) {
+          groups :+= ((raws, n, sx, sxx))
+          raws = Vector.empty; n = 0L; sx = JBD.ZERO; sxx = JBD.ZERO
+        }
+      }
+      if (raws.nonEmpty) {
+        if (groups.nonEmpty) {
+          val (gr, gn, gsx, gsxx) = groups.last
+          groups = groups.init :+
+            ((gr ++ raws, gn + n, gsx.add(sx), gsxx.add(sxx)))
+        } else groups = Vector((raws, n, sx, sxx))
+      }
+      var accN = 0L; var accSx = JBD.ZERO; var accSxx = JBD.ZERO
+      val byRaw = new Array[Off](nChunks)
+      groups.zipWithIndex.foreach { case ((gr, gn, gsx, gsxx), m) =>
+        gr.foreach(rc => byRaw(rc - 1) = Off(m, accN, accSx, accSxx))
+        accN += gn; accSx = accSx.add(gsx); accSxx = accSxx.add(gsxx)
+      }
+      // empty raw buckets never produce rows, but keep the arrays total
+      for (i <- byRaw.indices if byRaw(i) == null)
+        byRaw(i) = Off(-1, 0L, JBD.ZERO, JBD.ZERO)
+      offs(tpe) = byRaw
+      maxM(tpe) = groups.length - 1
+    }
+    // ONE literal map: type -> struct(maxm, per-raw-chunk arrays of
+    // (merged id, exclusive count/Σv/Σv² offsets)). One O(|types|) map
+    // scan per row (materialized as a column), then O(1) array reads.
+    val offM = map(offs.toSeq.sortBy(_._1).flatMap { case (tpe, arr) =>
+      Seq(lit(tpe), struct(
+        lit(maxM(tpe)).as("maxm"),
+        array(arr.map(o => lit(o.m)): _*).as("ms"),
+        array(arr.map(o => lit(o.n)): _*).as("ns"),
+        array(arr.map(o => lit(o.sx).cast(d38)): _*).as("sxs"),
+        array(arr.map(o => lit(o.sxx).cast(d38)): _*).as("sxxs"))) }: _*)
+
+    // main pass: local running sums per merged chunk + literal-array
+    // offsets = global prefix sums; explode each row into its own
+    // chunk and (as carry context only) the next; lag(cum, 101) over
+    // the carried partition reaches exactly global position g−101.
+    val wOrd = Window.partitionBy("event_type", "m")
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p1 = ev.withColumn("c", chunk)
+      .withColumn("S", element_at(offM, col("event_type")))
+      .withColumn("m", element_at(col("S.ms"), col("c")))
+      .withColumn("maxm", col("S.maxm"))
+      .withColumn("offn", element_at(col("S.ns"), col("c")))
+      .withColumn("offsx", element_at(col("S.sxs"), col("c")))
+      .withColumn("offsxx", element_at(col("S.sxxs"), col("c")))
+      // one select = the three same-spec window functions fuse into a
+      // single Window operator over one sort
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+        col("m"), col("maxm"),
+        (row_number().over(wOrd) + col("offn")).as("rn"),
+        (sum(v4).over(wRun) + col("offsx")).as("cum"),
+        (sum(vv4).over(wRun) + col("offsxx")).as("cumq"))
+    val p2 = p1.withColumn("tgt",
+      explode(when(col("m") < col("maxm"),
+        array(col("m"), col("m") + 1)).otherwise(array(col("m")))))
+    val w2 = Window.partitionBy("event_type", "tgt")
+      .orderBy(col("ts"), col("event_id"))
+    val p3 = p2
+      .withColumn("lc", lag(col("cum"), 101).over(w2))
+      .withColumn("lq", lag(col("cumq"), 101).over(w2))
+      .filter(col("tgt") === col("m"))
+    // rn ≥ 101 ⇔ the 1-PRECEDING frame holds exactly 100 rows. At
+    // rn = 101 the frame starts at row 1, so cum(g−101) = 0; at
+    // rn > 101 a missing lag means a chunk failed the ≥101-row merge
+    // invariant — impossible by construction, so fail loudly.
+    val zero = lit(JBD.ZERO.setScale(4)).cast(d38)
+    def lagged(c: Column): Column =
+      when(col("rn") === 101L, zero)
+        .when(col("rn") > 101L && c.isNull, raise_error(concat(
+          lit("q81: missing carry at rn="), col("rn"))).cast(d38))
+        .otherwise(c)
+    val sxF = (col("cum") - v4 - lagged(col("lc"))).cast("double")
+    val sxxF = (col("cumq") - vv4 - lagged(col("lq"))).cast("double")
+    val mean = sxF / 100.0
+    val thr = mean + lit(1.5) *
+      sqrt(greatest(sxxF / 100.0 - mean * mean, lit(0.0)))
+    val full = col("rn") >= 101L
+    p3.groupBy("event_type")
+      .agg(count(when(full, 1)).as("n_scored"),
+        count(when(full && col("value") > thr, 1)).as("n_anomalies"))
+      .orderBy("event_type")
+  }
 }

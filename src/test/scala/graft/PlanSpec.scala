@@ -668,13 +668,28 @@ class PlanSpec extends TestSpark {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q81: the rolling gauge pays ONE event_type exchange — the report " +
-      "groupBy reuses the window's partitioning, no second shuffle of " +
-      "scored rows") {
+  test("q81: the rolling gauge is the chunk-carry shape — running " +
+      "prefix sums (ONE fused Window) + lag(·,101), an explode that " +
+      "carries each chunk into the next, and NO bounded-frame " +
+      "recompute; parallelism is (event_type, chunk), not event_type") {
     val p = plan("q81_rolling_anomaly")
     assert("FileScan parquet".r.findAllIn(p).size === 1, p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
-    assert(p.contains("windowspecdefinition(event_type"), p)
+    assert(!p.contains("Join"), p)
+    // the O(100·n) killer: a 100-row sliding frame re-aggregated per row
+    assert(!p.contains("specifiedwindowframe(RowFrame, -100, -1)"), p)
+    // running prefix sums ride Spark's O(n) running-frame path, fused
+    // into ONE Window op; the only other Window is the O(1)/row lag
+    assert("Window \\[".r.findAllIn(p).size === 2, p)
+    assert(p.contains("unboundedpreceding$()"), p)
+    assert(p.contains("specifiedwindowframe(RowFrame, -101, -101)"), p)
+    // both window stages partition by (event_type, chunk) — the 5-type
+    // parallelism ceiling is gone
+    assert(p.contains("windowspecdefinition(event_type#") &&
+      p.contains(", m#") && p.contains(", tgt#"), p)
+    // the carry: each row explodes into its own chunk and the next
+    assert(p.contains("Generate explode"), p)
+    // two corpus exchanges (chunk windows) + the |types|-row report agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3, p)
   }
 
   test("q82: attribution is a window, not a join — the fact table pays " +

@@ -169,6 +169,49 @@ class QualitySpec extends TestSpark {
     assert(r.getAs[Double]("value") > mean + 1.5 * sd, "the spike flags")
   }
 
+  test("q81: the chunk-carry arithmetic is exact across boundaries — a " +
+       "fixture big enough to split into many chunks (the sf0.001 gate " +
+       "merges each type to ONE chunk, so this is the only spec-level " +
+       "exercise of lag-through-carry) matches a driver-side sliding " +
+       "window row-for-row") {
+    // 2 types x 1500 rows: at 8+ chunks each chunk holds ~180 rows,
+    // so every chunk boundary forces lag(cum, 101) through the carried
+    // copy of the previous chunk. Values are deterministic with enough
+    // spread that anomalies land on both sides of chunk boundaries.
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = for {
+      t <- Seq("a", "b"); i <- 1 to 1500
+    } yield (
+      (t.hashCode.toLong * 100000) + i,
+      new java.sql.Timestamp(ts0 + i * 1000L),
+      t,
+      10.0 + (i % 37) * 0.25 + (if (i % 211 == 0) 9.0 else 0.0))
+    val dir = java.nio.file.Files.createTempDirectory("q81carry").toString
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .repartition(7).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q81_rolling_anomaly")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    def d4(v: Double) = BigDecimal(java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP))
+    for (t <- Seq("a", "b")) {
+      val vs = rows.filter(_._3 == t).sortBy(r => (r._2.getTime, r._1))
+        .map(_._4)
+      val expected = (100 until vs.length).count { i =>
+        val f = vs.slice(i - 100, i)
+        val sx = f.map(d4).sum.toDouble
+        val sxx = f.map(v => d4(v * v)).sum.toDouble
+        val mean = sx / 100.0
+        vs(i) > mean + 1.5 * math.sqrt(
+          math.max(sxx / 100.0 - mean * mean, 0.0))
+      }
+      assert(out(t)._1 === (vs.length - 100).toLong, t)
+      assert(out(t)._2 === expected.toLong, t)
+      assert(expected > 0, s"fixture must fire anomalies for $t")
+    }
+  }
+
   test("q82: attribution picks the newest prior non-purchase within the " +
        "lookback, skips interleaved purchases, and sends stale or " +
        "touchless purchases to (none)") {
