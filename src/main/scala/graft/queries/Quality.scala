@@ -365,13 +365,23 @@ object Quality {
       maxM(tpe) = groups.length - 1
     }
     // ONE literal map: type -> struct(maxm, per-raw-chunk arrays of
-    // (merged id, exclusive count/Σv/Σv² offsets)). One O(|types|) map
+    // (merged id, exclusive count/Σv/Σv² offsets, and the NEXT merged
+    // chunk's start offset — the carry threshold)). One O(|types|) map
     // scan per row (materialized as a column), then O(1) array reads.
+    val nxt = scala.collection.mutable.Map.empty[String, Array[Long]]
+    offs.foreach { case (tpe, arr) =>
+      // next merged chunk's exclusive count offset, per raw chunk: the
+      // first offs value with a LARGER merged id, else Long.MaxValue
+      val byM = arr.filter(_.m >= 0).map(o => o.m -> o.n).toMap
+      nxt(tpe) = arr.map(o =>
+        byM.getOrElse(o.m + 1, Long.MaxValue))
+    }
     val offM = map(offs.toSeq.sortBy(_._1).flatMap { case (tpe, arr) =>
       Seq(lit(tpe), struct(
         lit(maxM(tpe)).as("maxm"),
         array(arr.map(o => lit(o.m)): _*).as("ms"),
         array(arr.map(o => lit(o.n)): _*).as("ns"),
+        array(nxt(tpe).map(lit(_)): _*).as("nxts"),
         array(arr.map(o => lit(o.sx).cast(d38)): _*).as("sxs"),
         array(arr.map(o => lit(o.sxx).cast(d38)): _*).as("sxxs"))) }: _*)
 
@@ -389,15 +399,19 @@ object Quality {
       .withColumn("offn", element_at(col("S.ns"), col("c")))
       .withColumn("offsx", element_at(col("S.sxs"), col("c")))
       .withColumn("offsxx", element_at(col("S.sxxs"), col("c")))
+      .withColumn("nxt", element_at(col("S.nxts"), col("c")))
       // one select = the three same-spec window functions fuse into a
       // single Window operator over one sort
       .select(col("event_type"), col("ts"), col("event_id"), col("value"),
-        col("m"), col("maxm"),
+        col("m"), col("maxm"), col("nxt"),
         (row_number().over(wOrd) + col("offn")).as("rn"),
         (sum(v4).over(wRun) + col("offsx")).as("cum"),
         (sum(vv4).over(wRun) + col("offsxx")).as("cumq"))
+    // carry ONLY the last 101 rows of a chunk (rn in (nxt−101, nxt])
+    // into the next chunk — the most any successor row's lag(·,101)
+    // can reach — so the second exchange moves ~n rows, not 2n
     val p2 = p1.withColumn("tgt",
-      explode(when(col("m") < col("maxm"),
+      explode(when(col("m") < col("maxm") && col("rn") > col("nxt") - 101L,
         array(col("m"), col("m") + 1)).otherwise(array(col("m")))))
     val w2 = Window.partitionBy("event_type", "tgt")
       .orderBy(col("ts"), col("event_id"))
