@@ -104,14 +104,47 @@ object BloomJoin {
       sizedBits(n, bitsPerKey, maxBits), numHashes, seed)
   }
 
+  /** [[autoSizedPrefilteredJoin]] without the separate sizing job: the
+    * SELF-SIZING sketch ([[graft.functions.BloomSketchAuto]]) counts
+    * its build rows while accumulating bit positions mod `maxBits`
+    * and folds itself to the next power of two ≥ bitsPerKey·n at eval
+    * — exactly the size the two-job spelling would have picked
+    * (sizing by row count, an upper bound of the key count), in ONE
+    * build-side job. The probe takes its modulus from the sketch's
+    * own length. Measured at sf10 (q47's shape over bucketed
+    * layouts): the acd sizing job alone cost ~0.5–1 s, comparable to
+    * the entire remaining join. Partials stay sparse (append-only
+    * positions), so tasks also skip the 8–16 MiB random-access bitmap
+    * of the fixed-size aggregate. */
+  def selfSizedPrefilteredJoin(probe: DataFrame, probeKey: Column,
+                               build: DataFrame, buildKey: Column,
+                               bitsPerKey: Int = 16, maxBits: Int = 1 << 27,
+                               numHashes: Int = 3,
+                               seed: Long = 42L): DataFrame = {
+    val bits = GraftInternal.scalarSubquery(build
+      .select(keyHash(buildKey).as("__h"))
+      .agg(graft.functions.BloomFunctions.bloomAggAuto(col("__h"), maxBits,
+        bitsPerKey, numHashes, seed).as("__bloom")))
+    val kept = probe
+      .withColumn("__keep", graft.functions.BloomFunctions.bloomHitCountAuto(
+        bits, array(keyHash(probeKey)), numHashes, seed))
+      .filter(col("__keep") === 1L)
+      .drop("__keep")
+    kept.join(build, probeKey === buildKey)
+  }
+
   /** Next power of two ≥ `bitsPerKey × n`, floored at 2^16 (the
     * sketch is never worth shrinking below 8 KiB) and capped at
     * `maxBits`. Power-of-two so `pmod(hash, m)` distributes evenly
-    * for every geometry this library composes with. */
+    * for every geometry this library composes with. All arithmetic in
+    * Long with the cap applied BEFORE the narrowing: a caller-supplied
+    * maxBits near Int.MaxValue must clamp, not wrap negative; and an
+    * exactly-power-of-two `want` is returned as itself, not doubled. */
   private[graft] def sizedBits(n: Long, bitsPerKey: Int, maxBits: Int): Int = {
     val want = math.max(1L, n) * bitsPerKey
-    if (want >= maxBits) maxBits
-    else math.max(1L << 16, java.lang.Long.highestOneBit(want) << 1).toInt
+    val next = math.max(1L << 16,
+      java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1)
+    math.min(maxBits.toLong, next).toInt
   }
 
   /** [[prefilteredJoin]] with the decision to filter made from the

@@ -53,24 +53,25 @@ object Layout {
     s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
 
   /** A bucketed copy of a table, written ONCE per (table, path) and
-    * reused by every later query in the session — the 100 TB
-    * contract: hash-clustering the big fact tables on their join key
-    * is paid at ingest/compaction time, and every downstream
-    * equi-join or aggregation on that key then runs with ZERO
-    * Exchange of the fact table (BucketSpec pins the plan). A fresh
-    * session rewrites (bucket metadata lives in the catalog, not the
-    * parquet footer); within a session — including the bench's
-    * repeated samples, which is exactly how a real deployment
-    * amortizes layout — the write happens once. */
+    * reused by every later query — the 100 TB contract:
+    * hash-clustering the big fact tables on their join key is paid at
+    * ingest/compaction time, and every downstream equi-join or
+    * aggregation on that key then runs with ZERO Exchange of the fact
+    * table (BucketSpec pins the plan).
+    *
+    * Freshness has two layers. The SOURCE fingerprint (file listing:
+    * path/length/mtime) rides both the catalog table properties and a
+    * sidecar file next to the data — so a FRESH session whose
+    * in-memory catalog lost the table re-REGISTERS the existing
+    * clustered files (metadata-only CREATE TABLE, no data rewrite)
+    * instead of re-paying the clustered write. Only a fingerprint
+    * mismatch — the source was regenerated — rewrites data. */
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession,
                      load: => DataFrame, table: String, path: String,
                      buckets: Int, bucketBy: Seq[String]): DataFrame = {
-    // Freshness is checked through the Hadoop FileSystem of the path
+    // All path checks go through the Hadoop FileSystem of the path
     // (HDFS/S3/local alike — java.io.File would silently report
-    // "missing" for any non-local scheme and rewrite every call), and
-    // against a fingerprint of the SOURCE listing stored in the table
-    // properties: a bucketed copy built from since-regenerated source
-    // data must be rebuilt, not silently served.
+    // "missing" for any non-local scheme and rewrite every call).
     val hconf = spark.sparkContext.hadoopConfiguration
     val dest = new org.apache.hadoop.fs.Path(path)
     val destFs = dest.getFileSystem(hconf)
@@ -81,10 +82,45 @@ object Layout {
       else spark.sql(s"SHOW TBLPROPERTIES `$table`")
         .where(col("key") === FingerprintProp)
         .collect().headOption.map(_.getString(1))
-    val ready = stored.contains(fp) && destFs.exists(dest)
-    if (!ready) {
+    if (!(stored.contains(fp) && destFs.exists(dest))) {
+      val fpFile = new org.apache.hadoop.fs.Path(dest, FingerprintFile)
+      val diskFp: Option[String] =
+        if (!destFs.exists(fpFile)) None
+        else {
+          val in = destFs.open(fpFile)
+          try {
+            val buf = new Array[Byte](64) // fp is a 16-hex-char long
+            val n = in.read(buf)
+            Some(new String(buf, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8).trim)
+          } finally in.close()
+        }
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      graft.sinks.ParquetSink.writeBucketed(src, table, path, buckets, bucketBy)
+      if (diskFp.contains(fp)) {
+        // the clustered files are current — adopt them, don't rewrite.
+        // CREATE TABLE with bucketing demands an explicit column list;
+        // the source's schema IS the bucketed copy's schema.
+        System.err.println(s"[layout] re-register $table from $path")
+        val schemaDdl = src.schema.map(f =>
+          s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        val cols = bucketBy.map(c => s"`$c`").mkString(", ")
+        spark.sql(s"CREATE TABLE `$table` ($schemaDdl) USING PARQUET " +
+          s"CLUSTERED BY ($cols) SORTED BY ($cols) " +
+          s"INTO $buckets BUCKETS LOCATION '$path'")
+      } else {
+        // rebuilds should happen once per SOURCE CHANGE — log each one
+        // so a bench/ops run can see when the contract is violated
+        System.err.println(s"[layout] rebuild $table: stored=$stored " +
+          s"diskFp=$diskFp fp=$fp")
+        graft.sinks.ParquetSink.writeBucketed(
+          src, table, path, buckets, bucketBy)
+        // fingerprint written AFTER the data: a crash mid-write leaves
+        // no sidecar, so the next call rebuilds instead of adopting a
+        // half-written copy
+        val out = destFs.create(fpFile, true)
+        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
       spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
         s"('$FingerprintProp'='$fp')")
     }
@@ -92,6 +128,7 @@ object Layout {
   }
 
   private val FingerprintProp = "graft.source.fingerprint"
+  private val FingerprintFile = "_graft_fingerprint"
 
   /** 64-bit fingerprint of a DataFrame's source FILE LISTING — path,
     * length, modification time per input file (metadata-only: one

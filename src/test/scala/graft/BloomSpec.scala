@@ -138,6 +138,14 @@ class BloomSpec extends TestSpark {
     assert((1 to 30).forall(i =>
       BloomJoin.sizedBits(1L << i, 16, 1 << 27) <=
         BloomJoin.sizedBits(1L << (i + 1), 16, 1 << 27)))
+    // an exactly-power-of-two want is itself, not doubled
+    assert(BloomJoin.sizedBits(1L << 16, 16, 1 << 27) === (1 << 20),
+      "2^16 keys x 16 b/key = exactly 2^20 bits")
+    // a near-Int.MaxValue cap clamps instead of wrapping negative
+    assert(BloomJoin.sizedBits(200_000_000L, 16, Int.MaxValue) ===
+      Int.MaxValue, "cap above 2^30 clamps in Long, no Int wrap")
+    assert(BloomJoin.sizedBits((1L << 27) + 5L, 16, Int.MaxValue) > 0,
+      "want in (2^30, maxBits) must not wrap to Int.MinValue")
     // end to end: 20k distinct build keys vs a 100k-row probe where
     // 20% match. A 2^12-bit sketch is 0.2 bits/key — saturated, keeps
     // ~everything; the sized sketch keeps ~the true 20%.
@@ -270,5 +278,49 @@ class BloomSpec extends TestSpark {
         .orderBy("o_orderpriority").collect().toSeq)
     assert(broad.orderBy("o_orderpriority").collect().toSeq ===
       plainAgg(orders).orderBy("o_orderpriority").collect().toSeq)
+  }
+
+  test("self-sized sketch: picks next-pow-2 >= bitsPerKey*n from its own " +
+       "row count, folds EXACTLY to the size a fixed sketch would build " +
+       "directly, and the one-job prefiltered join equals the plain join") {
+    import graft.functions.BloomFunctions
+    import graft.operators.BloomJoin
+    val n = 20000L
+    val keys = spark.range(n).select(
+      pmod(xxhash64(col("id") * 5), lit(graft.functions.BloomUtil.P)).as("h"))
+    // the fold law: the self-sized sketch's final bitmap is
+    // bit-identical to a fixed sketch built at the same m — positions
+    // mod 2^a mod 2^b == positions mod 2^b
+    val auto = keys.repartition(7)
+      .agg(BloomFunctions.bloomAggAuto(col("h"), 1 << 27, 16, 3, 42L))
+      .head().getAs[Array[Byte]](0)
+    val m = auto.length * 8
+    assert(m === BloomJoin.sizedBits(n, 16, 1 << 27),
+      "self-sizing picks the same size the two-job spelling computes")
+    val fixed = keys.repartition(3)
+      .agg(BloomFunctions.bloomAgg(col("h"), m, 3, 42L))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(auto, fixed),
+      "folded sketch must be bit-identical to the directly-built one")
+    // densify path: a tiny maxBits forces partials dense mid-update;
+    // the fold from a dense maxBits bitmap is the same law
+    val autoSmall = keys.repartition(2)
+      .agg(BloomFunctions.bloomAggAuto(col("h"), 1 << 16, 1, 3, 42L))
+      .head().getAs[Array[Byte]](0)
+    val fixedSmall = keys
+      .agg(BloomFunctions.bloomAgg(col("h"), 1 << 16, 3, 42L))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(autoSmall, fixedSmall),
+      "dense-partial fold (maxBits hit) must match the fixed sketch")
+    // end to end: the one-job join is exactly the plain join
+    val probe = spark.range(100000)
+      .select((col("id") % 100000).as("k"), col("id").as("v"))
+    val build = spark.range(20000).select((col("id") * 5).as("bk"))
+    val selfSized = BloomJoin.selfSizedPrefilteredJoin(
+      probe, col("k"), build, col("bk"), bitsPerKey = 4, numHashes = 2)
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(selfSized.count() === plain.count())
+    assert(selfSized.select("k", "v")
+      .exceptAll(plain.select("k", "v")).isEmpty)
   }
 }

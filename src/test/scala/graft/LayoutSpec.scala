@@ -101,4 +101,47 @@ class LayoutSpec extends TestSpark {
         buckets = 4, bucketBy = Seq("k")).count() === 2)
     } finally spark.sql("DROP TABLE IF EXISTS fp_bk")
   }
+
+  test("ensureBucketed RE-REGISTERS (no data rewrite) when the catalog " +
+      "entry is gone but the on-disk copy is current — the fresh-session " +
+      "path that used to re-pay the clustered write every bench JVM — " +
+      "and still rebuilds when the catalog is gone AND the source moved") {
+    val dir = Files.createTempDirectory("rereg").toString
+    val srcPath = s"$dir/src"
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v").write.parquet(srcPath)
+    def load = spark.read.parquet(srcPath)
+    def destMtimes = new java.io.File(s"$dir/b").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    try {
+      Layout.ensureBucketed(spark, load, "rr_bk", s"$dir/b",
+        buckets = 4, bucketBy = Seq("k"))
+      val before = destMtimes
+      // simulate a fresh session: the in-memory catalog forgets the
+      // table, the files and the fingerprint sidecar survive
+      spark.sql("DROP TABLE rr_bk")
+      val adopted = Layout.ensureBucketed(spark, load, "rr_bk", s"$dir/b",
+        buckets = 4, bucketBy = Seq("k"))
+      assert(adopted.count() === 3)
+      assert(destMtimes === before,
+        "current on-disk copy was rewritten instead of re-registered")
+      // the adopted table carries the bucket spec: a self-join on the
+      // key is exchange-free
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.table("rr_bk").join(spark.table("rr_bk")
+          .select(col("k"), col("v").as("v2")), "k")
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p)
+        assert(!p.contains("Exchange hashpartitioning"), p)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      // catalog gone AND source regenerated: adopt must NOT win — the
+      // sidecar fingerprint no longer matches, so the copy rebuilds
+      spark.sql("DROP TABLE rr_bk")
+      Seq((9L, 9.0)).toDF("k", "v").write.mode("overwrite").parquet(srcPath)
+      assert(Layout.ensureBucketed(spark, load, "rr_bk", s"$dir/b",
+        buckets = 4, bucketBy = Seq("k")).count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS rr_bk")
+  }
 }
