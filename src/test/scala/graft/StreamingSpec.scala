@@ -854,6 +854,61 @@ class StreamingSpec extends TestSpark {
       s"fact re-emitted across restarts: ${rows.map(_.fact_id)}")
   }
 
+  test("checkpoint recovery (st16): the 100-value RING BUFFER and its " +
+      "exact running sums survive a kill — an event sealed after the " +
+      "restart scores against a baseline mostly accumulated before it, " +
+      "and a reorder-buffered row delivered late still seals in event-" +
+      "time order, each alert exactly once") {
+    // one type, 115 events at 1/minute; v has a sawtooth texture plus
+    // two spikes — one sealed pre-kill (m=103), one post-restart
+    // (m=112) whose 100-row frame spans the restart. m=110 is WITHHELD
+    // in run 1 (still above the run-1 watermark of ts(104)) and
+    // delivered in run 2: if the reorder buffer or the ring state were
+    // lost, seal order or the m=112 baseline would be wrong.
+    def ts(m: Long) = new java.sql.Timestamp((1440 + m) * 60000)
+    def v(m: Long): Double =
+      if (m == 103 || m == 112) 25.0 else 10.0 + (m % 7) * 0.5
+    def ev(m: Long) = Streams.AnomEvent("a", ts(m), m, v(m))
+    val all = (0L to 114L).map(ev)
+    val b1 = all.filterNot(_.event_id == 110L)
+    val b2 = Seq(ev(110))
+    val sent = Seq(Streams.AnomEvent("zz", ts(20000), 999L, 0.0))
+
+    val stageDir = Files.createTempDirectory("anom-ckpt-stage").toString
+    val ckpt = Files.createTempDirectory("anom-ckpt-state").toString
+    val outDir = Files.createTempDirectory("anom-ckpt-out").toString
+    def run(): Unit = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.AnomEvent]].schema)
+        .parquet(stageDir).as[Streams.AnomEvent]
+      val q = Streams.anomalyState(streamed)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    b1.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    (b2 ++ sent).toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+
+    val rows = spark.read.parquet(outDir).as[Streams.AnomAlert]
+      .collect().toSeq.filter(_.event_type == "a")
+    val want = Streams.anomalyState(all.toDS()).collect().toSeq
+      .map(a => (a.event_type, a.event_id, a.value)).sorted
+    assert(rows.map(a => (a.event_type, a.event_id, a.value)).sorted
+      === want)
+    // both spikes alert: m=103 sealed pre-kill, m=112 post-restart —
+    // the latter's frame is the recovered ring buffer
+    assert(rows.exists(_.event_id === 103L))
+    assert(rows.exists(_.event_id === 112L))
+    // exactly-once across the restart
+    assert(rows.map(_.event_id).distinct.size === rows.size,
+      s"alert re-emitted across restarts: ${rows.map(_.event_id)}")
+  }
+
   test("streaming join-size estimate (st12) converges to the batch " +
       "sketch estimate through the state-store aggregate") {
     import graft.functions.CmsFunctions
