@@ -398,7 +398,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "digests: (range_id, n_rows, xor64, sum31) per contiguous key " +
           "range over the portable md5-prefix row hash of the " +
           "comma-separated column list; compare two replicas' digests " +
-          "to localize damage without shipping rows"),
+          "to localize damage without shipping rows. Keys must be " +
+          "non-negative; each column escapes | and \\ and renders NULL " +
+          "as the \\0 sentinel before joining on |"),
       (args: Seq[Expression]) => {
         arity("range_digest", args, 4, 4)
         val spark = SparkSession.active

@@ -134,15 +134,40 @@ object Diff {
     * (each engine formats its own shortest decimal), so callers cast
     * doubles to DECIMAL first. XOR alone cancels duplicate row PAIRS;
     * the (count, xor, sum) triple makes a silent collision require
-    * three simultaneous coincidences. */
+    * three simultaneous coincidences.
+    *
+    * The per-row rendering is INJECTIVE: each column escapes
+    * backslashes and the '|' delimiter (\ → \\, | → \|) and a NULL
+    * renders as the sentinel `\0` (backslash + zero — unreachable by
+    * escaping, whose backslashes are always followed by '\' or '|'),
+    * THEN columns join on '|'. A naive concat_ws both skipped NULLs
+    * (("a",NULL,"b") vs ("a","b",NULL) digesting equal) and let a '|'
+    * IN the data shift column boundaries (("a|b","c") vs ("a","b|c"))
+    * — either way real replica divergence could compare 'equal'. For
+    * null-free numeric/clean-string columns the rendering equals the
+    * plain concat, so existing digests (and [[graft.streaming.Streams
+    * .rangeChecksumStream]]'s JVM twin over "key|value") are
+    * unchanged. Keys must be NON-NEGATIVE (enforced loudly): range_id
+    * is an exact integral `div`, and floor-vs-truncation division
+    * disagree across engines below zero. */
   def rangeDigest(df: DataFrame, key: Column, rangeSize: Long,
                   cols: Seq[Column]): DataFrame = {
     require(rangeSize > 0, s"rangeDigest: rangeSize must be positive")
     val h = expr(s"CAST(conv(substring(md5(__rd_cat), 1, 13), 16, 10) " +
       "AS BIGINT)")
-    df.withColumn("__rd_cat", concat_ws("|", cols: _*))
+    val rendered = cols.map(c => coalesce(
+      replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
+        lit("|"), lit("\\|")),
+      lit("\\0")))
+    val k = when(key.cast("long") < 0, raise_error(concat(
+        lit("rangeDigest: negative key "), key.cast("string"),
+        lit(" — shift keys to be non-negative (floor and truncation " +
+          "division disagree across engines below zero)"))).cast("long"))
+      .otherwise(key.cast("long"))
+    df.withColumn("__rd_cat", concat_ws("|", rendered: _*))
       .withColumn("__rd_h", h)
-      .groupBy((key.cast("long") / rangeSize).cast("long").as("range_id"))
+      .withColumn("__rd_k", k)
+      .groupBy(expr(s"__rd_k div ${rangeSize}L").as("range_id"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__rd_h)").as("xor64"),
         sum(col("__rd_h") % 2147483648L).as("sum31"))

@@ -122,8 +122,17 @@ object Mixing {
   def ppsSystematicSample(df: DataFrame, id: Column, weight: Column,
                           k: Int): DataFrame = {
     require(k > 0, s"ppsSystematicSample: k must be positive, got $k")
-    val base = df.select(id.cast("long").as("id"),
-        weight.cast("long").as("w"))
+    // a non-castable id must fail loudly under ANY ansi setting: with
+    // ansi off a plain cast silently NULLs and drops the row from the
+    // sample frame; try_cast + explicit raise is loud either way
+    val base = df.select(id.as("__pps_raw"), weight.cast("long").as("w"))
+      .select(
+        when(col("__pps_raw").isNotNull &&
+            expr("try_cast(__pps_raw AS BIGINT)").isNull,
+          raise_error(concat(lit("ppsSystematicSample: id not castable " +
+            "to BIGINT: "), col("__pps_raw").cast("string"))).cast("long"))
+          .otherwise(expr("try_cast(__pps_raw AS BIGINT)")).as("id"),
+        col("w"))
       .filter(col("w") > 0)
       .withColumn("__ord", md5(col("id").cast("string").cast("binary")))
     val cum = Packing.globalRunningSum(base,
@@ -138,9 +147,18 @@ object Mixing {
       s"CASE WHEN ${2L * k} * ($w) <= __t THEN CAST(0 AS BIGINT) " +
         s"ELSE least(CAST($k AS BIGINT), " +
         s"(${2L * k} * ($w) - __t + 2 * __t - 1) div (2 * __t)) END"
+    // 2k·W rides Long: a total weight above Long.MaxValue/(2k) would
+    // silently wrap and corrupt the selection — fail loudly (one
+    // constant comparison per row; at that magnitude the caller must
+    // rescale weights, e.g. tokens -> kilotokens)
+    val maxT = Long.MaxValue / (2L * k)
     cum.crossJoin(broadcast(tot))
       .withColumn("mult",
-        (expr(g("__cw")) - expr(g("__cw - w"))).cast("int"))
+        when(col("__t") > maxT, raise_error(concat(
+          lit(s"ppsSystematicSample: total weight "), col("__t"),
+          lit(s" overflows the 2k*W grid arithmetic at k=$k — " +
+            "rescale weights"))).cast("int"))
+        .otherwise((expr(g("__cw")) - expr(g("__cw - w"))).cast("int")))
       .filter(col("mult") > 0)
       .select(col("id"), col("w"), col("mult"))
   }

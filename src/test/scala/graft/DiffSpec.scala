@@ -147,6 +147,36 @@ class DiffSpec extends TestSpark {
       3L -> "only_a", 20L -> "only_b"))
   }
 
+  test("rangeDigest: the row rendering is INJECTIVE — a delimiter in " +
+      "the data or a repositioned NULL changes the digest, a NULL " +
+      "column keeps the row counted, and a negative key fails loudly") {
+    def digest(rows: Seq[(Long, String, String)]) =
+      Diff.rangeDigest(rows.toDF("k", "a", "b"), col("k"), 100L,
+        Seq(col("a"), col("b"))).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // '|' in the data must not shift column boundaries
+    assert(digest(Seq((1L, "a|b", "c"))) !== digest(Seq((1L, "a", "b|c"))),
+      "delimiter injection collided")
+    // backslash near the delimiter must not collide with the escape
+    assert(digest(Seq((1L, "a\\", "c"))) !== digest(Seq((1L, "a", "\\c"))))
+    // NULL position matters, and a NULL is not the empty string...
+    assert(digest(Seq((1L, null, "y"))) !== digest(Seq((1L, "y", null))))
+    assert(digest(Seq((1L, null, "y"))) !== digest(Seq((1L, "", "y"))))
+    // ...nor the literal sentinel rendering
+    assert(digest(Seq((1L, null, "y"))) !== digest(Seq((1L, "\\0", "y"))))
+    // a row with a NULL column still counts into its range
+    assert(digest(Seq((1L, null, null))).head._2 === 1L)
+    // negative keys: floor/truncation division disagree across
+    // engines — refuse instead of silently mis-ranging
+    val e = intercept[Exception] {
+      Diff.rangeDigest(Seq((-1L, "x")).toDF("k", "v"), col("k"), 100L,
+        Seq(col("v"))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    assert(msgs(e).contains("negative key"), e.toString)
+  }
+
   test("scd2History: versions open at their seq and close at the next " +
       "change; deletes close and leave a gap; duplicate (key, seq) " +
       "and unknown ops fail loudly") {

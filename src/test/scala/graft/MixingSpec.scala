@@ -119,4 +119,26 @@ class MixingSpec extends TestSpark {
       col("n_chars"), 50).collect().map(r => (r.getLong(0), r.getInt(2)))
     assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
   }
+
+  test("ppsSystematicSample fails loudly on a non-castable id and on a " +
+      "total weight that would overflow the 2k*W grid arithmetic") {
+    import spark.implicits._
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+    // id.cast(long) would silently NULL a non-numeric id and drop it
+    val e1 = intercept[Exception] {
+      Mixing.ppsSystematicSample(
+        Seq(("doc-1", 10L)).toDF("id", "w"), col("id"), col("w"), 2)
+        .collect()
+    }
+    assert(msgs(e1).contains("not castable"), e1.toString)
+    // 2k*W beyond Long.MaxValue silently wrapped before; now loud
+    val e2 = intercept[Exception] {
+      Mixing.ppsSystematicSample(
+        Seq((1L, 3000000000000000000L), (2L, 3000000000000000000L))
+          .toDF("id", "w"), col("id"), col("w"), 2)
+        .collect()
+    }
+    assert(msgs(e2).contains("overflows"), e2.toString)
+  }
 }
