@@ -856,33 +856,24 @@ object Dedup {
     * input document. */
   def segmentDedup(docs: DataFrame, idCol: Column, textCol: Column,
                    segTokens: Int = 8, maxCount: Long = 2): DataFrame = {
-    def segmentsOf(text: Column): Column = {
-      val t = split(text, " ")
-      val nseg = ceil(size(t).cast("double") / segTokens).cast("int")
-      transform(sequence(lit(0), nseg - 1),
-        j => array_join(slice(t, j * segTokens + 1, lit(segTokens)), " "))
-    }
+    // both passes ride the single-walk byte kernels
+    // ([[graft.functions.SegmentUtil]]): a segment of tokens joined by
+    // single spaces is exactly a byte SPAN of the original text, so
+    // pass 1 hashes spans in place (no segment-string array per doc —
+    // the split/transform/slice/array_join spelling built three
+    // interpreted-HOF arrays per row and measured 7.4 s at sf10) and
+    // pass 2 probes + copies surviving spans once into the output
     val hot: Array[Long] = docs
-      .select(explode(segmentsOf(textCol)).as("seg"))
-      .select(xxhash64(col("seg")).as("fp"))
+      .select(explode(graft.functions.SegmentFunctions
+        .segmentHashes(textCol, segTokens)).as("fp"))
       .groupBy("fp").count()
       .filter(col("count") > maxCount)
       .select("fp").collect().map(_.getLong(0)).sorted
-    // staged projections so each array materializes ONCE per row:
-    // higher-order functions are CodegenFallback (outside codegen CSE),
-    // so a single select referencing `segs` three times would rebuild
-    // the segment array three times per document — Catalyst's
-    // CollapseProject keeps these stages apart because inlining would
-    // duplicate non-cheap expressions
-    docs.select(idCol.as("doc_id"), segmentsOf(textCol).as("segs"))
-      .select(col("doc_id"), col("segs"),
-        filter(col("segs"),
-          s => !graft.functions.SetFunctions.inLongSet(xxhash64(s), hot))
-          .as("kept"))
-      .select(col("doc_id"),
-        size(col("segs")).cast("long").as("n_seg"),
-        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+    docs.select(idCol.as("doc_id"), graft.functions.SegmentFunctions
+        .segmentCleanse(textCol, segTokens, hot).as("c"))
+      .select(col("doc_id"), col("c.n_seg").as("n_seg"),
+        col("c.n_dropped").as("n_dropped"),
+        col("c.cleaned_text").as("cleaned_text"))
   }
 
   /** Duplicated-span removal with CONTENT-DEFINED boundaries (d17) —
