@@ -60,6 +60,72 @@ object SegmentUtil {
     nSeg
   }
 
+  /** Visit each CONTENT-DEFINED segment's byte span (d17): a token
+    * closes its segment iff its [[RollingFingerprintUtil]] fingerprint
+    * is ≡ 0 mod `modB` (the last token always closes). The fingerprint
+    * is computed over the token's code points by decoding UTF-8 in
+    * place — same value as `rolling_fingerprint` over the token
+    * string. */
+  private def visitCdc(u: UTF8String, modB: Int)(
+      f: (Int, Int) => Unit): Unit = {
+    val n = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val P = 2147483647L
+    var i = 0
+    var segStart = 0
+    var tokStart = 0
+    var h1 = 0L
+    var h2 = 0L
+    while (i <= n) {
+      val atEnd = i == n
+      val b0 = if (atEnd) 0x20 else Platform.getByte(base, off + i) & 0xFF
+      if (b0 == 0x20) {
+        // token [tokStart, i) ends; its fingerprint is (h1 << 31) | h2
+        val fp = (h1 << 31) | h2
+        if (fp % modB == 0 || atEnd) { f(segStart, i); segStart = i + 1 }
+        tokStart = i + 1; h1 = 0L; h2 = 0L
+        i += 1
+      } else {
+        // decode one UTF-8 code point
+        var cp = 0
+        var len = 1
+        if (b0 < 0x80) cp = b0
+        else if ((b0 & 0xE0) == 0xC0) {
+          cp = ((b0 & 0x1F) << 6) |
+            (Platform.getByte(base, off + i + 1) & 0x3F); len = 2
+        } else if ((b0 & 0xF0) == 0xE0) {
+          cp = ((b0 & 0x0F) << 12) |
+            ((Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+            (Platform.getByte(base, off + i + 2) & 0x3F); len = 3
+        } else {
+          cp = ((b0 & 0x07) << 18) |
+            ((Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+            ((Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+            (Platform.getByte(base, off + i + 3) & 0x3F); len = 4
+        }
+        h1 = (h1 * 131L + cp) % P
+        h2 = (h2 * 257L + cp) % P
+        i += len
+      }
+    }
+  }
+
+  def cdcSegmentHashes(u: UTF8String, modB: Int): ArrayData = {
+    var out = new Array[Long](8)
+    var k = 0
+    visitCdc(u, modB) { (s, e) =>
+      if (k == out.length) out = java.util.Arrays.copyOf(out, k * 2)
+      out(k) = XXH64.hashUnsafeBytes(u.getBaseObject,
+        u.getBaseOffset + s, e - s, Seed)
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  def cdcCleanse(u: UTF8String, modB: Int, hot: LongSetRef): InternalRow =
+    cleanseSpans(u, hot, f => visitCdc(u, modB)(f))
+
   def segmentHashes(u: UTF8String, segTokens: Int): ArrayData = {
     var out = new Array[Long](8)
     var k = 0
@@ -72,13 +138,17 @@ object SegmentUtil {
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
-  def cleanse(u: UTF8String, segTokens: Int, hot: LongSetRef): InternalRow = {
+  def cleanse(u: UTF8String, segTokens: Int, hot: LongSetRef): InternalRow =
+    cleanseSpans(u, hot, f => visitSegments(u, segTokens)(f))
+
+  private def cleanseSpans(u: UTF8String, hot: LongSetRef,
+      visit: ((Int, Int) => Unit) => Unit): InternalRow = {
     var spans = new Array[Int](16) // (start, end) pairs of survivors
     var k = 0
     var keptBytes = 0
     var nSeg = 0L
     var nDropped = 0L
-    visitSegments(u, segTokens) { (s, e) =>
+    visit { (s, e) =>
       nSeg += 1
       val h = XXH64.hashUnsafeBytes(u.getBaseObject,
         u.getBaseOffset + s, e - s, Seed)
@@ -169,6 +239,66 @@ case class SegmentCleanse(child: Expression, segTokens: Int,
     copy(child = newChild)
 }
 
+/** `cdc_segment_hashes(text)` — xxhash64 of each content-defined
+  * segment (d17's boundaries), in order. */
+case class CdcSegmentHashes(child: Expression, modB: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_segment_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if modB > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"cdc_segment_hashes needs modB > 0, got $modB")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_segment_hashes needs string, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    SegmentUtil.cdcSegmentHashes(input.asInstanceOf[UTF8String], modB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SegmentUtil.cdcSegmentHashes($c, $modB);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `cdc_segment_cleanse(text)` — d17's rebuild half, one byte walk. */
+case class CdcSegmentCleanse(child: Expression, modB: Int,
+    hot: Array[Long]) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_seg", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("cleaned_text", StringType, nullable = false)))
+  override def prettyName: String = "cdc_segment_cleanse"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if modB > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"cdc_segment_cleanse needs modB > 0, got $modB")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_segment_cleanse needs string, got ${other.simpleString}")
+  }
+
+  private lazy val ref = new LongSetRef(hot)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SegmentUtil.cdcCleanse(input.asInstanceOf[UTF8String], modB, ref)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("hotSet", ref, classOf[LongSetRef].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SegmentUtil.cdcCleanse($c, $modB, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SegmentFunctions {
   def segmentHashes(text: Column, segTokens: Int): Column =
     GraftInternal.column(
@@ -177,4 +307,12 @@ object SegmentFunctions {
   def segmentCleanse(text: Column, segTokens: Int, hot: Array[Long]): Column =
     GraftInternal.column(
       SegmentCleanse(GraftInternal.expression(text), segTokens, hot))
+
+  def cdcSegmentHashes(text: Column, modB: Int): Column =
+    GraftInternal.column(
+      CdcSegmentHashes(GraftInternal.expression(text), modB))
+
+  def cdcSegmentCleanse(text: Column, modB: Int, hot: Array[Long]): Column =
+    GraftInternal.column(
+      CdcSegmentCleanse(GraftInternal.expression(text), modB, hot))
 }

@@ -894,22 +894,20 @@ object Dedup {
     * rebuild — zero corpus shuffle. */
   def cdcSegmentDedup(docs: DataFrame, idCol: Column, textCol: Column,
                       modB: Int = 8, maxCount: Long = 2): DataFrame = {
-    def segmentsOf(text: Column): Column =
-      graft.functions.RollingHashFunctions.cdcSegments(split(text, " "), modB)
+    // same single-walk byte kernels as [[segmentDedup]], with the
+    // boundary rule swapped: the per-token rolling fingerprint is
+    // decoded from the UTF-8 bytes in place, so neither pass builds a
+    // segment-string array per document
     val hot: Array[Long] = docs
-      .select(explode(segmentsOf(textCol)).as("seg"))
-      .select(xxhash64(col("seg")).as("fp"))
+      .select(explode(graft.functions.SegmentFunctions
+        .cdcSegmentHashes(textCol, modB)).as("fp"))
       .groupBy("fp").count()
       .filter(col("count") > maxCount)
       .select("fp").collect().map(_.getLong(0)).sorted
-    docs.select(idCol.as("doc_id"), segmentsOf(textCol).as("segs"))
-      .select(col("doc_id"), col("segs"),
-        filter(col("segs"),
-          s => !graft.functions.SetFunctions.inLongSet(xxhash64(s), hot))
-          .as("kept"))
-      .select(col("doc_id"),
-        size(col("segs")).cast("long").as("n_seg"),
-        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
-        array_join(col("kept"), " ").as("cleaned_text"))
+    docs.select(idCol.as("doc_id"), graft.functions.SegmentFunctions
+        .cdcSegmentCleanse(textCol, modB, hot).as("c"))
+      .select(col("doc_id"), col("c.n_seg").as("n_seg"),
+        col("c.n_dropped").as("n_dropped"),
+        col("c.cleaned_text").as("cleaned_text"))
   }
 }

@@ -379,11 +379,11 @@ object Quality {
     val offM = map(offs.toSeq.sortBy(_._1).flatMap { case (tpe, arr) =>
       Seq(lit(tpe), struct(
         lit(maxM(tpe)).as("maxm"),
-        array(arr.map(o => lit(o.m)): _*).as("ms"),
-        array(arr.map(o => lit(o.n)): _*).as("ns"),
-        array(nxt(tpe).map(lit(_)): _*).as("nxts"),
-        array(arr.map(o => lit(o.sx).cast(d38)): _*).as("sxs"),
-        array(arr.map(o => lit(o.sxx).cast(d38)): _*).as("sxxs"))) }: _*)
+        array(arr.toSeq.map(o => lit(o.m)): _*).as("ms"),
+        array(arr.toSeq.map(o => lit(o.n)): _*).as("ns"),
+        array(nxt(tpe).toSeq.map(lit(_)): _*).as("nxts"),
+        array(arr.toSeq.map(o => lit(o.sx).cast(d38)): _*).as("sxs"),
+        array(arr.toSeq.map(o => lit(o.sxx).cast(d38)): _*).as("sxxs"))) }: _*)
 
     // main pass: local running sums per merged chunk + literal-array
     // offsets = global prefix sums; explode each row into its own

@@ -388,6 +388,53 @@ class DedupSpec extends TestSpark {
     assert(got === corpus.map { case (i, t) => (i, 0L, t) })
   }
 
+  test("segment byte kernels match the composable spellings hash-for-" +
+       "hash and span-for-span — incl. multibyte UTF-8, empty tokens, " +
+       "trailing spaces, and the empty document") {
+    import graft.functions.{RollingHashFunctions, SegmentFunctions}
+    val texts = Seq(
+      "a b c d e f g h i j k l m n o p q",          // >2 aligned segments
+      "über café 東京 naïve θ δ ε ζ η θ ι κ",        // multibyte code points
+      "x  y   z", "a b ", " lead", "", "one",        // empty tokens / edges
+      (1 to 40).map(i => s"tok$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // aligned: kernel hashes == xxhash64 over the split/slice spelling
+    val segTok = 8
+    val spelled = df.select(col("doc_id"), transform(
+        sequence(lit(0),
+          ceil(size(split(col("text"), " ")).cast("double") / segTok)
+            .cast("int") - 1),
+        j => xxhash64(array_join(
+          slice(split(col("text"), " "), j * segTok + 1, lit(segTok)), " ")))
+      .as("hs"))
+    val kernel = df.select(col("doc_id"),
+      SegmentFunctions.segmentHashes(col("text"), segTok).as("hs"))
+    assert(kernel.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      === spelled.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq)
+    // CDC: kernel hashes == xxhash64 over the CdcSegments spelling
+    // (exercises the in-place UTF-8 code-point fingerprint decoder)
+    val modB = 8
+    val cdcSpelled = df.select(col("doc_id"), transform(
+        RollingHashFunctions.cdcSegments(split(col("text"), " "), modB),
+        s => xxhash64(s)).as("hs"))
+    val cdcKernel = df.select(col("doc_id"),
+      SegmentFunctions.cdcSegmentHashes(col("text"), modB).as("hs"))
+    assert(cdcKernel.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq
+      === cdcSpelled.orderBy("doc_id").collect().map(_.getSeq[Long](1)).toSeq)
+    // cleanse with an empty hot set is the identity on every fixture
+    val id16 = df.select(col("text"),
+      SegmentFunctions.segmentCleanse(col("text"), segTok,
+        Array.empty[Long]).as("c"))
+      .select(col("text"), col("c.cleaned_text")).collect()
+    id16.foreach(r => assert(r.getString(0) === r.getString(1)))
+    val id17 = df.select(col("text"),
+      SegmentFunctions.cdcSegmentCleanse(col("text"), modB,
+        Array.empty[Long]).as("c"))
+      .select(col("text"), col("c.cleaned_text")).collect()
+    id17.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("InLongSet: O(1) fingerprint probe — membership exact incl. the " +
        "zero key, and the d16 hot-set model is 8 bytes/entry") {
     import graft.functions.SetFunctions
