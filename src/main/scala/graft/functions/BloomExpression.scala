@@ -206,10 +206,13 @@ case class BloomSketchAuto(child: Expression, maxBits: Int,
   /** Fold to the self-chosen size and emit the dense bitmap. */
   override def eval(buf: Buf): Any = {
     val want = math.max(1L, buf.nRows) * bitsPerKey
+    // clamp to maxBits even below the 2^16 floor: build positions were
+    // accumulated mod maxBits, so emitting a LARGER bitmap would make
+    // probes use a different modulus → false negatives
     val m =
       if (want >= maxBits) maxBits
-      else math.max(1L << 16,
-        java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1).toInt
+      else math.min(maxBits.toLong, math.max(1L << 16,
+        java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1)).toInt
     buf.toDense(m)
   }
 

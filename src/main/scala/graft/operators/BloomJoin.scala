@@ -121,6 +121,16 @@ object BloomJoin {
                                bitsPerKey: Int = 16, maxBits: Int = 1 << 27,
                                numHashes: Int = 3,
                                seed: Long = 42L): DataFrame = {
+    // Regime check BEFORE selectivity: a Bloom prefilter pays for
+    // itself by shrinking the join's shuffle, so when the plain join
+    // plans with NO shuffle at all — both sides co-bucketed on the
+    // key (q65's layouts) — there are no shuffle bytes to save and
+    // the sketch's build job + per-row probes are pure overhead.
+    // Measured at sf10 over the shared bucketed layouts: 0.8 s plain
+    // vs 0.95 s with the best-tuned filter. Planning-time only (one
+    // extra Catalyst pass, no job); semantics identical either way.
+    val plain = probe.join(build, probeKey === buildKey)
+    if (isExchangeFree(plain)) return plain
     val bits = GraftInternal.scalarSubquery(build
       .select(keyHash(buildKey).as("__h"))
       .agg(graft.functions.BloomFunctions.bloomAggAuto(col("__h"), maxBits,
@@ -131,6 +141,20 @@ object BloomJoin {
       .filter(col("__keep") === 1L)
       .drop("__keep")
     kept.join(build, probeKey === buildKey)
+  }
+
+  /** True iff `joined` plans as a shuffle-CLASS join (sort-merge /
+    * shuffled-hash) with zero hash Exchanges — the co-bucketed regime
+    * where a probe prefilter has no shuffle bytes to save. Broadcast
+    * plans are deliberately NOT this regime: they are exchange-free
+    * too, but there the probe side never shuffles regardless and the
+    * selectivity rule keeps making the call. Inspects the INITIAL
+    * physical plan (planning time, no job); AQE can only remove
+    * exchanges later, never add them. */
+  private[graft] def isExchangeFree(joined: DataFrame): Boolean = {
+    val p = joined.queryExecution.executedPlan.toString
+    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+      !p.contains("Exchange hashpartitioning")
   }
 
   /** Next power of two ≥ `bitsPerKey × n`, floored at 2^16 (the
@@ -180,6 +204,12 @@ object BloomJoin {
                               mBits: Int = 1 << 20, numHashes: Int = 3,
                               seed: Long = 42L): DataFrame = {
     import graft.functions.{CmsFunctions, CmsUtil}
+    // regime first, selectivity second: in the co-bucketed plan there
+    // is no probe-side Exchange for the filter to shrink, so even a
+    // highly selective Bloom is a measured net loss — skip without
+    // paying the build-side CMS job
+    val plain = probe.join(build, probeKey === buildKey)
+    if (isExchangeFree(plain)) return plain
     val buildCms = build
       .select(keyHash(buildKey).as("__h")).distinct()
       .agg(CmsFunctions.cmsAgg(col("__h"), depth, width, cmsSeed))
@@ -187,7 +217,7 @@ object BloomJoin {
     val est = CmsUtil.joinSizeEst(probeKeyCms, buildCms, depth, width)
     val total = CmsUtil.totalCount(probeKeyCms, depth, width)
     if (total > 0L && est.toDouble / total > maxSelectivity)
-      probe.join(build, probeKey === buildKey)
+      plain
     else
       prefilteredJoin(probe, probeKey, build, buildKey,
         mBits, numHashes, seed)

@@ -77,55 +77,103 @@ object Layout {
     val destFs = dest.getFileSystem(hconf)
     val src = load
     val fp = sourceFingerprint(hconf, src)
-    val stored: Option[String] =
-      if (!spark.catalog.tableExists(table)) None
-      else spark.sql(s"SHOW TBLPROPERTIES `$table`")
-        .where(col("key") === FingerprintProp)
-        .collect().headOption.map(_.getString(1))
-    if (!(stored.contains(fp) && destFs.exists(dest))) {
-      val fpFile = new org.apache.hadoop.fs.Path(dest, FingerprintFile)
-      val diskFp: Option[String] =
-        if (!destFs.exists(fpFile)) None
-        else {
-          val in = destFs.open(fpFile)
-          try {
-            val buf = new Array[Byte](64) // fp is a 16-hex-char long
-            val n = in.read(buf)
-            Some(new String(buf, 0, math.max(n, 0),
-              java.nio.charset.StandardCharsets.UTF_8).trim)
-          } finally in.close()
+    // Per-table lock: two concurrent callers in one JVM serialize
+    // here — the first rebuilds/adopts, the second re-checks the
+    // catalog UNDER the lock and finds the fresh fingerprint, so a
+    // table is never DROP/CREATE-interleaved and a rebuild happens
+    // once per source change even under concurrency.
+    val lock = tableLocks.computeIfAbsent(table, _ => new Object)
+    lock.synchronized {
+      val stored: Option[String] =
+        if (!spark.catalog.tableExists(table)) None
+        else spark.sql(s"SHOW TBLPROPERTIES `$table`")
+          .where(col("key") === FingerprintProp)
+          .collect().headOption.map(_.getString(1))
+      if (!(stored.contains(fp) && destFs.exists(dest))) {
+        val fpFile = new org.apache.hadoop.fs.Path(dest, FingerprintFile)
+        val diskFp: Option[String] =
+          if (!destFs.exists(fpFile)) None
+          else {
+            // read the sidecar FULLY — a single read() may return a
+            // prefix (FSDataInputStream contract), and a truncated
+            // fingerprint would silently demote adoption to a rewrite
+            val in = destFs.open(fpFile)
+            try {
+              val len = destFs.getFileStatus(fpFile).getLen.toInt
+              val buf = new Array[Byte](len)
+              in.readFully(0, buf)
+              Some(new String(buf,
+                java.nio.charset.StandardCharsets.UTF_8).trim)
+            } finally in.close()
+          }
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        if (diskFp.contains(fp)) {
+          // the clustered files are current — adopt them, don't rewrite.
+          // CREATE TABLE with bucketing demands an explicit column list;
+          // the source's schema IS the bucketed copy's schema.
+          System.err.println(s"[layout] re-register $table from $path")
+          adoptions.incrementAndGet()
+          val schemaDdl = src.schema.map(f =>
+            s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          val cols = bucketBy.map(c => s"`$c`").mkString(", ")
+          createTolerant(spark, fp,
+            s"CREATE TABLE `$table` ($schemaDdl) USING PARQUET " +
+            s"CLUSTERED BY ($cols) SORTED BY ($cols) " +
+            s"INTO $buckets BUCKETS LOCATION '$path'", table)
+        } else {
+          // rebuilds should happen once per SOURCE CHANGE — log each one
+          // so a bench/ops run can see when the contract is violated
+          System.err.println(s"[layout] rebuild $table: stored=$stored " +
+            s"diskFp=$diskFp fp=$fp")
+          rebuilds.incrementAndGet()
+          graft.sinks.ParquetSink.writeBucketed(
+            src, table, path, buckets, bucketBy)
+          // fingerprint written AFTER the data, to a temp name and
+          // RENAMED into place: a crash mid-write leaves no (or a
+          // temp-named) sidecar, so the next call rebuilds instead of
+          // adopting a half-written copy, and a concurrent reader in
+          // another process never sees a partially-written sidecar
+          val tmp = new org.apache.hadoop.fs.Path(dest,
+            s"$FingerprintFile.tmp-${java.util.UUID.randomUUID()}")
+          val out = destFs.create(tmp, true)
+          try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          destFs.delete(fpFile, false)
+          if (!destFs.rename(tmp, fpFile))
+            throw new java.io.IOException(
+              s"[layout] sidecar rename failed: $tmp -> $fpFile")
         }
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      if (diskFp.contains(fp)) {
-        // the clustered files are current — adopt them, don't rewrite.
-        // CREATE TABLE with bucketing demands an explicit column list;
-        // the source's schema IS the bucketed copy's schema.
-        System.err.println(s"[layout] re-register $table from $path")
-        val schemaDdl = src.schema.map(f =>
-          s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        val cols = bucketBy.map(c => s"`$c`").mkString(", ")
-        spark.sql(s"CREATE TABLE `$table` ($schemaDdl) USING PARQUET " +
-          s"CLUSTERED BY ($cols) SORTED BY ($cols) " +
-          s"INTO $buckets BUCKETS LOCATION '$path'")
-      } else {
-        // rebuilds should happen once per SOURCE CHANGE — log each one
-        // so a bench/ops run can see when the contract is violated
-        System.err.println(s"[layout] rebuild $table: stored=$stored " +
-          s"diskFp=$diskFp fp=$fp")
-        graft.sinks.ParquetSink.writeBucketed(
-          src, table, path, buckets, bucketBy)
-        // fingerprint written AFTER the data: a crash mid-write leaves
-        // no sidecar, so the next call rebuilds instead of adopting a
-        // half-written copy
-        val out = destFs.create(fpFile, true)
-        try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
+          s"('$FingerprintProp'='$fp')")
       }
-      spark.sql(s"ALTER TABLE `$table` SET TBLPROPERTIES " +
-        s"('$FingerprintProp'='$fp')")
     }
     spark.table(table)
   }
+
+  /** CREATE TABLE tolerant of a cross-PROCESS race (the in-process
+    * race is already excluded by the per-table lock): if another
+    * session created the table between our DROP and CREATE, accept it
+    * iff its fingerprint matches ours — same source, same layout —
+    * else the sources genuinely diverged and failing loudly beats
+    * silently querying the other session's data. */
+  private def createTolerant(spark: org.apache.spark.sql.SparkSession,
+                             fp: String, ddl: String, table: String): Unit =
+    try spark.sql(ddl)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("already exists") =>
+        val theirs = spark.sql(s"SHOW TBLPROPERTIES `$table`")
+          .where(col("key") === FingerprintProp)
+          .collect().headOption.map(_.getString(1))
+        if (!theirs.contains(fp)) throw e
+    }
+
+  /** Test/ops visibility: how many clustered rewrites and
+    * metadata-only adoptions this JVM has performed. */
+  private[graft] val rebuilds = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val adoptions = new java.util.concurrent.atomic.AtomicLong
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private val FingerprintProp = "graft.source.fingerprint"
   private val FingerprintFile = "_graft_fingerprint"

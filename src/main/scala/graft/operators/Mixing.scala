@@ -147,11 +147,13 @@ object Mixing {
       s"CASE WHEN ${2L * k} * ($w) <= __t THEN CAST(0 AS BIGINT) " +
         s"ELSE least(CAST($k AS BIGINT), " +
         s"(${2L * k} * ($w) - __t + 2 * __t - 1) div (2 * __t)) END"
-    // 2k·W rides Long: a total weight above Long.MaxValue/(2k) would
-    // silently wrap and corrupt the selection — fail loudly (one
-    // constant comparison per row; at that magnitude the caller must
-    // rescale weights, e.g. tokens -> kilotokens)
-    val maxT = Long.MaxValue / (2L * k)
+    // the grid numerator is 2k·w + __t - 1, worst case (2k+1)·__t - 1
+    // when one row holds the whole weight: a total above
+    // Long.MaxValue/(2k+1) would silently wrap and corrupt the
+    // selection — fail loudly (one constant comparison per row; at
+    // that magnitude the caller must rescale weights, e.g. tokens ->
+    // kilotokens)
+    val maxT = Long.MaxValue / (2L * k + 1L)
     cum.crossJoin(broadcast(tot))
       .withColumn("mult",
         when(col("__t") > maxT, raise_error(concat(

@@ -118,6 +118,19 @@ object Pipeline {
       s"lineitem_bk$tag", s"/tmp/graft_layout$tag/lineitem",
       buckets = 32, bucketBy = Seq("l_orderkey"))
   }
+  /** events clustered on user_id — the standing layout for every
+    * per-user aggregation/window (q61's dedup + sweep-line both
+    * require only user co-location: HashPartitioning(user_id)
+    * satisfies ClusteredDistribution(user_id, b), so the (user,
+    * bucket) distinct AND the per-user window run with zero
+    * Exchange over this copy). */
+  private def bucketedEvents(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    Layout.ensureBucketed(s, t(s, d, "events"),
+      s"events_bk$tag", s"/tmp/graft_layout$tag/events",
+      buckets = 32, bucketBy = Seq("user_id"))
+  }
 
   private def skewEvents(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "events").withColumn("skew_uid",
@@ -971,10 +984,25 @@ object Pipeline {
     * always wins representative election) with pairs RESTRICTED to
     * batch-involving ones (id_b >= FLAG — exactly what the Spark side
     * mines) → reachability → drop non-representative batch docs. */
+  /** d10 gates the FULL documents table wherever the DuckDB oracle
+    * can run it and a doc_id % m bounded subset above, with
+    * m = max(1, count/25000) — so the subset stays ~25k docs at EVERY
+    * scale (the size the oracle's reach-pairs recursive CTE is known
+    * to complete at; the full table OOMs it from sf1 up — measured
+    * round 7). sf0.001/0.01/0.1 keep full-table evidence (m = 1),
+    * sf1 keeps its round-12 doc_id%2 rows exactly (m = 2), and sf10
+    * becomes gateable at m = 20 instead of skipped. Both engines
+    * derive m from the same data-driven count, so the cut is
+    * identical by construction. */
+  private val d10SubsetTarget = 25000L
+
   private def d10Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String = {
     val FLAG = 1L << 62
     s"""WITH RECURSIVE
-          sub AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          sub AS (SELECT * FROM documents
+                  WHERE doc_id % greatest(1,
+                    (SELECT count(*) FROM documents) // $d10SubsetTarget)
+                    = 0),
           b1 AS (
             SELECT * FROM sub WHERE doc_id % 7 = 0
             QUALIFY row_number() OVER (PARTITION BY md5(text)
@@ -1335,6 +1363,13 @@ object Pipeline {
     // default: 4 b/key (pow-2 rounding makes it ~5.6 effective),
     // k=2, fpp ≈ 9% — A/B at sf10: 0.95 s vs 2.25 s for the
     // fixed-16b two-job spelling, vs 0.8 s for no filter at all.
+    // Round 13 closes that last gap: the decision rule prices the
+    // REGIME before selectivity — when the plain join plans as a
+    // shuffle-class join with zero Exchanges (both sides co-bucketed),
+    // the Bloom has no shuffle bytes to save and is a measured net
+    // loss, so selfSizedPrefilteredJoin skips it and this gate runs
+    // the plain co-partitioned join; in the broadcast/shuffle regimes
+    // the sketch still installs (BloomSpec pins all paths).
     Q("q47_bloom_join",
       (s, d) => BloomJoin.selfSizedPrefilteredJoin(
           bucketedLineitem(s, d), col("l_orderkey"),
@@ -1751,17 +1786,22 @@ object Pipeline {
     // corpus = docs with doc_id % 7 != 0 (stands in for yesterday's
     // deduped corpus), batch = the rest. Candidate mining only probes
     // batch buckets; corpus precedence via the 2^62 key offset.
-    // Gated over the doc_id % 2 = 0 subset (d18's pattern): the
-    // ORACLE's connected components is a reach-pairs recursive CTE
-    // that cannot complete at sf1 on the full table (measured round
-    // 7: unbounded spill under a memory cap, OOM without one) — the
-    // graft side is not the bottleneck. The subset keeps a full
-    // corpus-vs-batch decade of hash evidence at sf1 (25k docs there
-    // vs 5k full-table at sf0.1); DedupSpec covers the operator's own
-    // laws on full fixtures.
+    // Gated on the FULL table where the oracle can run it and a
+    // ~25k-doc doc_id % m subset above (d18's pattern, m scale-
+    // adaptive — see d10SubsetTarget): the ORACLE's connected
+    // components is a reach-pairs recursive CTE that cannot complete
+    // on 50k+ docs (measured round 7: unbounded spill under a memory
+    // cap, OOM without one) — the graft side is not the bottleneck.
+    // Both engines branch on the same data-driven count, so small
+    // scales keep full-table evidence and every larger decade keeps a
+    // fixed-size corpus-vs-batch slice; DedupSpec covers the
+    // operator's own laws on full fixtures.
     Q("d10_incremental_dedup",
       (s, d) => {
-        val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        val full = t(s, d, "documents")
+        val m = math.max(1L, full.count() / d10SubsetTarget)
+        val docs =
+          if (m == 1L) full else full.filter(col("doc_id") % m === 0)
         Dedup.incrementalDedup(
             docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
             docs.filter(col("doc_id") % 7 === 0), col("doc_id"), col("text"),
@@ -1840,6 +1880,53 @@ object Pipeline {
                       COUNT(*) AS cnt
                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- bucketed 5-way star (q06b) -----------------------------------------
+    // q06's full star over the SHARED bucketed layouts — the gated
+    // proof that q06's two fact shuffles (its 4.4×-DuckDB growth term
+    // at sf10) are a LAYOUT cost, not a query cost. Same result, same
+    // oracle; q06 stays as the raw-parquet baseline (q45/q48 style).
+    // Shape: lineitem pre-aggregates to order grain IN PLACE (groupBy
+    // on the bucket key — zero Exchange), merge-joins orders on the
+    // co-bucketed key (zero Exchange, zero Sort), and the dimension
+    // chain (customer→nation→region, key+name columns only) broadcasts
+    // onto the order-grain rows — so no fact row is ever hashed across
+    // the cluster and the only hash Exchange left is the 25-row final
+    // aggregate. At 100 TB customer outgrows the explicit broadcast;
+    // the same contract then buckets orders by o_custkey for this
+    // family instead (one more standing layout, zero query rewrites).
+    // Two-level dsum is exact: per-order revenue scaled to 1e-4
+    // integers stays < 2^51, so each partial double round-trips the
+    // scaled-integer sum losslessly and the re-sum equals the flat sum
+    // bit-for-bit.
+    Q("q06b_multijoin_bucketed",
+      (s, d) => {
+        val liAgg = bucketedLineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"), count(lit(1)).as("n"))
+        val cust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("r_name"), col("n_name"))
+        bucketedOrders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(col("rev")).as("revenue"), sum(col("n")).as("cnt"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name,
+                      ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+                      COUNT(*) AS cnt
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               JOIN region   ON n_regionkey = r_regionkey
+               GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
 
     // -- pointwise-MI feature selection (q63) ------------------------------
     // which tokens are INFORMATIVE about a label (here lang) — the
@@ -2201,7 +2288,7 @@ object Pipeline {
     // EXACT distinct-user counts for every 1-hour window sliding by 10
     // minutes — the classic "you can't sum distincts across buckets"
     // problem, solved without per-window rescans: dedup (user, bucket)
-    // first (the only corpus-sized shuffle, map-side combined), then
+    // first (exchange-FREE over the user-bucketed layout), then
     // each surviving pair fans out to exactly the W/S = 6 windows
     // containing its bucket — a BOUNDED explode of the deduped pairs,
     // not the events — distinct (user, window), count. At 100 TB the
@@ -2226,7 +2313,12 @@ object Pipeline {
           .partitionBy("user_id").orderBy("b")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         val wW = org.apache.spark.sql.expressions.Window.orderBy("w")
-        val intervals = t(s, d, "events")
+        // round 13: the one corpus-sized shuffle is gone too — over
+        // the user-bucketed layout both the (user, bucket) distinct
+        // and the per-user sweep window need only user co-location,
+        // which the buckets already provide (zero Exchange; the
+        // remaining exchanges move interval- and window-sized rows)
+        val intervals = bucketedEvents(s, d)
           .select(col("user_id"), expr("unix_timestamp(ts) div 600").as("b"))
           .distinct()
           .withColumn("prev", lag("b", 1).over(wU))

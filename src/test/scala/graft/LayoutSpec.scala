@@ -144,4 +144,38 @@ class LayoutSpec extends TestSpark {
         buckets = 4, bucketBy = Seq("k")).count() === 1)
     } finally spark.sql("DROP TABLE IF EXISTS rr_bk")
   }
+
+  test("ensureBucketed under CONCURRENT callers: exactly one rebuild, " +
+      "no DROP/CREATE interleaving — the loser of the race re-checks " +
+      "under the per-table lock and serves the winner's copy") {
+    val dir = Files.createTempDirectory("racebucket").toString
+    val srcPath = s"$dir/src"
+    spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.parquet(srcPath)
+    def load = spark.read.parquet(srcPath)
+    val rebuildsBefore = Layout.rebuilds.get()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val calls = (1 to 2).map { _ =>
+        Future {
+          gate.await()
+          Layout.ensureBucketed(spark, load, "race_bk", s"$dir/b",
+            buckets = 4, bucketBy = Seq("k")).count()
+        }
+      }
+      gate.countDown()
+      val counts = Await.result(Future.sequence(calls), 120.seconds)
+      assert(counts === Seq(1000L, 1000L))
+      assert(Layout.rebuilds.get() - rebuildsBefore === 1L,
+        s"expected exactly one clustered rewrite under the race, " +
+          s"got ${Layout.rebuilds.get() - rebuildsBefore}")
+      // the surviving table is whole and bucketed
+      assert(spark.table("race_bk").count() === 1000L)
+    } finally spark.sql("DROP TABLE IF EXISTS race_bk")
+  }
 }

@@ -30,6 +30,27 @@ class PlanSpec extends TestSpark {
     assert("BroadcastHashJoin".r.findAllIn(p6).size >= 2, p6)
   }
 
+  test("q06b: the bucketed 5-way star moves NO fact rows — lineitem " +
+       "pre-aggregates in place on its bucket key, the order join is " +
+       "co-bucketed sort-merge, dims broadcast; the only hash Exchange " +
+       "left is the 25-row final aggregate") {
+    val p = plan("q06b_multijoin_bucketed")
+    // both fact scans read the bucketed layouts; at test scale the
+    // order join itself may plan broadcast (orders is tiny) — the
+    // invariant is the Exchange count, which is layout-guaranteed at
+    // every scale: exactly one, for the dimension-grain final agg
+    assert("Bucketed: true".r.findAllIn(p).size === 2, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q61: the (user, bucket) dedup and the per-user sweep window run " +
+       "exchange-free over the user-bucketed events layout — the one " +
+       "hash Exchange left moves interval-boundary rows") {
+    val p = plan("q61_sliding_distinct")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("q03: aggregation is partial (map-side) then final") {
     val p = plan("q03_agg_groupby")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
@@ -61,14 +82,13 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
-  test("d16: the rebuild scan is row-local — hot-set probe is a hashed " +
-       "64-bit fingerprint reference (in_long_set over xxhash64), no " +
-       "hash Exchange, arrays staged once") {
+  test("d16: the rebuild scan is row-local — one single-walk byte kernel " +
+       "(segment_cleanse) probes the hot fingerprints and copies " +
+       "survivors, no hash Exchange") {
     val p = plan("d16_segment_dedup")
-    assert(p.contains("in_long_set"), p)
-    assert(p.contains("xxhash64"), p)
+    assert(p.contains("segment_cleanse"), p)
     // the hot-set aggregation ran eagerly as its own job; the returned
-    // plan is scan → staged projects → gate orderBy only
+    // plan is scan → cleanse projection → gate orderBy only
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
@@ -82,11 +102,11 @@ class PlanSpec extends TestSpark {
     assert(!p16.contains("Exchange hashpartitioning"), p16)
   }
 
-  test("d17: CDC rebuild is row-local — cdc_segments in the scan, hashed " +
-       "hot-set probe, no hash Exchange") {
+  test("d17: CDC rebuild is row-local — one single-walk byte kernel " +
+       "(cdc_segment_cleanse) re-derives boundaries, probes the hot " +
+       "fingerprints and copies survivors, no hash Exchange") {
     val p = plan("d17_cdc_segment_dedup")
-    assert(p.contains("cdc_segments"), p)
-    assert(p.contains("in_long_set"), p)
+    assert(p.contains("cdc_segment_cleanse"), p)
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 

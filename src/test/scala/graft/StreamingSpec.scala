@@ -1147,6 +1147,61 @@ class StreamingSpec extends TestSpark {
       want.map(c => (c.key, c.valid_from, c.valid_to, c.value)))
   }
 
+  test("checkpoint recovery (st15): the per-range ROW MAP survives a " +
+      "restart — the digest emitted by the restarted stream still " +
+      "covers run 1's rows, and a stale change is still rejected by " +
+      "the recovered per-key seq") {
+    // the recovery property for anti-entropy: a digest computed over
+    // lost state would silently cover only post-restart keys and a
+    // replica compare would flag a phantom divergence (or worse, a
+    // stale update would apply and the digests would AGREE on corrupt
+    // data). Post-restart digests must equal the batch face over the
+    // full changelog.
+    val stageDir = Files.createTempDirectory("chk-stage").toString
+    val ckpt = Files.createTempDirectory("chk-ckpt").toString
+    val out = collection.mutable.ArrayBuffer.empty[Streams.RangeDigestOut]
+    def run(): Unit = {
+      val streamed = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Streams.ChangeRow]].schema)
+        .parquet(stageDir).as[Streams.ChangeRow]
+      val q = Streams.rangeChecksumStream(streamed, rangeSize = 64L)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.RangeDigestOut],
+                         _: Long) =>
+          out.synchronized { out ++= df.collect() }; ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    val b1 = Seq(
+      Streams.ChangeRow(1L, 3L, "insert", 10.0),   // range 0
+      Streams.ChangeRow(2L, 1L, "insert", 20.0),   // range 0
+      Streams.ChangeRow(65L, 1L, "insert", 30.0))  // range 1
+    b1.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    val afterRun1 = out.synchronized(out.size)
+    // kill-and-restart: run 2 sees a stale change for key 1 (seq 2 <
+    // recovered 3) and a fresh insert into range 0
+    val b2 = Seq(
+      Streams.ChangeRow(1L, 2L, "update", 999.0), // STALE vs recovered 3
+      Streams.ChangeRow(3L, 1L, "insert", 40.0))  // range 0
+    b2.toDS().coalesce(1).write.mode("append").parquet(stageDir)
+    run()
+    val run2 = out.synchronized(out.toList).drop(afterRun1)
+      .groupBy(_.range_id).map { case (_, vs) => vs.last }.toSet
+    // batch face of the same machinery over the FULL changelog: the
+    // restarted digest for range 0 must cover keys 1, 2 AND 3 with
+    // key 1 still at value 10.0 — only possible if the row map and
+    // its seqs were recovered from the checkpoint
+    val batchFace = Streams.rangeChecksumStream((b1 ++ b2).toDS(), 64L)
+      .collect().filter(d => run2.exists(_.range_id == d.range_id)).toSet
+    assert(run2 === batchFace)
+    assert(run2.find(_.range_id === 0L).get.n_rows === 3L)
+  }
+
   test("checkpoint recovery (st14): the OPEN version survives a " +
       "restart — the closure emitted by the restarted stream carries " +
       "run 1's valid_from, and a stale change is still rejected") {

@@ -46,7 +46,7 @@ HEADLINE = [
     "q61_sliding_distinct", "d19_fuzzy_join",
     "q62_global_topk_percent", "d20_semantic_decontaminate",
     "q63_mi_feature_select", "q64_join_size_sketch",
-    "q65_bucketed_join",
+    "q65_bucketed_join", "q06b_multijoin_bucketed",
     "q66_kmeans_train", "q67_cluster_sample", "q68_apply_changeset",
     "q69_unpivot",
     "q70_scd2_history", "q71_pps_sample", "q72_table_checksum",
