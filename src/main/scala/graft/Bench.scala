@@ -265,6 +265,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // broadcasts (dim hash relations, Bloom bits) are reaped by the
+      // ContextCleaner only after their weak refs are GC'd; a pinned
+      // 64 GB heap can go many samples without a collection, so dead
+      // broadcast blocks pile up in unified memory and later samples
+      // read ~2-4x slow (measured at sf10: q47 2.3 -> 7.9 s across 4
+      // round-robin samples, flat ~1 s solo). One explicit GC outside
+      // the timed region keeps every sample's memory state equal.
+      System.gc()
       outcomes(name) :+= (if (ok) Some(dt) else None)
     }
     val all = run.map { name =>

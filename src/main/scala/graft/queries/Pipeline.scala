@@ -970,9 +970,18 @@ object Pipeline {
             JOIN hsets hb ON hb.id = id_b)"""
   }
 
+  /** d03's bounded-subset target — see the Q("d03_minhash_lsh")
+    * comment. 50k = the largest size the oracle has completed at
+    * (full sf1 table), so every smaller SF keeps full-table rows. */
+  private val d03SubsetTarget = 50000L
+
   private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long,
                         maxBucketSize: Option[Long] = None): String =
-    s"""WITH ${minhashCtes("documents", bands, rpb, seed, maxBucketSize)}
+    s"""WITH d03src AS (SELECT * FROM documents
+                        WHERE doc_id % greatest(1,
+                          (SELECT count(*) FROM documents)
+                            // $d03SubsetTarget) = 0),
+        ${minhashCtes("d03src", bands, rpb, seed, maxBucketSize)}
         SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
                round(jaccard, 4) AS jaccard
         FROM verified WHERE jaccard >= $minJ
@@ -1482,12 +1491,25 @@ object Pipeline {
                WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.6
                ORDER BY id_a, id_b""")),
 
+    // d03 gates the FULL table wherever the oracle can replay the
+    // banding (≤ d03SubsetTarget docs — sf0.001 through sf1) and a
+    // doc_id % m bounded subset above (m = count/50000): the ORACLE's
+    // signature CTEs spill past this box's temp disk on 500k docs
+    // (sf10 was an honest skip through round 12); a fixed-size ~50k
+    // slice keeps a full decade of hash evidence at every larger
+    // scale. Both engines derive m from the same count.
     Q("d03_minhash_lsh",
-      (s, d) => Dedup.minhashLshPairs(
-          t(s, d, "documents"), col("doc_id"), col("text"),
-          bands = 16, rowsPerBand = 4, minJaccard = 0.6)
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val full = t(s, d, "documents")
+        val m = math.max(1L, full.count() / d03SubsetTarget)
+        val docs =
+          if (m == 1L) full else full.filter(col("doc_id") % m === 0)
+        Dedup.minhashLshPairs(
+            docs, col("doc_id"), col("text"),
+            bands = 16, rowsPerBand = 4, minJaccard = 0.6)
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_a", "id_b")
+      },
       Some(d03Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L))),
 
     // -- dedup clustering (transitive closure of near-dup pairs) -----------
@@ -1631,12 +1653,27 @@ object Pipeline {
     // The oracle re-derives the per-token fingerprint (t04's
     // list_reduce form), marks closers, assigns segments by an
     // exclusive running sum of closers, and replays the hot-set cut.
+    // Gated on the FULL table through sf1 and a ~50k-doc doc_id % m
+    // subset above (m = count/50000, the d03/d10 pattern): the
+    // ORACLE re-derives every token's rolling fingerprint under a
+    // per-doc running-sum window — at sf10 that is a window over
+    // 130M tokens, which DuckDB cannot hold (measured this round:
+    // OOM at a 110 GB limit even isolated) — the graft side (one
+    // byte-kernel scan) is not the bottleneck.
     Q("d17_cdc_segment_dedup",
-      (s, d) => Dedup.cdcSegmentDedup(
-          t(s, d, "documents"), col("doc_id"), col("text"))
-        .orderBy("doc_id"),
-      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
-                          FROM documents),
+      (s, d) => {
+        val full = t(s, d, "documents")
+        val m = math.max(1L, full.count() / d03SubsetTarget)
+        val docs =
+          if (m == 1L) full else full.filter(col("doc_id") % m === 0)
+        Dedup.cdcSegmentDedup(docs, col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents
+                          WHERE doc_id % greatest(1,
+                            (SELECT count(*) FROM documents)
+                              // $d03SubsetTarget) = 0),
                    tok AS (SELECT doc_id, generate_subscripts(t, 1) AS ti,
                                   unnest(t) AS tokv
                            FROM tk),
@@ -1886,36 +1923,37 @@ object Pipeline {
     // proof that q06's two fact shuffles (its 4.4×-DuckDB growth term
     // at sf10) are a LAYOUT cost, not a query cost. Same result, same
     // oracle; q06 stays as the raw-parquet baseline (q45/q48 style).
-    // Shape: lineitem pre-aggregates to order grain IN PLACE (groupBy
-    // on the bucket key — zero Exchange), merge-joins orders on the
-    // co-bucketed key (zero Exchange, zero Sort), and the dimension
-    // chain (customer→nation→region, key+name columns only) broadcasts
-    // onto the order-grain rows — so no fact row is ever hashed across
-    // the cluster and the only hash Exchange left is the 25-row final
-    // aggregate. At 100 TB customer outgrows the explicit broadcast;
-    // the same contract then buckets orders by o_custkey for this
-    // family instead (one more standing layout, zero query rewrites).
-    // Two-level dsum is exact: per-order revenue scaled to 1e-4
-    // integers stays < 2^51, so each partial double round-trips the
-    // scaled-integer sum losslessly and the re-sum equals the flat sum
-    // bit-for-bit.
+    // Shape: q65's sort-free co-bucketed merge join of the two facts,
+    // then the dimension chain (customer→nation→region, key+name
+    // columns only) broadcasts onto the joined rows, and the final
+    // aggregate combines map-side to 25 groups — no fact row is ever
+    // hashed across the cluster; the only hash Exchange is the 25-row
+    // final agg (PlanSpec pins scan bucketing + Exchange count).
+    // A/B at sf10 (tools/Q06Ab): pre-aggregating lineitem to order
+    // grain first measured ~2.9 s steady vs this form's ~2.3 s — the
+    // pre-agg saves broadcast-probe work on 45M rows but its
+    // HashAggregate output DROPS the bucket sort, putting a 15M-row
+    // per-partition Sort back under the merge join; the sort costs
+    // more than the probes save. At 100 TB customer outgrows the
+    // explicit broadcast; the same contract then buckets orders by
+    // o_custkey for this family instead (one more standing layout,
+    // zero query rewrites).
     Q("q06b_multijoin_bucketed",
       (s, d) => {
-        val liAgg = bucketedLineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("rev"), count(lit(1)).as("n"))
         val cust = t(s, d, "customer")
           .join(broadcast(t(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, d, "region")),
             col("n_regionkey") === col("r_regionkey"))
           .select(col("c_custkey"), col("r_name"), col("n_name"))
-        bucketedOrders(s, d).select(col("o_orderkey"), col("o_custkey"))
-          .join(liAgg, col("o_orderkey") === col("l_orderkey"))
+        bucketedLineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(bucketedOrders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
           .groupBy("r_name", "n_name")
-          .agg(dsum(col("rev")).as("revenue"), sum(col("n")).as("cnt"))
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"), count(lit(1)).as("cnt"))
           .orderBy("r_name", "n_name")
       },
       Some(s"""SELECT r_name, n_name,
@@ -2039,12 +2077,19 @@ object Pipeline {
     // (at sf0.1 the corpus has LSH buckets of 3-4 docs and shingles in
     // up to 25 docs, so both caps demonstrably fire).
     Q("d11_lsh_bucket_cap",
-      (s, d) => Dedup.minhashLshPairs(
-          t(s, d, "documents"), col("doc_id"), col("text"),
-          bands = 16, rowsPerBand = 4, minJaccard = 0.6,
-          maxBucketSize = Some(2L))
-        .withColumn("jaccard", round(col("jaccard"), 4))
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        // same data-driven bounded subset as d03 (shared oracle CTEs)
+        val full = t(s, d, "documents")
+        val m = math.max(1L, full.count() / d03SubsetTarget)
+        val docs =
+          if (m == 1L) full else full.filter(col("doc_id") % m === 0)
+        Dedup.minhashLshPairs(
+            docs, col("doc_id"), col("text"),
+            bands = 16, rowsPerBand = 4, minJaccard = 0.6,
+            maxBucketSize = Some(2L))
+          .withColumn("jaccard", round(col("jaccard"), 4))
+          .orderBy("id_a", "id_b")
+      },
       Some(d03Oracle(bands = 16, rpb = 4, minJ = 0.6, seed = 42L,
         maxBucketSize = Some(2L)))),
 

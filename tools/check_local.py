@@ -26,13 +26,22 @@ def canon(rows, cols):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
-    con = duckdb.connect()
-    mem = os.environ.get("DUCKDB_MEM_LIMIT")
-    if mem:
-        con.execute(f"SET memory_limit='{mem}'")
-    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    def connect():
+        c = duckdb.connect()
+        mem = os.environ.get("DUCKDB_MEM_LIMIT")
+        if mem:
+            c.execute(f"SET memory_limit='{mem}'")
+        for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(p)[:-len(".parquet")]
+            c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    # fresh connection per query: a disk-full/OOM abort leaves the
+    # shared buffer manager wedged and every LATER oracle then fails
+    # with spurious bad-allocation errors (measured at sf10: d11's
+    # temp-disk fill poisoned 7 healthy sub-2s oracles after it)
+    con = connect()
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     skip = set(filter(None, os.environ.get("DUCKDB_SKIP", "").split(",")))
     n_pass = n_fail = 0
@@ -61,6 +70,27 @@ def main():
         try:
             orel = con.sql(oracle[name])
             ocols, orows = canon(orel.fetchall(), orel.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}", flush=True)
+            n_fail += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None,
+                            "err": f"oracle error: {type(e).__name__}: {e}"}
+            # rebuild the connection so this failure can't poison the
+            # rest; drop every reference first (relations pin the old
+            # connection's buffer manager and its memory with it)
+            orel = None
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = None
+            import gc as _gc
+            _gc.collect()
+            con = connect()
+            continue
+        try:
             # Python ints compare equal regardless of width, but the
             # driver's hasher goes through pandas where HUGEINT/DECIMAL
             # become float/object and hash-mismatch vs Spark's int64.
