@@ -212,18 +212,23 @@ object Quality {
     // where cum is the RUNNING decimal prefix sum (Spark's O(n)
     // running-frame path) — decimal subtraction is exact, so the
     // frame sums are bit-identical to the recomputed ones. Parallelism
-    // comes from ts-range CHUNKS inside each type: two output-sized
+    // comes from ts-range CHUNKS inside each type: three output-sized
     // collect passes (per-type ts min/max for uniform width_bucket
     // chunking — ANY boundary placement yields the same answer,
-    // boundaries only set parallelism — then exact per-chunk
-    // count/Σv/Σv² merged so every chunk can serve a full 100-row
-    // history) turn local window sums
-    // into global ones via literal-map offsets, and each chunk's rows
-    // are re-exploded into the NEXT chunk as carry context so
-    // lag(cum, 101) always reaches 101 rows back across a boundary.
-    // Cost: two column-pruned stat scans (|types|·|chunks| rows
-    // collected) + one corpus pass with two (type, chunk) exchanges —
-    // every stage |types|·|chunks|-way parallel, O(1) work per row.
+    // boundaries only set parallelism; exact per-chunk count/Σv/Σv²
+    // merged so every chunk can serve a full 100-row history; and the
+    // previous chunk's last-100 TAIL via a WindowGroupLimit job) turn
+    // local window sums into global ones via literal-map offsets.
+    // Rows whose 101-back target is inside their own chunk take
+    // lag(cum, 101) over the SAME window sort; the ≤101 chunk-head
+    // rows reconstruct it from broadcast tail suffix sums
+    // (cum(g−101) = chunk_offset − suffix(L)) — so the carry costs a
+    // |types|·|chunks|·101-row broadcast, NOT a second corpus
+    // exchange (round 12 exploded chunk tails forward and re-shuffled
+    // all n rows; that exchange was half the sf10 cost).
+    // Cost: three column-pruned stat scans (|types|·|chunks|·101 rows
+    // collected, core-bounded) + ONE corpus exchange — every stage
+    // |types|·|chunks|-way parallel, O(1) work per row.
     Q("q81_rolling_anomaly",
       (s, d) => rollingAnomaly(s, d),
       Some("""WITH w AS (
@@ -281,6 +286,52 @@ object Quality {
   )
 
   /** q81's chunk-carry plan. See the Q entry's comment for the shape. */
+  /** Global [min, max] of a TIMESTAMP_MICROS column in MICROSECONDS,
+    * from the parquet footers alone — no data scan. None when any
+    * file lacks usable INT64 statistics for the column (legacy INT96
+    * timestamps carry none) or the frame has no input files, in which
+    * case the caller scans. One footer read per file on the driver —
+    * the same metadata-only cost class as Layout.sourceFingerprint. */
+  private def footerTsBounds(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      column: String): Option[(Long, Long)] = {
+    val files = df.inputFiles
+    if (files.isEmpty) return None
+    val hconf = s.sparkContext.hadoopConfiguration
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    try {
+      files.foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), hconf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var bi = 0
+          while (bi < blocks.size()) {
+            val cols = blocks.get(bi).getColumns
+            var ci = 0
+            while (ci < cols.size()) {
+              val c = cols.get(ci)
+              if (c.getPath.toDotString == column) {
+                c.getStatistics match {
+                  case ls: org.apache.parquet.column.statistics.LongStatistics
+                      if !ls.isEmpty && ls.hasNonNullValue =>
+                    lo = math.min(lo, ls.genericGetMin)
+                    hi = math.max(hi, ls.genericGetMax)
+                  case _ => return None // unusable stats: caller scans
+                }
+              }
+              ci += 1
+            }
+            bi += 1
+          }
+        } finally reader.close()
+      }
+    } catch { case _: Exception => return None }
+    if (lo > hi) None else Some((lo, hi))
+  }
+
   private def rollingAnomaly(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import java.math.{BigDecimal => JBD}
@@ -291,38 +342,51 @@ object Quality {
     val v4 = col("value").cast(D4)
     val vv4 = (col("value") * col("value")).cast(D4)
 
-    // pass 0a: per-type ts range. Chunks are UNIFORM ts buckets inside
+    // pass 0a: ts range. Chunks are UNIFORM ts buckets inside
     // [min, max] — width_bucket is O(1) codegen'd per row, vs O(chunks)
     // boundary comparisons for percentile splits. Correctness is
     // invariant to where the boundaries land (equal-ts rows always
     // share a chunk because the split key is ts alone, so chunk order
     // refines (ts, event_id) order); they only set parallelism, and
-    // the ≥101-row merge below absorbs empty/skewed buckets.
+    // the ≥101-row merge below absorbs empty/skewed buckets. Because
+    // boundaries are correctness-free, ONE GLOBAL [lo, hi] serves
+    // every type — and the global bounds come from the parquet
+    // FOOTERS (ts min/max statistics per row group: metadata-only,
+    // one footer read per file on the driver, ZERO data scanned —
+    // this replaced a full min/max scan that cost ~1.6 s of q81's
+    // 4.6 s at sf10 and costs a full cluster scan at 100 TB). Files
+    // without usable INT64 ts statistics (e.g. legacy INT96 writers)
+    // fall back to the one-row min/max aggregate.
     val nChunks = math.max(8, math.min(64, s.sparkContext.defaultParallelism))
     val tsl = unix_micros(col("ts"))
-    val ranges: Map[String, (Long, Long)] = ev
-      .groupBy("event_type")
-      .agg(min(tsl).as("lo"), max(tsl).as("hi"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-      .toMap
-    val rangeM = map(ranges.toSeq.sortBy(_._1).flatMap { case (k, (lo, hi)) =>
-      Seq(lit(k), struct(lit(lo).as("lo"), lit(hi).as("hi"))) }: _*)
-    val rng = element_at(rangeM, col("event_type"))
+    val (glo, ghi) = footerTsBounds(s, ev, "ts").getOrElse {
+      val r = ev.agg(min(tsl), max(tsl)).head()
+      (r.getLong(0), r.getLong(1))
+    }
     val chunk = least(greatest(width_bucket(tsl.cast("double"),
-      rng.getField("lo").cast("double"),
-      (rng.getField("hi") + 1L).cast("double"), lit(nChunks)),
+      lit(glo).cast("double"),
+      lit(ghi + 1L).cast("double"), lit(nChunks)),
       lit(1L)), lit(nChunks.toLong)).cast("int")
 
-    // pass 0b: exact per-raw-chunk (count, Σv, Σv²) — |types|·|chunks|
-    // rows collected (decimal group sums are exact in any order). The
-    // driver merges adjacent chunks until every non-final chunk holds
-    // ≥ 101 rows — the invariant that lets ONE previous chunk serve
-    // any row's full 100-row history — and walks the merged chunks
-    // into exclusive prefix offsets.
+    // pass 0b (FUSED): exact per-raw-chunk (count, Σv, Σv²) AND the
+    // chunk's last-101 rows, in ONE map-side-combined aggregate
+    // (functions/ChunkStatsExpression.scala) — |types|·|chunks| rows
+    // collected, each carrying three scalars plus ≤101 tail rows
+    // (decimal group sums are exact in any order; the tail is the
+    // k-largest-(ts,id) set, scan-order-independent). Round 13 fused
+    // what were TWO full fact scans (stats groupBy + a
+    // WindowGroupLimit tails job): each stat scan cost ~1.6 s of
+    // q81's 4.6 s at sf10. The driver merges adjacent chunks until
+    // every non-final chunk holds ≥ 101 rows — the invariant that
+    // lets ONE previous chunk serve any row's full 100-row history —
+    // and walks the merged chunks into exclusive prefix offsets.
     val rawStats = ev
       .groupBy(col("event_type").as("tpe"), chunk.as("c"))
-      .agg(count(lit(1)).as("n"), sum(v4).as("sx"), sum(vv4).as("sxx"))
+      .agg(graft.functions.ChunkStatsFunctions.chunkStatsTail(
+        tsl, col("event_id"), v4, vv4, 101).as("st"))
+      .select(col("tpe"), col("c"), col("st.n").as("n"),
+        col("st.sx").as("sx"), col("st.sxx").as("sxx"),
+        col("st.tail").as("tail"))
       .collect()
     def bd(x: Any): JBD =
       if (x == null) JBD.ZERO else x.asInstanceOf[JBD]
@@ -364,73 +428,115 @@ object Quality {
       offs(tpe) = byRaw
       maxM(tpe) = groups.length - 1
     }
-    // ONE literal map: type -> struct(maxm, per-raw-chunk arrays of
-    // (merged id, exclusive count/Σv/Σv² offsets, and the NEXT merged
-    // chunk's start offset — the carry threshold)). One O(|types|) map
-    // scan per row (materialized as a column), then O(1) array reads.
-    val nxt = scala.collection.mutable.Map.empty[String, Array[Long]]
+    // pass 0c (driver-side, no job): previous-chunk TAIL suffix sums —
+    // the carry, as a DRIVER-BOUNDED broadcast instead of a second
+    // corpus exchange. A row at global position g with chunk-local
+    // rank r ≤ 101 needs cum(g−101), which lies in the last 100 rows
+    // of the PREVIOUS merged chunk: cum(g−101) = chunk_offset − (sum
+    // of the previous chunk's last L values), L = 101 − r ∈ [0, 100].
+    // The tails arrived fused with the chunk stats (pass 0b); the
+    // driver concatenates each merged chunk's raw tails in order and
+    // folds exact decimal suffix sums. Round 12's spelling instead
+    // exploded each chunk's last 101 rows into the next chunk and
+    // re-shuffled ALL n rows through a second (type, chunk) exchange
+    // just to run lag(·,101) — that exchange was half the query's
+    // cost at sf10.
+    val tailLookup = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Int, JBD, JBD)]
     offs.foreach { case (tpe, arr) =>
-      // next merged chunk's exclusive count offset, per raw chunk: the
-      // first offs value with a LARGER merged id, else Long.MaxValue
-      val byM = arr.filter(_.m >= 0).map(o => o.m -> o.n).toMap
-      nxt(tpe) = arr.map(o =>
-        byM.getOrElse(o.m + 1, Long.MaxValue))
+      val byChunk = rawStats.filter(_.getString(0) == tpe)
+        .map(r => r.getInt(1) ->
+          r.getSeq[org.apache.spark.sql.Row](5)).toMap
+      for (m <- 1 to maxM(tpe)) {
+        val prevRaws = arr.zipWithIndex.collect {
+          case (o, i) if o.m == m - 1 => i + 1 }
+        val tail = prevRaws
+          .flatMap(c => byChunk.getOrElse(c,
+            Seq.empty[org.apache.spark.sql.Row]))
+          .takeRight(100)
+        require(tail.length == 100,
+          s"q81: merged chunk ${m - 1} of '$tpe' has <100 tail rows — " +
+            "the >=101-row merge invariant is broken")
+        var tsx = JBD.ZERO; var tsxx = JBD.ZERO
+        tailLookup += ((tpe, m, 0, tsx, tsxx))
+        for (l <- 1 to 100) {
+          val r = tail(tail.length - l)
+          tsx = tsx.add(r.getDecimal(2)); tsxx = tsxx.add(r.getDecimal(3))
+          tailLookup += ((tpe, m, l, tsx, tsxx))
+        }
+      }
     }
+    val tailSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("t_m",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("t_l",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("t_ssx", d38),
+      org.apache.spark.sql.types.StructField("t_ssxx", d38)))
+    val tailDf = s.createDataFrame(
+      java.util.Arrays.asList(tailLookup.map { case (t, m, l, a, b) =>
+        org.apache.spark.sql.Row(t, m, l, a.setScale(4), b.setScale(4))
+      }.toSeq: _*), tailSchema)
+
     val offM = map(offs.toSeq.sortBy(_._1).flatMap { case (tpe, arr) =>
       Seq(lit(tpe), struct(
-        lit(maxM(tpe)).as("maxm"),
         array(arr.toSeq.map(o => lit(o.m)): _*).as("ms"),
         array(arr.toSeq.map(o => lit(o.n)): _*).as("ns"),
-        array(nxt(tpe).toSeq.map(lit(_)): _*).as("nxts"),
         array(arr.toSeq.map(o => lit(o.sx).cast(d38)): _*).as("sxs"),
         array(arr.toSeq.map(o => lit(o.sxx).cast(d38)): _*).as("sxxs"))) }: _*)
 
-    // main pass: local running sums per merged chunk + literal-array
-    // offsets = global prefix sums; explode each row into its own
-    // chunk and (as carry context only) the next; lag(cum, 101) over
-    // the carried partition reaches exactly global position g−101.
+    // main pass — the corpus's ONLY exchange: local running sums per
+    // merged chunk + literal-array offsets = global prefix sums, then
+    // lag(·,101) over the SAME window spec (second Window operator,
+    // same partitioning and ordering — no new exchange, no new sort)
+    // resolves every row whose 101-back target is in its own chunk;
+    // the chunk-head rows (local rank ≤ 101) take the broadcast tail
+    // path instead.
     val wOrd = Window.partitionBy("event_type", "m")
       .orderBy(col("ts"), col("event_id"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p1 = ev.withColumn("c", chunk)
       .withColumn("S", element_at(offM, col("event_type")))
       .withColumn("m", element_at(col("S.ms"), col("c")))
-      .withColumn("maxm", col("S.maxm"))
       .withColumn("offn", element_at(col("S.ns"), col("c")))
       .withColumn("offsx", element_at(col("S.sxs"), col("c")))
       .withColumn("offsxx", element_at(col("S.sxxs"), col("c")))
-      .withColumn("nxt", element_at(col("S.nxts"), col("c")))
       // one select = the three same-spec window functions fuse into a
       // single Window operator over one sort
       .select(col("event_type"), col("ts"), col("event_id"), col("value"),
-        col("m"), col("maxm"), col("nxt"),
+        col("m"), col("offsx"), col("offsxx"), col("offn"),
         (row_number().over(wOrd) + col("offn")).as("rn"),
         (sum(v4).over(wRun) + col("offsx")).as("cum"),
         (sum(vv4).over(wRun) + col("offsxx")).as("cumq"))
-    // carry ONLY the last 101 rows of a chunk (rn in (nxt−101, nxt])
-    // into the next chunk — the most any successor row's lag(·,101)
-    // can reach — so the second exchange moves ~n rows, not 2n
-    val p2 = p1.withColumn("tgt",
-      explode(when(col("m") < col("maxm") && col("rn") > col("nxt") - 101L,
-        array(col("m"), col("m") + 1)).otherwise(array(col("m")))))
-    val w2 = Window.partitionBy("event_type", "tgt")
-      .orderBy(col("ts"), col("event_id"))
-    val p3 = p2
-      .withColumn("lc", lag(col("cum"), 101).over(w2))
-      .withColumn("lq", lag(col("cumq"), 101).over(w2))
-      .filter(col("tgt") === col("m"))
+    val p2 = p1
+      .withColumn("lc", lag(col("cum"), 101).over(wOrd))
+      .withColumn("lq", lag(col("cumq"), 101).over(wOrd))
+      .withColumn("lkey",
+        when(col("rn") > 101L && col("rn") - col("offn") <= 101L,
+          (lit(101L) - (col("rn") - col("offn"))).cast("int")))
+    val p3 = p2.join(broadcast(tailDf),
+      p2("event_type") === tailDf("t_type") &&
+        p2("m") === tailDf("t_m") && p2("lkey") === tailDf("t_l"),
+      "left")
     // rn ≥ 101 ⇔ the 1-PRECEDING frame holds exactly 100 rows. At
     // rn = 101 the frame starts at row 1, so cum(g−101) = 0; at
-    // rn > 101 a missing lag means a chunk failed the ≥101-row merge
-    // invariant — impossible by construction, so fail loudly.
+    // rn > 101 the in-chunk lag and the broadcast tail are mutually
+    // exhaustive by construction — a row hitting neither means the
+    // ≥101-row merge invariant broke, so fail loudly.
     val zero = lit(JBD.ZERO.setScale(4)).cast(d38)
-    def lagged(c: Column): Column =
+    def lagged(local: Column, off: Column, suf: Column): Column =
       when(col("rn") === 101L, zero)
-        .when(col("rn") > 101L && c.isNull, raise_error(concat(
+        .when(col("rn") > 101L && local.isNotNull, local)
+        .when(col("rn") > 101L && suf.isNotNull, (off - suf).cast(d38))
+        .when(col("rn") > 101L, raise_error(concat(
           lit("q81: missing carry at rn="), col("rn"))).cast(d38))
-        .otherwise(c)
-    val sxF = (col("cum") - v4 - lagged(col("lc"))).cast("double")
-    val sxxF = (col("cumq") - vv4 - lagged(col("lq"))).cast("double")
+        .otherwise(zero)
+    val sxF = (col("cum") - v4 -
+      lagged(col("lc"), col("offsx"), col("t_ssx"))).cast("double")
+    val sxxF = (col("cumq") - vv4 -
+      lagged(col("lq"), col("offsxx"), col("t_ssxx"))).cast("double")
     val mean = sxF / 100.0
     val thr = mean + lit(1.5) *
       sqrt(greatest(sxxF / 100.0 - mean * mean, lit(0.0)))

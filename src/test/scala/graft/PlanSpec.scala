@@ -688,28 +688,33 @@ class PlanSpec extends TestSpark {
     assert(p.contains("partial_count"), p)
   }
 
-  test("q81: the rolling gauge is the chunk-carry shape — running " +
-      "prefix sums (ONE fused Window) + lag(·,101), an explode that " +
-      "carries each chunk into the next, and NO bounded-frame " +
-      "recompute; parallelism is (event_type, chunk), not event_type") {
+  test("q81: the rolling gauge pays ONE corpus exchange — running " +
+      "prefix sums and the in-chunk lag(·,101) share a single " +
+      "(event_type, chunk) sort, the cross-chunk carry arrives as a " +
+      "BROADCAST tail-suffix table (no explode, no second corpus " +
+      "shuffle), and NO bounded-frame recompute anywhere") {
     val p = plan("q81_rolling_anomaly")
     assert("FileScan parquet".r.findAllIn(p).size === 1, p)
-    assert(!p.contains("Join"), p)
     // the O(100·n) killer: a 100-row sliding frame re-aggregated per row
     assert(!p.contains("specifiedwindowframe(RowFrame, -100, -1)"), p)
     // running prefix sums ride Spark's O(n) running-frame path, fused
-    // into ONE Window op; the only other Window is the O(1)/row lag
+    // into ONE Window op; the only other Window is the O(1)/row lag —
+    // same partitioning and ordering, so NO extra exchange or sort
     assert("Window \\[".r.findAllIn(p).size === 2, p)
     assert(p.contains("unboundedpreceding$()"), p)
     assert(p.contains("specifiedwindowframe(RowFrame, -101, -101)"), p)
+    // one corpus sort (shared by both Windows) + the gate's |types|-row
+    // output orderBy — nothing else sorts
+    assert("Sort \\[".r.findAllIn(p).size === 2, p)
     // both window stages partition by (event_type, chunk) — the 5-type
     // parallelism ceiling is gone
     assert(p.contains("windowspecdefinition(event_type#") &&
-      p.contains(", m#") && p.contains(", tgt#"), p)
-    // the carry: each row explodes into its own chunk and the next
-    assert(p.contains("Generate explode"), p)
-    // two corpus exchanges (chunk windows) + the |types|-row report agg
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 3, p)
+      p.contains(", m#"), p)
+    // the carry is a driver-bounded broadcast, not a row explode
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("Generate explode"), p)
+    // ONE corpus exchange (the chunk window) + the |types|-row report agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
   test("q82: attribution is a window, not a join — the fact table pays " +
