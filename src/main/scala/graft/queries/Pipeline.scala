@@ -98,39 +98,14 @@ object Pipeline {
     * derived — key 1 owns ~1/3 of events and ~450 orders rows at
     * sf0.1, making the unsalted join push ~15M rows through one task.
     * Both engines derive the keys with the same CASE expressions. */
-  /** The session's bucketed fact layouts — orders clustered on
-    * o_orderkey, lineitem on l_orderkey — SHARED by every gated query
-    * that joins or aggregates on the order key (q65, q47): one
-    * clustered copy per source ever (adopted across sessions via
-    * [[Layout.ensureBucketed]]'s fingerprint sidecar), amortized over
-    * all of them — the 100 TB ingest-layout contract. */
+  // the shared bucketed fact layouts live in [[Layouts]] (one
+  // clustered copy per (source, key), consumed across query files)
   private def bucketedOrders(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    Layout.ensureBucketed(s, t(s, d, "orders"),
-      s"orders_bk$tag", s"/tmp/graft_layout$tag/orders",
-      buckets = 32, bucketBy = Seq("o_orderkey"))
-  }
+      d: String) = Layouts.orders(s, d)
   private def bucketedLineitem(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    Layout.ensureBucketed(s, t(s, d, "lineitem"),
-      s"lineitem_bk$tag", s"/tmp/graft_layout$tag/lineitem",
-      buckets = 32, bucketBy = Seq("l_orderkey"))
-  }
-  /** events clustered on user_id — the standing layout for every
-    * per-user aggregation/window (q61's dedup + sweep-line both
-    * require only user co-location: HashPartitioning(user_id)
-    * satisfies ClusteredDistribution(user_id, b), so the (user,
-    * bucket) distinct AND the per-user window run with zero
-    * Exchange over this copy). */
+      d: String) = Layouts.lineitem(s, d)
   private def bucketedEvents(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
-    Layout.ensureBucketed(s, t(s, d, "events"),
-      s"events_bk$tag", s"/tmp/graft_layout$tag/events",
-      buckets = 32, bucketBy = Seq("user_id"))
-  }
+      d: String) = Layouts.events(s, d)
 
   private def skewEvents(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "events").withColumn("skew_uid",

@@ -44,9 +44,14 @@ object Quality {
     // equality already treats it as matchless, same as NOT EXISTS).
     // The fixed-width report unpivots via stack(): rule-count rows,
     // never corpus rows, cross the final exchange.
+    // Round 13: both key-table aggregations AND the full-outer join
+    // sit on the order key, so the query consumes the SHARED bucketed
+    // layouts — zero Exchange of either fact (the aggregations and
+    // the join reuse the bucket distribution); only the one-row
+    // rollup crosses a shuffle. Same oracle, layout is not semantics.
     Q("q79_dq_audit",
       (s, d) => {
-        val okeys = t(s, d, "orders")
+        val okeys = Layouts.orders(s, d)
           .groupBy(col("o_orderkey").as("k"))
           .agg(count(lit(1)).as("cnt"),
             count(when(col("o_custkey").isNull, 1)).as("r1p"),
@@ -55,7 +60,7 @@ object Quality {
               1)).as("r2p"),
             count(when(col("o_orderstatus").isNull ||
               !col("o_orderstatus").isin("O", "F", "P"), 1)).as("r3p"))
-        val lkeys = t(s, d, "lineitem")
+        val lkeys = Layouts.lineitem(s, d)
           .groupBy(col("l_orderkey").as("k"))
           .agg(count(lit(1)).as("lcnt"))
         okeys.join(lkeys, Seq("k"), "full_outer")

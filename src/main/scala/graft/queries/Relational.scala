@@ -470,10 +470,14 @@ object Relational {
     // on it; the step-k minimum conditions on step k-1's column, which
     // a plain two-level aggregate cannot express in one pass. The final
     // global count is a few bytes per partition.
+    // Round 13: the three stacked per-user windows run over the
+    // SHARED user-bucketed events layout — zero corpus Exchange (the
+    // windows and the user-distinct aggregate all reuse the bucket
+    // distribution). Same oracle; layout is not semantics.
     Q("q50_funnel",
       (s, d) => {
         val byUser = Window.partitionBy("user_id")
-        t(s, d, "events")
+        Layouts.events(s, d)
           .withColumn("t1",
             min(when(col("event_type") === "view", col("ts"))).over(byUser))
           .withColumn("t2",
@@ -523,7 +527,10 @@ object Relational {
     // (cell, user) pairs either way).
     Q("q51_retention",
       (s, d) => {
-        val ev = t(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+        // round 13: the d0 window reuses the user-bucketed layout —
+        // the fact's only remaining exchange is the (cell, user) pairs
+        val ev = Layouts.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
         ev.withColumn("d0",
             min(col("day")).over(
               org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
@@ -566,7 +573,9 @@ object Relational {
           when(col("event_type") =!= "purchase",
             struct(col("ts").as("tts"), col("event_type").as("ttype"))),
           ignoreNulls = true).over(w)
-        t(s, d, "events")
+        // round 13: the as-of window rides the shared user-bucketed
+        // layout — zero corpus Exchange (was the one user_id shuffle)
+        Layouts.events(s, d)
           .withColumn("t", touch)
           .filter(col("event_type") === "purchase")
           .select(

@@ -128,28 +128,30 @@ class PlanSpec extends TestSpark {
     assert("Exchange".r.findAllIn(p).size <= 2, p)
   }
 
-  test("q50: the three funnel-step windows share ONE user_id exchange and " +
-      "ONE partition-local sort") {
+  test("q50: the three funnel-step windows run over the user-bucketed " +
+      "layout — ZERO user_id exchanges (round 13; was one) and ONE " +
+      "partition-local sort") {
     val p = plan("q50_funnel")
-    // the events-sized shuffle: exactly one hashpartitioning(user_id)
-    // exchange feeding all three chained Window operators (the later
-    // exchanges carry only distinct (user, gid) combos post-partial-agg
-    // and the final one-row aggregate)
     // single-key form only — the countDistinct expand exchange also
     // leads with user_id but carries the full (user, gid) key list
-    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 0, p)
+    assert(p.contains("Bucketed: true"), p)
     assert("windowspecdefinition\\(user_id".r.findAllIn(p).size === 3, p)
-    assert("Sort \\[user_id".r.findAllIn(p).size === 1, p)
+    // unbounded frames need no ordering: zero sorts of the fact
+    assert("Sort \\[user_id".r.findAllIn(p).size === 0, p)
   }
 
-  test("q51: d0 is a window over the user partition — the fact table pays " +
-      "ONE user_id exchange and there is no join back") {
+  test("q51: d0 is a window over the user partition — over the bucketed " +
+      "layout the fact pays ZERO user_id exchanges (round 13; was one) " +
+      "and there is no join back") {
     val p = plan("q51_retention")
     // round-9 A/B (sf1, run-paired): groupBy(user)+join-back min 1.73 s
     // vs window min 0.89 s — the window folds d0 into the same
-    // partitioning the distinct-dedup aggregate then consumes locally
+    // partitioning the distinct-dedup aggregate then consumes locally;
+    // round 13 removed the remaining exchange via the shared layout
     assert(!p.contains("Join"), p)
-    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 0, p)
+    assert(p.contains("Bucketed: true"), p)
     assert("windowspecdefinition\\(user_id".r.findAllIn(p).size === 1, p)
   }
 
@@ -654,15 +656,17 @@ class PlanSpec extends TestSpark {
     assert("partial_sum".r.findAllIn(p).size >= 1, p)
   }
 
-  test("q79: all six rules from TWO partial-aggregated key exchanges and " +
-      "one co-partitioned full-outer join — no anti-joins, no broadcast " +
-      "of a fact-sized key table, no third key exchange (the separate " +
-      "anti-join spelling measured 9.2 s at sf10 vs 4.8 s)") {
+  test("q79: all six rules from two key aggregations and one full-outer " +
+      "join, ALL exchange-free over the shared bucketed layouts (round " +
+      "13; the two key exchanges this replaced were the 3.1x-DuckDB " +
+      "growth term at sf10: 4.8 -> 1.9 s) — no anti-joins, no broadcast " +
+      "of a fact-sized key table") {
     val p = plan("q79_dq_audit")
     assert(!p.contains("Expand"), p)
     assert(p.contains("FullOuter"), p)
     assert(!p.contains("LeftAnti") && !p.contains("BroadcastHashJoin"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 0, p)
+    assert("Bucketed: true".r.findAllIn(p).size === 2, p)
     assert(p.contains("partial_count"), p)
     // the stack() unpivot ships rule-count rows, not corpus rows
     assert(p.contains("stack(6"), p)
@@ -717,13 +721,14 @@ class PlanSpec extends TestSpark {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p)
   }
 
-  test("q82: attribution is a window, not a join — the fact table pays " +
-      "exactly one user_id exchange; only touch-type report rows shuffle " +
-      "again") {
+  test("q82: attribution is a window, not a join — over the shared " +
+      "user-bucketed layout the fact pays ZERO exchanges; only " +
+      "touch-type report rows shuffle") {
     val p = plan("q82_attribution")
     assert(!p.contains("Join"), p)
-    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 1, p)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 0, p)
     assert(p.contains("windowspecdefinition(user_id"), p)
+    assert(p.contains("Bucketed: true"), p)
   }
 
 }

@@ -250,6 +250,37 @@ class QualitySpec extends TestSpark {
       6L -> "(none)", 7L -> "(none)"))
   }
 
+  test("chunk_stats_tail (q81's fused stats pass): sums are exact and " +
+       "the last-k tail is identical under ANY partitioning — the " +
+       "merge keeps the k largest (ts, id) keys of the union, so " +
+       "partials compose scan-order-independently") {
+    import graft.functions.ChunkStatsFunctions
+    val n = 5000
+    val rows = (1 to n).map { i =>
+      (i.toLong * 7 % 4999, i.toLong, 10.0 + (i % 37) * 0.25)
+    }
+    def stats(parts: Int) = rows.toDF("tsl", "id", "v")
+      .repartition(parts)
+      .agg(ChunkStatsFunctions.chunkStatsTail(col("tsl"), col("id"),
+        col("v").cast(graft.queries.D4),
+        (col("v") * col("v")).cast(graft.queries.D4), 101).as("st"))
+      .select("st.n", "st.sx", "st.sxx", "st.tail").head()
+    val one = stats(1)
+    val many = stats(13)
+    assert(one === many, "partitioning changed the fused stats")
+    assert(one.getLong(0) === n.toLong)
+    // exact decimal sums vs a driver-side fold
+    def d4(v: Double) = BigDecimal(java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP))
+    assert(BigDecimal(one.getDecimal(1)) === rows.map(r => d4(r._3)).sum)
+    assert(BigDecimal(one.getDecimal(2)) ===
+      rows.map(r => d4(r._3 * r._3)).sum)
+    // the tail is exactly the 101 largest (tsl, id) keys, ascending
+    val tail = one.getSeq[org.apache.spark.sql.Row](3)
+    val want = rows.map(r => (r._1, r._2)).sorted.takeRight(101)
+    assert(tail.map(r => (r.getLong(0), r.getLong(1))) === want)
+  }
+
   test("q82 gate: conversions partition the purchases and revenue adds up") {
     val ev = Tables(spark, sfDir, "events")
     val out = q("q82_attribution").collect()
