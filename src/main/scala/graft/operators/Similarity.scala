@@ -426,8 +426,10 @@ object Similarity {
     * pruning, graph-based diversity sampling) is built on. Differs
     * from [[lshTopK]] in that the query set IS the corpus, so nothing
     * broadcasts: candidates come from the banded signature SELF-join
-    * ([[nearDupPairs]]'s blocking — at 100 TB the d11 mega-bucket cap
-    * applies unchanged if a bucket degenerates).
+    * ([[nearDupPairs]]'s blocking), with `maxBucketSize` applying the
+    * d11 mega-bucket cap — which at this operator's bucket density is
+    * MANDATORY at scale, not optional (see the in-body note: the
+    * 4-bit default degenerates quadratically past ~10^5 vectors).
     *
     * Each unordered candidate pair is scored ONCE (cosine is
     * symmetric: a<b join + distinct, then both directions are emitted
@@ -436,16 +438,31 @@ object Similarity {
     * WindowGroupLimit partial pre-trims to k rows per vector before
     * the final exchange. */
   def knnJoin(corpus: DataFrame, k: Int,
-              nBits: Int = 16, bands: Int = 4): DataFrame = {
+              nBits: Int = 16, bands: Int = 4,
+              maxBucketSize: Option[Long] = None): DataFrame = {
     val bits = nBits / bands
     val sig = hyperplaneSignature(col("embedding"), nBits)
-    val banded = corpus
+    val banded0 = corpus
       .select(col("vec_id").as("id"), sig.as("sig"))
       .select(col("id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftright(col("sig"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // the d11 mega-bucket cap, which at this operator's density is the
+    // SCALE GATE, not an option: a band key has only 2^(nBits/bands)
+    // values, so bucket population grows linearly with the corpus and
+    // the self-join quadratically — at 1M vectors the 4-bit default
+    // degenerates to ~62k ids/bucket ≈ 31G candidate pairs (measured:
+    // the sf10 gate spilled past a 65 GB temp disk). Capped, a vector
+    // in a dropped bucket still pairs through its other bands; only
+    // degenerate near-dup GROUPS larger than the cap lose edges.
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val hot = banded0.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "bkey")
+      banded0.join(hot, Seq("band", "bkey"), "left_anti")
+    }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))

@@ -145,6 +145,30 @@ class SimilaritySpec extends TestSpark {
     assert(recall >= 0.9, s"knn-graph recall $recall too low")
   }
 
+  test("knnJoin maxBucketSize: the mega-bucket cap bounds candidates — " +
+       "a degenerate bucket is dropped (its pairs vanish) while " +
+       "non-degenerate neighbourhoods keep their exact top-k; uncapped " +
+       "behavior is the default") {
+    // the 3 tight clusters of 20 land each cluster in one bucket per
+    // band: cap=25 keeps them (20 <= 25, graph unchanged); cap=10
+    // drops every cluster bucket and the graph loses those edges —
+    // the candidate bound the 100 TB deployment relies on
+    val uncapped = Similarity.knnJoin(clustered, 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val capKeeps = Similarity.knnJoin(clustered, 3,
+        maxBucketSize = Some(25L))
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(capKeeps === uncapped,
+      "a cap above every bucket's population changed the graph")
+    val capDrops = Similarity.knnJoin(clustered, 3,
+        maxBucketSize = Some(10L))
+      .select("query_id").as[Long].collect().toSet
+    assert(capDrops.size < uncapped.map(_._1).size,
+      "a cap below every bucket's population still produced all pairs")
+  }
+
   test("knnCentrality: cluster cores collect mass, an unreferenced " +
        "outlier bottoms out at the teleport floor; partition-invariant") {
     // append one far-away vector: nobody's top-3 neighbour → zero
