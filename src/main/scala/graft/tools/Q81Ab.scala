@@ -57,12 +57,14 @@ object Q81Ab {
       df.collect().length
     }
     time("main window pass (noop)") {
-      val w = Window.partitionBy("event_type", chunk.toString)
       val wOrd = Window.partitionBy(col("event_type"), col("c"))
         .orderBy(col("ts"), col("event_id"))
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("c", chunk)
-        .select(col("event_type"), col("value"),
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+          col("c"))
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("value"), col("c"),
           row_number().over(wOrd).as("rn"),
           sum(v4).over(wRun).as("cum"),
           sum(vv4).over(wRun).as("cumq"))
