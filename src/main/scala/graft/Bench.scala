@@ -129,10 +129,10 @@ object Bench {
     // steady-state zero-Exchange zero-Sort merge join (median of 3
     // reports the amortized regime, exactly the 100 TB contract)
     "q65_bucketed_join",
-    // round-13: the full 5-way star over the same layouts (q06's
-    // growth term removed — lineitem pre-aggregates in place, the
-    // order join is co-bucketed, dims broadcast; q06 stays as the
-    // raw-parquet baseline so the pair is measured side-by-side)
+    // round-13: the full 5-way star over the same layouts — the
+    // facts merge-join co-bucketed on orderkey, dims broadcast (the
+    // pre-aggregate spelling was A/B-rejected in tools/Q06Ab; q06
+    // stays as the raw-parquet baseline, measured side-by-side)
     "q06b_multijoin_bucketed",
     // round-10: k-means model training (Lloyd scans shrink map-side
     // to nCells×dims; broadcast centroids) and the cluster-balanced

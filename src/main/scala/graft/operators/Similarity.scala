@@ -502,13 +502,18 @@ object Similarity {
     * across iterations and would be co-partitioned+cached on a
     * cluster). */
   def knnCentrality(corpus: DataFrame, k: Int, iters: Int = 2,
-                    nBits: Int = 16, bands: Int = 4): DataFrame = {
+                    nBits: Int = 16, bands: Int = 4,
+                    maxBucketSize: Option[Long] = None): DataFrame = {
     // the graph is built ONCE and read `iters`+1 times (each
     // iteration + the degree table) — persist() cuts the banded
     // self-join subtree so it executes once, not per iteration (the
     // d03 staging discipline; on a cluster this stage is a parquet
-    // table, and it measured 21s/iteration unstaged at sf1)
-    val edges = knnJoin(corpus, k, nBits, bands)
+    // table, and it measured 21s/iteration unstaged at sf1).
+    // maxBucketSize passes straight through to [[knnJoin]] — the
+    // mega-bucket cap is MANDATORY at scale there, so centrality
+    // callers must be able to wire it (round-13 verdict: the cap
+    // existed but no gated caller could pass it through this path).
+    val edges = knnJoin(corpus, k, nBits, bands, maxBucketSize)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
       .persist()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
