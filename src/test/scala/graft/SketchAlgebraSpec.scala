@@ -80,4 +80,39 @@ class SketchAlgebraSpec extends TestSpark {
         .orderBy("src_a", "src_b").collect().toSeq
     assert(run(base) === run(dup))
   }
+
+  test("bitmapDistinct: exact counts, null-skip, partitioning-invariant") {
+    import graft.functions.BitmapFunctions.bitmapDistinct
+    // keys straddle word boundaries (63/64/65) and repeat across rows
+    val rows = Seq(("a", 0L), ("a", 63L), ("a", 64L), ("a", 64L),
+      ("a", 65L), ("a", 1000L), ("b", 5L), ("b", 5L)).toDF("g", "k")
+      .union(Seq(("b", Option.empty[Long])).toDF("g", "k")) // null skipped
+    def counts(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(bitmapDistinct(col("k")).as("n")).orderBy("g")
+      .as[(String, Long)].collect().toSeq
+    val expect = Seq(("a", 5L), ("b", 1L))
+    assert(counts(rows) === expect)
+    // OR-merge is order/partitioning-free: same bits at any layout
+    assert(counts(rows.repartition(7)) === expect)
+    // agrees with the generic exact rewrite on a dense random stream
+    val r = new scala.util.Random(42)
+    val big = Seq.fill(5000)(("g", r.nextInt(800).toLong)).toDF("g", "k")
+    val viaBitmap = counts(big).head._2
+    val viaGeneric = big.agg(countDistinct(col("k"))).as[Long].head()
+    assert(viaBitmap === viaGeneric)
+  }
+
+  test("bitmapDistinct fails loudly outside the dense-domain contract") {
+    import graft.functions.BitmapFunctions.bitmapDistinct
+    val neg = Seq(("a", -1L)).toDF("g", "k")
+    val e = intercept[Exception] {
+      neg.groupBy("g").agg(bitmapDistinct(col("k"))).collect()
+    }
+    assert(e.getMessage != null)
+    val over = Seq(("a", 10L)).toDF("g", "k")
+    val e2 = intercept[Exception] {
+      over.groupBy("g").agg(bitmapDistinct(col("k"), maxKey = 5L)).collect()
+    }
+    assert(e2.getMessage != null)
+  }
 }
