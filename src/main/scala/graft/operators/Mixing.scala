@@ -135,11 +135,13 @@ object Mixing {
         col("w"))
       .filter(col("w") > 0)
       .withColumn("__ord", md5(col("id").cast("string").cast("binary")))
+    // the grand total rides globalRunningSum's bucket-offset pass
+    // (totCol) — deriving it with a separate base.agg() was a third
+    // full-corpus scan of the same input for one scalar
     val cum = Packing.globalRunningSum(base,
       bucket = substring(col("__ord"), 1, 1),
       ordCols = Seq(col("__ord"), col("id")),
-      weight = col("w"), outCol = "__cw")
-    val tot = base.agg(sum(col("w")).as("__t"))
+      weight = col("w"), outCol = "__cw", totCol = Some("__t"))
     // g(W) = #grid points strictly below W, in positive-operand long
     // arithmetic (ceil(a/b) = (a + b - 1) div b needs a > 0 — the
     // CASE guard supplies it)
@@ -154,7 +156,7 @@ object Mixing {
     // that magnitude the caller must rescale weights, e.g. tokens ->
     // kilotokens)
     val maxT = Long.MaxValue / (2L * k + 1L)
-    cum.crossJoin(broadcast(tot))
+    cum
       .withColumn("mult",
         when(col("__t") > maxT, raise_error(concat(
           lit(s"ppsSystematicSample: total weight "), col("__t"),

@@ -51,7 +51,8 @@ object Packing {
       bucket: Column,
       ordCols: Seq[Column],
       weight: Column,
-      outCol: String): DataFrame = {
+      outCol: String,
+      totCol: Option[String] = None): DataFrame = {
     val b = "__gps_bucket"
     val w = "__gps_w"
     val loc = "__gps_local"
@@ -69,11 +70,20 @@ object Packing {
     // empty-partition window here is over the AGGREGATE (tens to
     // thousands of rows), not the fact table — the same small-side
     // exemption as the one-row crossJoin scalar attachments.
+    // With totCol set, the GRAND total rides the same bucket-total
+    // aggregate (an unbounded window over the nBuckets rows) and the
+    // same broadcast join — callers that need cumsum + total (q71's
+    // grid test) get both from ONE offsets pass instead of paying a
+    // separate full-corpus aggregate scan for the scalar.
     val wOff = Window.orderBy(b)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = fact.groupBy(b).agg(sum(col(w)).as(tot))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets0 = fact.groupBy(b).agg(sum(col(w)).as(tot))
       .withColumn(off, coalesce(sum(col(tot)).over(wOff), lit(0L)))
-      .select(col(b), col(off))
+    val offsets = totCol.fold(offsets0.select(col(b), col(off)))(tc =>
+      offsets0.withColumn(tc, sum(col(tot)).over(wAll))
+        .select(col(b), col(off), col(tc)))
 
     local.join(broadcast(offsets), b)
       .withColumn(outCol, col(off) + col(loc))

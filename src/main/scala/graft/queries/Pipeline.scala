@@ -2982,12 +2982,12 @@ object Pipeline {
             .otherwise(col("o_custkey")).as("k"))
         // per-side φ chosen above the natural key ceiling (events
         // users top out near N/160, orders custkeys near N/600) so
-        // the audit surfaces the PLANTED hot keys, not the bulk
-        SketchAlgebra.heavyHitters(ev, col("k"), phiInv = 100)
-          .withColumn("side", lit("events"))
-          .unionByName(
-            SketchAlgebra.heavyHitters(or, col("k"), phiInv = 500)
-              .withColumn("side", lit("orders")))
+        // the audit surfaces the PLANTED hot keys, not the bulk.
+        // heavyHittersSides fuses both sides into 2 driver actions
+        // total (round-14: the sequential per-side spelling paid 4)
+        SketchAlgebra.heavyHittersSides(Seq(
+            ("events", ev, col("k"), 100L),
+            ("orders", or, col("k"), 500L)))
           .select("side", "k", "exact_cnt")
           .orderBy("side", "k")
       },

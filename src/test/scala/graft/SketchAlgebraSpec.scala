@@ -115,4 +115,20 @@ class SketchAlgebraSpec extends TestSpark {
     }
     assert(e2.getMessage != null)
   }
+
+  test("heavyHittersSides equals per-side heavyHitters, one pass-pair") {
+    val ev = (Seq.fill(40)(1L) ++ (10L to 19L)).toDF("k")   // N=50, T=N/5=10
+    val or = (Seq.fill(30)(2L) ++ Seq.fill(12)(3L) ++ (20L to 27L)).toDF("k")
+    val fused = SketchAlgebra.heavyHittersSides(Seq(
+        ("ev", ev, col("k"), 5L), ("or", or, col("k"), 4L)))
+      .orderBy("side", "k").as[(String, Long, Long)].collect().toSeq
+    val seq = SketchAlgebra.heavyHitters(ev, col("k"), 5L)
+      .withColumn("side", lit("ev"))
+      .unionByName(SketchAlgebra.heavyHitters(or, col("k"), 4L)
+        .withColumn("side", lit("or")))
+      .select("side", "k", "exact_cnt")
+      .orderBy("side", "k").as[(String, Long, Long)].collect().toSeq
+    assert(fused === seq)
+    assert(fused === Seq(("ev", 1L, 40L), ("or", 2L, 30L), ("or", 3L, 12L)))
+  }
 }
