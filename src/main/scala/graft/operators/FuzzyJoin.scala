@@ -80,21 +80,33 @@ object FuzzyJoin {
     // and the candidate join multiplies r_a·r_b per true pair —
     // measured 36× pair inflation on zero-padded supplier names at
     // sf1. Row-local dedup keeps the fan-out at distinct variants.
+    // the variant itself never leaves the row it was built in: every
+    // downstream consumer (hot-bucket agg, anti-join, candidate
+    // self-join) keys on its xxhash64 FINGERPRINT, so the exchanges
+    // ship 8-byte longs where they shipped name-length strings (d16's
+    // fingerprint discipline; round-13 verdict flagged the string
+    // variants as the exchange fat). A 64-bit collision would only
+    // make a false CANDIDATE — editWithin1 verifies the real strings
+    // below the pair exchange, so correctness never depends on hash
+    // injectivity (a collision straddling the cap boundary could at
+    // worst drop a bucket early — the same recall trade the cap
+    // itself makes, at ~2⁻⁶⁴ odds per variant pair).
     val vars = base.select(col("id"), col("s"),
       explode(array_distinct(concat(array(col("s")),
         expr("transform(sequence(1, length(s)), " +
           "i -> concat(substr(s, 1, i-1), substr(s, i+1)))")))).as("v"))
+      .select(col("id"), col("s"), xxhash64(col("v")).as("vh"))
       .persist()
     val capped = maxBucket.fold(vars) { cap =>
-      val hot = vars.groupBy("v").agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > cap).select("v")
-      vars.join(hot, Seq("v"), "left_anti")
+      val hot = vars.groupBy("vh").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select("vh")
+      vars.join(hot, Seq("vh"), "left_anti")
     }
     // the bounded two-pointer check, not the DP levenshtein: the DP
     // on the candidate stream measured ~19 s of the sf1 wall (4.35M
     // pairs); edit_within_1 answers the same predicate in one pass
     val result = capped.as("a").join(capped.as("b"),
-        col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+        col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
       .filter(graft.functions.EditDistanceFunctions
         .editWithin1(col("a.s"), col("b.s")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
