@@ -153,10 +153,25 @@ final class ChunkTailBuf(k: Int) {
   val tail: mutable.TreeMap[(Long, Long), (JBD, JBD)] =
     mutable.TreeMap.empty[(Long, Long), (JBD, JBD)]
 
+  // (ts, id) uniqueness is a DECLARED contract, enforced loudly: a
+  // duplicate key would silently overwrite its tail slot while n
+  // counts both rows, corrupting the carry suffix sums downstream
+  // (round-13 advisory). Detection is tail-scoped — a duplicate below
+  // the current tail threshold never lands in the map — but that is
+  // exactly the set whose corruption would matter: rows outside the
+  // tail only feed the order-free decimal sums, where duplicates are
+  // counted, not collapsed.
+  private def dup(t: Long, i: Long): Nothing =
+    throw new IllegalArgumentException(
+      s"chunk_stats_tail: duplicate (ts, id) key ($t, $i) — the id " +
+        "column must be unique per row (q81 feeds event_id); a " +
+        "duplicate would corrupt the tail's suffix sums")
+
   def add(t: Long, i: Long, a: JBD, b: JBD): Unit = {
     n += 1L
     sx = sx.add(a); sxx = sxx.add(b)
     if (tail.size < k || Ordering[(Long, Long)].gt((t, i), tail.firstKey)) {
+      if (tail.contains((t, i))) dup(t, i)
       tail((t, i)) = (a, b)
       if (tail.size > k) tail -= tail.firstKey
     }
@@ -167,6 +182,7 @@ final class ChunkTailBuf(k: Int) {
     sx = sx.add(o.sx); sxx = sxx.add(o.sxx)
     o.tail.foreach { case (key, v) =>
       if (tail.size < k || Ordering[(Long, Long)].gt(key, tail.firstKey)) {
+        if (tail.contains(key)) dup(key._1, key._2)
         tail(key) = v
         if (tail.size > k) tail -= tail.firstKey
       }

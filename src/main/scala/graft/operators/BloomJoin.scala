@@ -152,9 +152,32 @@ object BloomJoin {
     * physical plan (planning time, no job); AQE can only remove
     * exchanges later, never add them. */
   private[graft] def isExchangeFree(joined: DataFrame): Boolean = {
-    val p = joined.queryExecution.executedPlan.toString
-    (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
-      !p.contains("Exchange hashpartitioning")
+    // walk the physical plan TREE (round-13 advisory: the previous
+    // toString match was brittle to plan rendering changes) — a
+    // mis-detection is perf-only (both branches are semantically
+    // identical joins), but node-type matching can't rot with the
+    // text format
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // AdaptiveSparkPlanExec is a LeafExecNode — unwrap to its current
+    // (here: initial, nothing has run) inner plan or the walk sees
+    // nothing
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffleClassJoin = plan.exists {
+      case _: SortMergeJoinExec | _: ShuffledHashJoinExec => true
+      case _ => false
+    }
+    val hashExchange = plan.exists {
+      case e: ShuffleExchangeLike =>
+        e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+      case _ => false
+    }
+    shuffleClassJoin && !hashExchange
   }
 
   /** Next power of two ≥ `bitsPerKey × n`, floored at 2^16 (the

@@ -1024,6 +1024,11 @@ object Pipeline {
     * identical by construction. */
   private val d10SubsetTarget = 25000L
 
+  /** t14's bounded-subset target — 500k docs, the full-sf10 size the
+    * BPE oracle (recursive-CTE merge fixed point + per-doc
+    * string_agg) is measured to complete at; m = 1 through sf10. */
+  private val t14SubsetTarget = 500000L
+
   private def d10Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long): String = {
     val FLAG = 1L << 62
     s"""WITH RECURSIVE
@@ -3335,23 +3340,37 @@ object Pipeline {
     // the SAME fixed-point merge loop as a recursive CTE over the
     // DISTINCT words (vocabulary-sized state, not corpus-sized) and
     // joins tokenizations back positionally — bit-exact cross-engine.
+    // Gated over a d10-style bounded subset: 500k docs = the full-sf10
+    // size, the largest the oracle's recursive-CTE merge loop +
+    // per-doc string_agg are measured to complete at on this box.
+    // m = 1 through sf10 (full-table evidence unchanged); sf100 runs
+    // the SAME code on doc_id % 10 — closing round 13's one declared
+    // sf100 hole (`oracle_skipped: known not to complete`).
     Q("t14_bpe_apply",
       (s, d) => {
+        val full = t(s, d, "documents")
+        val m = math.max(1L, full.count() / t14SubsetTarget)
+        val docs =
+          if (m == 1L) full else full.filter(col("doc_id") % m === 0)
         val toks = graft.functions.BpeFunctions.bpeEncode(col("text"), Bpe.pretrained)
-        t(s, d, "documents")
+        docs
           .select(col("doc_id"),
             size(toks).cast("long").as("n_bpe_tokens"),
             array_join(toks, " ").as("bpe_text"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE
+               t14src AS (
+                 SELECT * FROM documents
+                 WHERE doc_id % greatest(1,
+                   (SELECT count(*) FROM documents) // $t14SubsetTarget) = 0),
                merges(rnk, l, r) AS (
                  SELECT * FROM (VALUES ${Bpe.mergesSqlValues(Bpe.pretrained)}) m(rnk, l, r)),
                docw AS (
                  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS wi
                  FROM (SELECT doc_id,
                          regexp_extract_all(lower(text), '[a-z]+') AS ws
-                       FROM documents)),
+                       FROM t14src)),
                vocab AS (SELECT DISTINCT w FROM docw),
                enc(w, toks) AS (
                  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') FROM vocab
@@ -3381,7 +3400,7 @@ object Pipeline {
                SELECT doc_id,
                       COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
                       COALESCE(bpe_text, '') AS bpe_text
-               FROM documents LEFT JOIN perdoc USING (doc_id)
+               FROM t14src LEFT JOIN perdoc USING (doc_id)
                ORDER BY doc_id""")),
 
     // -- OOV-rate quality filter (t15) -------------------------------------

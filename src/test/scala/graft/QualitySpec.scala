@@ -281,6 +281,21 @@ class QualitySpec extends TestSpark {
     assert(tail.map(r => (r.getLong(0), r.getLong(1))) === want)
   }
 
+  test("chunk_stats_tail enforces the (ts, id) uniqueness contract " +
+       "loudly — a duplicate tail key would silently corrupt the " +
+       "carry suffix sums, so it must throw, not overwrite") {
+    import graft.functions.ChunkStatsFunctions
+    val dup = Seq((5L, 7L, 1.0), (5L, 7L, 2.0)).toDF("tsl", "id", "v")
+    val e = intercept[Exception] {
+      dup.agg(ChunkStatsFunctions.chunkStatsTail(col("tsl"), col("id"),
+        col("v").cast(graft.queries.D4),
+        (col("v") * col("v")).cast(graft.queries.D4), 101)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate (ts, id)")), e.getMessage)
+  }
+
   test("q82 gate: conversions partition the purchases and revenue adds up") {
     val ev = Tables(spark, sfDir, "events")
     val out = q("q82_attribution").collect()
