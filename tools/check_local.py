@@ -46,27 +46,83 @@ def main():
     skip = set(filter(None, os.environ.get("DUCKDB_SKIP", "").split(",")))
     n_pass = n_fail = 0
     report = {}
+    # Above this row count the exact compare runs INSIDE DuckDB as an
+    # order-insensitive multiset digest — count(*) + sum(hash(cols in
+    # sorted-name order)) — instead of materializing every row as a
+    # Python tuple (the sf100 gate has 150M-row results; the Python
+    # path needs ~50 GB there). Digest equality is multiset equality
+    # up to 64-bit hash collisions; both sides run the IDENTICAL
+    # expression, so type or value drift still fails loudly.
+    hash_min = int(os.environ.get("DUCKDB_HASH_COMPARE_MIN", 5_000_000))
+
+    def digest(con, sql_from, cols):
+        expr = "hash(" + ", ".join(f'"{c}"' for c in sorted(cols)) + ")"
+        n, h = con.sql(
+            f"SELECT count(*), CAST(sum({expr}) AS VARCHAR) "
+            f"FROM {sql_from}").fetchone()
+        return n, h
+
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')")
-        scols, srows = canon(spark_rel.fetchall(), spark_rel.columns)
+        spark_from = f"read_parquet('{qdir}/*.parquet')"
+        spark_rel = con.sql(f"SELECT * FROM {spark_from}")
+        spark_n = con.sql(f"SELECT count(*) FROM {spark_from}").fetchone()[0]
+        if spark_n > hash_min and name in oracle and name not in skip:
+            scols = sorted(spark_rel.columns)
+            try:
+                orel = con.sql(oracle[name])
+                ocols = sorted(orel.columns)
+                sn, sh = digest(con, spark_from, spark_rel.columns)
+                on, oh = digest(con, f"({oracle[name]})", orel.columns)
+            except Exception as e:
+                print(f"FAIL {name}: oracle error: {e}", flush=True)
+                n_fail += 1
+                report[name] = {"rows_match": None, "schema_match": None,
+                                "hash_match": None, "spark_rows": spark_n,
+                                "oracle_rows": None,
+                                "err": f"oracle error: {type(e).__name__}: {e}"}
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                import gc as _gc
+                _gc.collect()
+                con = connect()
+                continue
+            ok = scols == ocols and sn == on and sh == oh
+            report[name] = {"rows_match": sn == on,
+                            "schema_match": scols == ocols,
+                            "hash_match": sh == oh and sn == on,
+                            "spark_rows": sn, "oracle_rows": on,
+                            "err": None,
+                            "compare": "duckdb-multiset-digest"}
+            if ok:
+                n_pass += 1
+                print(f"  ok {name} ({sn} rows, digest)", flush=True)
+            else:
+                n_fail += 1
+                print(f"FAIL {name}: digest spark=({sn},{sh}) "
+                      f"oracle=({on},{oh}) cols {scols} vs {ocols}",
+                      flush=True)
+            continue
         if name in skip:
             print(f"  [skipped] {name}: oracle skipped via DUCKDB_SKIP "
-                  f"({len(srows)} spark rows)", flush=True)
+                  f"({spark_n} spark rows)", flush=True)
             report[name] = {"rows_match": None, "schema_match": None,
-                            "hash_match": None, "spark_rows": len(srows),
+                            "hash_match": None, "spark_rows": spark_n,
                             "oracle_rows": None,
                             "err": "oracle_skipped: known not to complete "
                                    "on this box at this SF"}
             continue
         if name not in oracle:
-            print(f"  [rows-only] {name}: {len(srows)} rows", flush=True)
+            print(f"  [rows-only] {name}: {spark_n} rows", flush=True)
             report[name] = {"rows_match": None, "schema_match": None,
-                            "hash_match": None, "spark_rows": len(srows),
+                            "hash_match": None, "spark_rows": spark_n,
                             "oracle_rows": None, "err": "no_oracle"}
             continue
+        scols, srows = canon(spark_rel.fetchall(), spark_rel.columns)
         try:
             orel = con.sql(oracle[name])
             ocols, orows = canon(orel.fetchall(), orel.columns)

@@ -24,10 +24,13 @@ multi-row-group, so BOTH engines can parallelize the scan — unlike
 the single-row-group sf0.1 files (see SURVEY §6).
 
 Usage: tools/gen_sf1.py [src_dir] [out_dir] [factor] [only_tables]
-`only_tables` (comma-separated) restricts generation — used for the
-sf100 documents-only decade, where the row-local text/multimodal ops
-are gated a further 10x without paying for 13 GB of lineitem nobody
-scans (FK checks are skipped unless their tables are generated).
+`only_tables` (comma-separated) restricts generation — round 13 used
+it for an sf100 documents-only decade; round 14 widened sf100 to
+every table EXCEPT lineitem (region,nation,customer,supplier,part,
+orders,events,embeddings — ~6 GB total), so the relational/events/
+similarity families gate a further 10x while the one 13 GB table
+nobody's sf100 oracle needs stays ungenerated (FK checks are skipped
+unless their tables are generated).
 Not part of the shipped library.
 """
 import sys, os, glob
