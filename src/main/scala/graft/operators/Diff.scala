@@ -153,8 +153,11 @@ object Diff {
   def rangeDigest(df: DataFrame, key: Column, rangeSize: Long,
                   cols: Seq[Column]): DataFrame = {
     require(rangeSize > 0, s"rangeDigest: rangeSize must be positive")
-    val h = expr(s"CAST(conv(substring(md5(__rd_cat), 1, 13), 16, 10) " +
-      "AS BIGINT)")
+    // one static codegen call per row; bit-identical to the composable
+    // conv(substring(md5(...),1,13),16,10) spelling (parity spec'd)
+    val h = org.apache.spark.sql.GraftInternal.column(
+      graft.functions.Md5Prefix52(
+        org.apache.spark.sql.GraftInternal.expression(col("__rd_cat"))))
     val rendered = cols.map(c => coalesce(
       replace(replace(c.cast("string"), lit("\\"), lit("\\\\")),
         lit("|"), lit("\\|")),

@@ -786,12 +786,9 @@ object Streams {
 
   /** The 52-bit portable row hash `rangeDigest` computes in SQL
     * (first 13 hex chars of md5 → BIGINT), here for state-side use. */
-  private def rowHash52(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 13), 16)
-  }
+  private def rowHash52(s: String): Long =
+    graft.functions.Md5Prefix52Util.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /** One CLOSED SCD2 version emitted by [[scd2Stream]]: the key held
     * `value` over the half-open seq interval `[valid_from, valid_to)`.

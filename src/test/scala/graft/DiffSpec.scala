@@ -177,6 +177,25 @@ class DiffSpec extends TestSpark {
     assert(msgs(e).contains("negative key"), e.toString)
   }
 
+  test("md5_prefix52: bit-identical to the composable " +
+      "conv(substring(md5(s),1,13),16,10) spelling, incl. multibyte, " +
+      "empty, delimiter-heavy and long strings") {
+    val samples = Seq("", "a", "héllo wörld — ünïcode ¤",
+      "日本語テキスト", "a|b\\c|d", "x" * 10000,
+      "42|O|12345", "\\0", "0123456789abcdef" * 33)
+    val df = samples.toDF("s")
+    val fast = org.apache.spark.sql.GraftInternal.column(
+      graft.functions.Md5Prefix52(
+        org.apache.spark.sql.GraftInternal.expression(col("s"))))
+    val rows = df.select(fast.as("f"),
+        expr("CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT)")
+          .as("g"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // null in → null out, like every nullSafeEval expression
+    assert(Seq[String](null).toDF("s").select(fast).head().isNullAt(0))
+  }
+
   test("scd2History: versions open at their seq and close at the next " +
       "change; deletes close and leave a gap; duplicate (key, seq) " +
       "and unknown ops fail loudly") {
