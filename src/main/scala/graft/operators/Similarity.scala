@@ -366,16 +366,28 @@ object Similarity {
     * price of not materializing the candidate set; cosine is one
     * codegen'd expression, cheaper than shuffling the candidates. */
   def nearDupPairs(corpus: DataFrame, minCos: Double,
-                   nBits: Int = 16, bands: Int = 4): DataFrame = {
+                   nBits: Int = 16, bands: Int = 4,
+                   maxBucketSize: Option[Long] = None): DataFrame = {
     val bits = nBits / bands
     val sig = hyperplaneSignature(col("embedding"), nBits)
-    val banded = corpus
+    val banded0 = corpus
       .select(col("vec_id").as("id"), sig.as("sig"))
       .select(col("id"),
         explode(array((0 until bands).map(b => struct(lit(b).as("band"),
           shiftright(col("sig"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // d11's mega-bucket cap, knnJoin's spelling: a bucket denser than
+    // the cap is dropped WHOLE (its members still pair via their other
+    // bands). With only 2^(nBits/bands) bucket values per band the
+    // per-bucket population grows linearly with the corpus — and
+    // quadratically in the copy count of replicated content — so at
+    // scale the cap is the gate, not an option (the s05 argument).
+    val banded = maxBucketSize.fold(banded0) { cap =>
+      val w = Window.partitionBy("band", "bkey")
+      banded0.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= cap).drop("bn")
+    }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.id") < col("b.id"))

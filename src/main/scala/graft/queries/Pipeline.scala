@@ -326,13 +326,21 @@ object Pipeline {
         FROM en ORDER BY doc_id"""
   }
 
-  /** DuckDB replica of embedding near-dup pairs (d05). */
+  /** DuckDB replica of embedding near-dup pairs (d05), over the
+    * [[embPairSubset]] bound (m = 1 through sf10). */
   private def d05Oracle(minCos: Double, nBits: Int, bands: Int, seed: Long): String =
-    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+    s"""WITH ${embPairSubsetCte("d05src")},
+          ${hyperBandCtes(nBits, bands, seed, src = "d05src")},
+          cbnd AS (
+            SELECT vec_id, e, band, bkey FROM (
+              SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn
+              FROM bnd)
+            WHERE bn <= greatest(8,
+              (3 * (SELECT count(*) FROM d05src)) // 40)),
           pairs AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                    ${cosSql("a.e", "b.e")} AS cos
-            FROM bnd a JOIN bnd b
+            FROM cbnd a JOIN cbnd b
               ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
         SELECT id_a, id_b, round(cos, 6) AS cos
         FROM pairs WHERE cos >= $minCos ORDER BY id_a, id_b"""
@@ -417,7 +425,8 @@ object Pipeline {
     * bench split applied in the pair join, exact cosine threshold. */
   private def d20Oracle(minCos: Double, nBits: Int, bands: Int,
                         seed: Long): String =
-    s"""WITH ${hyperBandCtes(nBits, bands, seed)},
+    s"""WITH ${embPairSubsetCte("d20src")},
+          ${hyperBandCtes(nBits, bands, seed, src = "d20src")},
           pairs AS (
             SELECT DISTINCT c.vec_id, q.vec_id AS bench_id,
                    ${cosSql("c.e", "q.e")} AS cos
@@ -442,7 +451,8 @@ object Pipeline {
     * iteration, and `afin` (every vector assigned to its final cell).
     * Returns (ctes, finalCentroidCteName) — the caller appends its
     * own probe/pair stages. */
-  private def ivfAssignCtes(nCells: Int, lloydIters: Int): (String, String) = {
+  private def ivfAssignCtes(nCells: Int, lloydIters: Int,
+                            src: String = "embeddings"): (String, String) = {
     val score = "list_dot_product(v.e, s.ce) / sqrt(list_dot_product(s.ce, s.ce))"
     val steps = (1 to lloydIters).map { i =>
       val prev = if (i == 1) "seeds" else s"cent${i - 1}"
@@ -470,7 +480,7 @@ object Pipeline {
     }
     val cent = if (lloydIters == 0) "seeds" else s"cent$lloydIters"
     (s"""emb AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM $src),
           seeds AS (
             SELECT vec_id AS cell, e AS ce FROM emb
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
@@ -562,8 +572,9 @@ object Pipeline {
     * cell (the positional-vs-seed cell-numbering difference cancels
     * out — min-id is numbering-independent). */
   private def q55Oracle(eps: Double, nCells: Int, lloydIters: Int): String = {
-    val (ctes, _) = ivfAssignCtes(nCells, lloydIters)
-    s"""WITH $ctes,
+    val (ctes, _) = ivfAssignCtes(nCells, lloydIters, src = "q55src")
+    s"""WITH ${embPairSubsetCte("q55src")},
+          $ctes,
           drops AS (
             SELECT DISTINCT b.vec_id AS vec_id
             FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -971,6 +982,49 @@ object Pipeline {
     * complete at (~50M candidate pairs with 16/4 banding). From sf10
     * up, `vec_id % m` keeps the gate at exactly that scale. */
   private val s05SubsetTarget = 20000L
+
+  /** d05/d20/q55's bounded-subset target (the same discipline, on the
+    * FULL-corpus pairwise shapes): 200k vectors = the full-sf10 size,
+    * the largest scale the banded pair mine / in-cell semdedup AND
+    * their DuckDB replicas are measured to complete at. Every smaller
+    * SF keeps full-table rows (m = 1 through sf10); from sf100 up
+    * (2M vectors), `vec_id % m` holds the gate at that proven scale —
+    * without it the 16-values-per-band buckets grow linearly with the
+    * corpus and the in-bucket self-joins quadratically (the exact
+    * round-13 s05 spill, measured again at sf100: one q55 in-cell
+    * aggregate stage burned >30 CPU-minutes per task before the run
+    * was killed). */
+  private val embPairSubsetTarget = 200000L
+
+  /** Spark half of the d05/d20/q55 subset — same truncating integer
+    * arithmetic as the oracle's scalar subquery. */
+  private def embPairSubset(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val full = t(s, d, "embeddings")
+    val m = math.max(1L, full.count() / embPairSubsetTarget)
+    if (m == 1L) full else full.filter(col("vec_id") % m === 0)
+  }
+
+  /** d05's subset + always-on mega-bucket cap (the s05CorpusAndCap
+    * discipline at the [[embPairSubsetTarget]] scale): cap = 1.2× the
+    * uniform per-bucket expectation, derived from the SAME count the
+    * oracle's scalar subquery uses. Without it the content-replicated
+    * corpus (sf100: ~1000 identical copies per base vector) turns
+    * every bucket into a copy-clique — the banded self-join is
+    * quadratic in the COPY count even after the subset bound. */
+  private def d05CorpusAndCap(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, Long) = {
+    val corpus = embPairSubset(s, d)
+    val n = corpus.count()
+    (corpus, math.max(8L, 3L * n / 40L))
+  }
+
+  /** The oracle-side CTE for [[embPairSubset]]. */
+  private def embPairSubsetCte(name: String): String =
+    s"""$name AS (SELECT * FROM embeddings
+                  WHERE vec_id % greatest(1,
+                    (SELECT count(*) FROM embeddings)
+                      // $embPairSubsetTarget) = 0)"""
 
   /** The Spark half of s05/s06's two data-driven guards: the bounded
     * subset (m = count/[[s05SubsetTarget]], truncating) and the
@@ -1879,9 +1933,16 @@ object Pipeline {
       Some(d04Oracle(maxDist = 3))),
 
     Q("d05_embed_neardup",
-      (s, d) => Similarity.nearDupPairs(t(s, d, "embeddings"), minCos = 0.4)
-        .withColumn("cos", round(col("cos"), 6))
-        .orderBy("id_a", "id_b"),
+      // embPairSubset bound + ACTIVE mega-bucket cap (d05CorpusAndCap)
+      // — the capped config IS the gated config at every SF, the
+      // s05/d11 convention
+      (s, d) => {
+        val (corpus, cap) = d05CorpusAndCap(s, d)
+        Similarity.nearDupPairs(corpus, minCos = 0.4,
+            maxBucketSize = Some(cap))
+          .withColumn("cos", round(col("cos"), 6))
+          .orderBy("id_a", "id_b")
+      },
       Some(d05Oracle(minCos = 0.4, nBits = 16, bands = 4, seed = 42L))),
 
     // -- sketch-estimated join size (q64) ----------------------------------
@@ -2084,7 +2145,9 @@ object Pipeline {
     // shared hyperplane banding; the corpus never shuffles.
     Q("d20_semantic_decontaminate",
       (s, d) => {
-        val emb = t(s, d, "embeddings")
+        // embPairSubset bound (m = 1 through sf10), applied BEFORE the
+        // %29 corpus/bench split so both sides shrink consistently
+        val emb = embPairSubset(s, d)
         Similarity.semanticContamination(
             emb.filter(col("vec_id") % 29 =!= 0),
             emb.filter(col("vec_id") % 29 === 0), minCos = 0.3)
@@ -3025,7 +3088,12 @@ object Pipeline {
     // their cell's min surviving id — a cell-numbering-independent
     // representative both engines derive identically.
     Q("q55_semdedup",
-      (s, d) => Similarity.semDedup(t(s, d, "embeddings"),
+      // embPairSubset bound (m = 1 through sf10): in-cell pair mining
+      // is quadratic per cell, so the gate holds at the largest
+      // oracle-proven scale; the 100 TB path scales nCells with the
+      // corpus instead (SemDeDup's own lever), which the parameterized
+      // operator + oracle both support
+      (s, d) => Similarity.semDedup(embPairSubset(s, d),
           eps = 0.4, nCells = 16, lloydIters = 1)
         .orderBy("vec_id"),
       Some(q55Oracle(eps = 0.4, nCells = 16, lloydIters = 1))),
