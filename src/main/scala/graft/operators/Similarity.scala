@@ -349,6 +349,20 @@ object Similarity {
     * per-band slices of the hyperplane signature, verify cosine >=
     * minCos inside buckets only.
     *
+    * RECALL CONTRACT under `maxBucketSize`: a bucket denser than the
+    * cap is dropped WHOLE. Identical-copy cliques share the same
+    * bucket in EVERY band, so a near-duplicate group denser than the
+    * cap emits zero pairs — the cap deliberately trades away the
+    * most-replicated content's pairwise edges to keep the in-bucket
+    * self-join bounded at cap² (the alternative at scale is a
+    * quadratic blowup in the copy count: the round-13 s05 spill).
+    * Callers that need the heavy cliques themselves should mine them
+    * from the dropped buckets directly — a bucket over the cap IS the
+    * detection (its members are mutual near-dup candidates by
+    * construction; d11 exposes exactly this view for MinHash). Pairs
+    * whose members merely TOUCH a dropped bucket still pair through
+    * their other bands; only groups dense in every band lose edges.
+    *
     * Scale shape (the same banding contract d03 pins in PlanSpec): the
     * band-bucket self-join carries (id, band, bkey) ONLY — three longs
     * a row — and the pair distinct runs AFTER cosine verification, so
@@ -377,16 +391,20 @@ object Similarity {
           shiftright(col("sig"), b * bits)
             .bitwiseAND((1L << bits) - 1).as("bkey"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // d11's mega-bucket cap, knnJoin's spelling: a bucket denser than
-    // the cap is dropped WHOLE (its members still pair via their other
-    // bands). With only 2^(nBits/bands) bucket values per band the
-    // per-bucket population grows linearly with the corpus — and
-    // quadratically in the copy count of replicated content — so at
-    // scale the cap is the gate, not an option (the s05 argument).
+    // d11's mega-bucket cap, knnJoin's spelling (groupBy the tiny
+    // (band, bkey) domain → hot list → left-anti): a bucket denser
+    // than the cap is dropped WHOLE (see the recall contract above).
+    // With only 2^(nBits/bands) bucket values per band the per-bucket
+    // population grows linearly with the corpus — and quadratically
+    // in the copy count of replicated content — so at scale the cap
+    // is the gate, not an option (the s05 argument). The hot-list agg
+    // is map-side-combined over ≤ bands·2^(nBits/bands) keys — no
+    // per-row window sort.
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val w = Window.partitionBy("band", "bkey")
-      banded0.withColumn("bn", count(lit(1)).over(w))
-        .filter(col("bn") <= cap).drop("bn")
+      val hot = banded0.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select("band", "bkey")
+      banded0.join(hot, Seq("band", "bkey"), "left_anti")
     }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

@@ -158,8 +158,7 @@ object Pipeline {
             SELECT vec_id, e, band, bkey FROM (
               SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn
               FROM bnd)
-            WHERE bn <= greatest(8,
-              (3 * (SELECT count(*) FROM s05src)) // 40)),
+            WHERE bn <= ${megaBucketCapSql("s05src", nBits, bands)}),
           pairs AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                    ${cosSql("a.e", "b.e")} AS cos
@@ -335,8 +334,7 @@ object Pipeline {
             SELECT vec_id, e, band, bkey FROM (
               SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bn
               FROM bnd)
-            WHERE bn <= greatest(8,
-              (3 * (SELECT count(*) FROM d05src)) // 40)),
+            WHERE bn <= ${megaBucketCapSql("d05src", nBits, bands)}),
           pairs AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                    ${cosSql("a.e", "b.e")} AS cos
@@ -1005,18 +1003,36 @@ object Pipeline {
     if (m == 1L) full else full.filter(col("vec_id") % m === 0)
   }
 
+  /** Mega-bucket cap shared by d05/s05/s06 AND their oracles: 1.2×
+    * the uniform per-bucket expectation n / 2^(nBits/bands) of the
+    * banding geometry in use, floored at 8, spelled 6n div (5·2^bits)
+    * so both engines' truncating integer division produces the same
+    * value (for the gated 16/4 geometry this is exactly the historic
+    * 3n div 40). ONE formula, parameterized by the geometry — change
+    * the banding and the cap, Spark-side and oracle-side, moves with
+    * it instead of silently keeping the old bucket-count constant. */
+  private def megaBucketCap(n: Long, nBits: Int, bands: Int): Long =
+    math.max(8L, 6L * n / (5L * (1L << (nBits / bands))))
+
+  /** The oracle half of [[megaBucketCap]] — same truncating
+    * arithmetic, count taken from the subset CTE both sides rank. */
+  private def megaBucketCapSql(srcCte: String, nBits: Int, bands: Int): String =
+    s"greatest(8, (6 * (SELECT count(*) FROM $srcCte)) // ${5L * (1L << (nBits / bands))})"
+
   /** d05's subset + always-on mega-bucket cap (the s05CorpusAndCap
-    * discipline at the [[embPairSubsetTarget]] scale): cap = 1.2× the
-    * uniform per-bucket expectation, derived from the SAME count the
-    * oracle's scalar subquery uses. Without it the content-replicated
-    * corpus (sf100: ~1000 identical copies per base vector) turns
-    * every bucket into a copy-clique — the banded self-join is
-    * quadratic in the COPY count even after the subset bound. */
+    * discipline at the [[embPairSubsetTarget]] scale): cap =
+    * [[megaBucketCap]] of the banding geometry, derived from the SAME
+    * count the oracle's scalar subquery uses. Without it the
+    * content-replicated corpus (sf100: ~1000 identical copies per
+    * base vector) turns every bucket into a copy-clique — the banded
+    * self-join is quadratic in the COPY count even after the subset
+    * bound. */
   private def d05CorpusAndCap(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame, Long) = {
+      d: String, nBits: Int, bands: Int):
+      (org.apache.spark.sql.DataFrame, Long) = {
     val corpus = embPairSubset(s, d)
     val n = corpus.count()
-    (corpus, math.max(8L, 3L * n / 40L))
+    (corpus, megaBucketCap(n, nBits, bands))
   }
 
   /** The oracle-side CTE for [[embPairSubset]]. */
@@ -1028,24 +1044,23 @@ object Pipeline {
 
   /** The Spark half of s05/s06's two data-driven guards: the bounded
     * subset (m = count/[[s05SubsetTarget]], truncating) and the
-    * mega-bucket cap at 1.2× the uniform per-bucket expectation —
-    * 3·n/40 for the 2^(16/4) = 16 bucket values per band — so buckets
-    * denser than a fair hyperplane split (degenerate near-dup
-    * clusters) are dropped while their members still pair via their
-    * other three bands. Round-13 verdict item 1: the cap existed but
-    * NO gated caller passed it, so the sf10 gate ran the uncapped
-    * config straight into a ~31G-candidate spill. Here the cap is
-    * derived from the same count the oracle's scalar subquery uses
-    * (`greatest(8, (3·n)//40)`), making drop decisions identical by
-    * construction. */
+    * [[megaBucketCap]] of the banding geometry — buckets denser than
+    * 1.2× a fair hyperplane split (degenerate near-dup clusters) are
+    * dropped while their members still pair via their other bands.
+    * Round-13 verdict item 1: the cap existed but NO gated caller
+    * passed it, so the sf10 gate ran the uncapped config straight
+    * into a ~31G-candidate spill. The cap derives from the same count
+    * the oracle's scalar subquery uses, making drop decisions
+    * identical by construction. */
   private def s05CorpusAndCap(s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame, Long) = {
+      d: String, nBits: Int, bands: Int):
+      (org.apache.spark.sql.DataFrame, Long) = {
     val full = t(s, d, "embeddings")
     val nFull = full.count()
     val m = math.max(1L, nFull / s05SubsetTarget)
     val corpus = if (m == 1L) full else full.filter(col("vec_id") % m === 0)
     val n = if (m == 1L) nFull else corpus.count()
-    (corpus, math.max(8L, 3L * n / 40L))
+    (corpus, megaBucketCap(n, nBits, bands))
   }
 
   private def d03Oracle(bands: Int, rpb: Int, minJ: Double, seed: Long,
@@ -1937,7 +1952,7 @@ object Pipeline {
       // — the capped config IS the gated config at every SF, the
       // s05/d11 convention
       (s, d) => {
-        val (corpus, cap) = d05CorpusAndCap(s, d)
+        val (corpus, cap) = d05CorpusAndCap(s, d, nBits = 16, bands = 4)
         Similarity.nearDupPairs(corpus, minCos = 0.4,
             maxBucketSize = Some(cap))
           .withColumn("cos", round(col("cos"), 6))
@@ -2343,7 +2358,7 @@ object Pipeline {
       (s, d) => {
         // bounded subset + ACTIVE mega-bucket cap (s05CorpusAndCap) —
         // the capped config IS the gated config at every SF
-        val (corpus, cap) = s05CorpusAndCap(s, d)
+        val (corpus, cap) = s05CorpusAndCap(s, d, nBits = 16, bands = 4)
         Similarity.knnJoin(corpus, k = 3, maxBucketSize = Some(cap))
           .withColumn("cos", round(col("cos"), 6))
           .orderBy("query_id", "rank")
@@ -2935,7 +2950,7 @@ object Pipeline {
       (s, d) => {
         // same subset + cap as s05 — centrality runs over the SAME
         // capped kNN graph the s05 gate checks
-        val (corpus, cap) = s05CorpusAndCap(s, d)
+        val (corpus, cap) = s05CorpusAndCap(s, d, nBits = 16, bands = 4)
         Similarity.knnCentrality(corpus, k = 3, iters = 2,
             maxBucketSize = Some(cap))
           .orderBy("vec_id")

@@ -169,16 +169,25 @@ object Profiling {
     // spelling the two passes as one lazy plan with a broadcast join
     // instead re-runs the pass-1 exchange+window subtree inside the
     // probe job and measured 9.3 s at sf10 vs 2.0 s for this shape.
-    // All weights stay DECIMAL end-to-end so 2*cum >= tot is an exact
-    // comparison in both engines; the oracle keeps the naive spelling
-    // — same values, the algorithm is the Spark-side scale choice.
+    // Weights are SCALED LONGS (quantity·10^4 through DECIMAL(18,4),
+    // exact for any 4-decimal quantity) so 2*cum >= tot stays an exact
+    // integer comparison in both engines while the hot aggregation
+    // path sums longs, not 128-bit decimals — round 15 measured the
+    // decimal sums as the dominant non-scan cost (AbR15 at sf10:
+    // two-pass decimal 2.12 s → two-pass long 1.66 s, and the naive
+    // window spelling 3.61 s → 2.13 s from the same switch). Overflow
+    // headroom: 10^11 rows × 50·10^4 ≈ 5·10^16 ≪ 2^63. The oracle
+    // keeps the naive spelling with the same scaled-long weights —
+    // same values, the algorithm is the Spark-side scale choice.
     // Bucket width 1000 suits the known price domain (see q75's
     // min/max profile — production seeds this from standing stats);
     // correctness does not depend on the width, only pass-2 size does.
     Q("q78_weighted_median",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        val w = col("l_quantity").cast(D4)
+        val w = (col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)) * 10000)
+          .cast("long")
         val bucket = floor(col("l_extendedprice") / 1000.0).cast("long")
         val cells = li
           .groupBy(col("l_returnflag").as("g"), bucket.as("b"))
@@ -198,9 +207,9 @@ object Profiling {
         val mbM = map(bounds.toSeq.flatMap(r =>
           Seq(lit(r.getString(0)), lit(r.getLong(1)))): _*)
         val belM = map(bounds.toSeq.flatMap(r =>
-          Seq(lit(r.getString(0)), lit(r.getDecimal(2)))): _*)
+          Seq(lit(r.getString(0)), lit(r.getLong(2)))): _*)
         val totM = map(bounds.toSeq.flatMap(r =>
-          Seq(lit(r.getString(0)), lit(r.getDecimal(3)))): _*)
+          Seq(lit(r.getString(0)), lit(r.getLong(3)))): _*)
         val cumV = Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         li.select(col("l_returnflag").as("g"),
@@ -218,7 +227,8 @@ object Profiling {
       },
       Some("""WITH perv AS (
                 SELECT l_returnflag AS g, l_extendedprice AS v,
-                       SUM(CAST(l_quantity AS DECIMAL(27,4))) AS w
+                       SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000
+                           AS BIGINT)) AS w
                 FROM lineitem GROUP BY 1, 2),
               c AS (SELECT g, v,
                       SUM(w) OVER (PARTITION BY g ORDER BY v

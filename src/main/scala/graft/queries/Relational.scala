@@ -489,6 +489,14 @@ object Relational {
     // SHARED user-bucketed events layout — zero corpus Exchange (the
     // windows and the user-distinct aggregate all reuse the bucket
     // distribution). Same oracle; layout is not semantics.
+    // Round 15: the four countDistincts became a per-user reduce +
+    // plain counts — t1/t2/t3 are per-user CONSTANTS after the
+    // windows, so `groupBy(user).first` collapses to one row per user
+    // (exchange-free on the bucket distribution) and the Expand
+    // operator the multi-countDistinct plan needs (4× the corpus rows
+    // through the distinct aggregate) disappears. Measured at sf10:
+    // 1.27 s → 0.91 s median (AbR15), with the windows themselves
+    // ~0.17 s over the scan floor thanks to the bucket-sorted layout.
     Q("q50_funnel",
       (s, d) => {
         val byUser = Window.partitionBy("user_id")
@@ -501,10 +509,13 @@ object Relational {
           .withColumn("t3",
             min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
               col("ts"))).over(byUser))
-          .agg(countDistinct(col("user_id")).as("n_users"),
-            countDistinct(when(col("t1").isNotNull, col("user_id"))).as("n_view"),
-            countDistinct(when(col("t2").isNotNull, col("user_id"))).as("n_view_click"),
-            countDistinct(when(col("t3").isNotNull, col("user_id"))).as("n_full_funnel"))
+          .groupBy("user_id")
+          .agg(first("t1").as("t1"), first("t2").as("t2"),
+            first("t3").as("t3"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t1")).as("n_view"),
+            count(col("t2")).as("n_view_click"),
+            count(col("t3")).as("n_full_funnel"))
       },
       Some("""WITH f AS (
                 SELECT user_id,

@@ -129,16 +129,30 @@ class PlanSpec extends TestSpark {
   }
 
   test("q50: the three funnel-step windows run over the user-bucketed " +
-      "layout — ZERO user_id exchanges (round 13; was one) and ONE " +
-      "partition-local sort") {
+      "layout — ZERO user_id exchanges (round 13; was one), and the " +
+      "funnel counts reduce per-user first so NO Expand (round 15; the " +
+      "4-way countDistinct expand was ~0.57 s of the 1.27 s sf10 median)") {
     val p = plan("q50_funnel")
-    // single-key form only — the countDistinct expand exchange also
-    // leads with user_id but carries the full (user, gid) key list
     assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 0, p)
     assert(p.contains("Bucketed: true"), p)
     assert("windowspecdefinition\\(user_id".r.findAllIn(p).size === 3, p)
     // unbounded frames need no ordering: zero sorts of the fact
     assert("Sort \\[user_id".r.findAllIn(p).size === 0, p)
+    // the per-user reduce replaced the multi-countDistinct Expand
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("d15: the per-domain count aggregate is STAGED (persist) — the " +
+      "caps join and the totals row share one corpus scan instead of " +
+      "re-running it (round 15: 1.31 -> 0.97 s at sf10)") {
+    val p = plan("d15_domain_cap")
+    // BOTH count consumers (caps join + totals row) read the cached
+    // aggregate; the plan string also prints each InMemoryRelation's
+    // rebuild subtree (a FileScan that does not execute once the
+    // cache is built), so pin the cache reads, and that exactly ONE
+    // executed scan reads the text column (the rank-window side)
+    assert("InMemoryTableScan".r.findAllIn(p).size === 2, p)
+    assert("FileScan parquet \\[doc_id#\\d+L,text".r.findAllIn(p).size === 1, p)
   }
 
   test("q51: d0 is a window over the user partition — over the bucketed " +
