@@ -2084,7 +2084,15 @@ object Pipeline {
           .select(col("lang"),
             explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
           .filter(col("w") =!= "")
+        // cwl feeds FOUR consumers (scoring join + cl/cw/n rollups).
+        // Unstaged, each re-ran the corpus scan + token explode + agg:
+        // ReuseExchange can NOT dedup them because each consumer
+        // pushes a different isnotnull set into its copy of the
+        // subtree (round-15 plan audit: 4 FileScans, 0 reuse — the
+        // q77 lazy-derivation trap). persist() is the d15/d19 staging
+        // discipline; cwl is vocabulary-sized, not corpus-sized.
         val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c_wl"))
+          .persist()
         val cl = cwl.groupBy("lang").agg(sum("c_wl").as("c_l"))
         val cw = cwl.groupBy("w").agg(sum("c_wl").as("c_w"))
         val n = cwl.agg(sum("c_wl").as("n"))

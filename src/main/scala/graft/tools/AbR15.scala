@@ -213,6 +213,57 @@ object AbR15 {
             .orderBy("l_returnflag")
         }))
 
+      // the weak-tail "is it the scan floor?" ladder: each pair is the
+      // gated query vs the bare scan+count of the SAME columns in the
+      // same JVM — if full ~= floor, the DuckDB gap is Spark's scan
+      // cost at this SF, not plan quality (the AbQ22 protocol)
+      case "floors" => Seq(
+        "q46_floor" -> (() => li
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), max("l_extendedprice").as("m"))),
+        "q46_full" -> (() => graft.SparkEntry.queries("q46_histogram_quantile")(spark, sfDir)),
+        "q03_floor" -> (() => li
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), max("l_quantity").as("mq"),
+            max("l_extendedprice").as("mp"), max("l_discount").as("md"))),
+        "q03_full" -> (() => graft.SparkEntry.queries("q03_agg_groupby")(spark, sfDir)),
+        "q04_floor" -> (() => li
+          .select(col("l_partkey"), col("l_quantity"))
+          .groupBy(col("l_partkey") % 100)
+          .agg(count(lit(1)).as("n"), max("l_quantity").as("m"))),
+        "q04_full" -> (() => graft.SparkEntry.queries("q04_join_broadcast")(spark, sfDir)),
+        "q76_floor" -> (() => li
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), max("l_quantity").as("mq"),
+            max("l_extendedprice").as("mp"))),
+        "q76_full" -> (() => graft.SparkEntry.queries("q76_group_linregress")(spark, sfDir)),
+        // *_dbl isolate the exact-decimal contract's cost: the same
+        // aggregates with plain double sums (NOT the gated semantics —
+        // double sums are partitioning-dependent; measurement only)
+        "q03_dbl" -> (() => li
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_extendedprice")).as("sum_base"),
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            avg(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("cnt"))),
+        "q04_dbl" -> (() => li
+          .join(broadcast(graft.Tables(spark, sfDir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))),
+        "q76_dbl" -> (() => {
+          val x = col("l_quantity"); val y = col("l_extendedprice")
+          li.groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).cast("double").as("n"),
+              sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+              sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        }))
+
       case other => sys.error(s"unknown target $other")
     }
 

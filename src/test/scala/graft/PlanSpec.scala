@@ -155,6 +155,15 @@ class PlanSpec extends TestSpark {
     assert("FileScan parquet \\[doc_id#\\d+L,text".r.findAllIn(p).size === 1, p)
   }
 
+  test("q63: the (lang, token) count table is STAGED — all four " +
+      "consumers (scoring join + cl/cw/N rollups) read the cache; " +
+      "unstaged, each pushed a different isnotnull set into its copy " +
+      "so ReuseExchange never fired and the plan ran FOUR corpus " +
+      "scans + token explodes (round 15: 3.88 -> 1.54 s at sf10)") {
+    val p = plan("q63_mi_feature_select")
+    assert("InMemoryTableScan".r.findAllIn(p).size === 4, p)
+  }
+
   test("q51: d0 is a window over the user partition — over the bucketed " +
       "layout the fact pays ZERO user_id exchanges (round 13; was one) " +
       "and there is no join back") {
