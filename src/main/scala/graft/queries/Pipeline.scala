@@ -3184,9 +3184,17 @@ object Pipeline {
     // partitioning-independent).
     Q("q53_shard_pack",
       (s, d) => {
+        // globalRunningSum reads its input TWICE (per-bucket window
+        // branch + bucket-totals branch); unstaged, each branch
+        // re-scanned documents and re-paid md5 + the regex token
+        // count. persist() the ~20×-narrower (id, hash, count)
+        // projection (the d15/q63 staging discipline) so the corpus
+        // text is scanned and tokenized ONCE — round 15, the q71
+        // offsets lesson applied to q53's own scans.
         val docs = t(s, d, "documents")
           .select(col("doc_id"), md5(col("text")).as("h"),
             TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          .persist()
         Packing.globalRunningSum(
             docs,
             bucket = substring(col("h"), 1, 1),
