@@ -1011,12 +1011,12 @@ object Pipeline {
     * 3n div 40). ONE formula, parameterized by the geometry — change
     * the banding and the cap, Spark-side and oracle-side, moves with
     * it instead of silently keeping the old bucket-count constant. */
-  private def megaBucketCap(n: Long, nBits: Int, bands: Int): Long =
+  private[graft] def megaBucketCap(n: Long, nBits: Int, bands: Int): Long =
     math.max(8L, 6L * n / (5L * (1L << (nBits / bands))))
 
   /** The oracle half of [[megaBucketCap]] — same truncating
     * arithmetic, count taken from the subset CTE both sides rank. */
-  private def megaBucketCapSql(srcCte: String, nBits: Int, bands: Int): String =
+  private[graft] def megaBucketCapSql(srcCte: String, nBits: Int, bands: Int): String =
     s"greatest(8, (6 * (SELECT count(*) FROM $srcCte)) // ${5L * (1L << (nBits / bands))})"
 
   /** d05's subset + always-on mega-bucket cap (the s05CorpusAndCap

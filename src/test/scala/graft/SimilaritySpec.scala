@@ -97,6 +97,54 @@ class SimilaritySpec extends TestSpark {
     assert(pairs.forall { case (a, b) => a / 100 == b / 100 })
   }
 
+  test("nearDupPairs maxBucketSize: the recall contract — a clique " +
+       "denser than the cap emits ZERO pairs (dense in every band), " +
+       "clusters under the cap keep exactly their uncapped pairs") {
+    val uncapped = Similarity.nearDupPairs(clustered, minCos = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cap = corpus size: no bucket can exceed it, identical output.
+    // (25 is NOT safe here: with 16 bucket values per band two
+    // 20-vector clusters can COLLIDE into one 40-member bucket, and
+    // cap=25 rightly drops it — observed: 16 cluster-0 pairs whose
+    // only sub-threshold co-bucket was the collided band vanish.)
+    val keeps = Similarity.nearDupPairs(clustered, minCos = 0.95,
+        maxBucketSize = Some(60L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(keeps === uncapped,
+      "a cap above the whole corpus size changed the pair set")
+    // a TRUE clique — identical copies — shares ONE bucket in every
+    // band by construction (noisy clusters can split across a
+    // hyperplane and dodge the cap through a small sub-bucket;
+    // identical vectors cannot), so a 30-copy clique under cap=25
+    // emits ZERO pairs while the noisy clusters keep pairing
+    val clique = spark.range(1000, 1030)
+      .select(col("id").as("vec_id"),
+        typedLit(Array.fill(16)(0.5f)).as("embedding"))
+    val mixed = clustered.unionByName(clique)
+    val capped = Similarity.nearDupPairs(mixed, minCos = 0.95,
+        maxBucketSize = Some(25L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 1000 && b >= 1000 },
+      "the over-cap identical-copy clique still emitted pairs")
+    assert(capped.nonEmpty,
+      "the cap silenced the under-cap clusters too")
+  }
+
+  test("megaBucketCap: one formula serves both engines and scales with " +
+       "the banding geometry (the round-14 advisory's drift guard)") {
+    // the gated 16/4 geometry must reproduce the historic 3n/40 cap
+    // exactly — the value every committed gate row was produced under
+    for (n <- Seq(0L, 7L, 40L, 199999L, 200000L, 12345678L))
+      assert(graft.queries.Pipeline.megaBucketCap(n, 16, 4) ===
+        math.max(8L, 3L * n / 40L), s"n=$n")
+    // halving the per-band bucket count doubles the cap (same n)
+    assert(graft.queries.Pipeline.megaBucketCap(80000L, 12, 4) ===
+      2L * graft.queries.Pipeline.megaBucketCap(80000L, 16, 4))
+    // the SQL half spells the same truncating arithmetic
+    val sql = graft.queries.Pipeline.megaBucketCapSql("src", 16, 4)
+    assert(sql.contains("// 80") && sql.contains("6 *"), sql)
+  }
+
   test("cosine matches plain-scala computation on real embeddings") {
     val two = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 2)
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
