@@ -81,12 +81,14 @@ object Mixing {
     // The per-domain count aggregate feeds BOTH the caps join and the
     // totals row; unstaged, each consumer re-runs the corpus scan +
     // count shuffle (the round-14 plan audit showed two extra
-    // documents scans). persist() is the d19/knnCentrality staging
-    // discipline: |domains| rows, built once (measured at sf10:
-    // 1.31 s → 0.97 s median for d15).
-    val cnt = docs.groupBy(domainCol).agg(count(lit(1)).as("c_docs"))
-      .withColumn("w", floor(sqrt(col("c_docs"))).cast("long"))
-      .persist()
+    // documents scans). Staging is the d19/knnCentrality discipline:
+    // |domains| rows, built once (measured at sf10: 1.31 s → 0.97 s
+    // median for d15); autoFree unpersists it the moment the caller's
+    // action completes, so repeated library/REPL calls don't
+    // accumulate scratch caches (round-15 verdict item 6).
+    val cnt = Staged.autoFree(
+      docs.groupBy(domainCol).agg(count(lit(1)).as("c_docs"))
+        .withColumn("w", floor(sqrt(col("c_docs"))).cast("long")))
     val tot = cnt.agg(sum("w").as("sum_w"), sum("c_docs").as("c_total"))
     val caps = cnt.crossJoin(broadcast(tot))
       .withColumn("cap",

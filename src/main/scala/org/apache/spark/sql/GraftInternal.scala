@@ -54,4 +54,21 @@ object GraftInternal {
     * polled sleep, which can elapse on a stalled host before delivery. */
   def waitForListeners(spark: SparkSession, timeoutMs: Long = 60000L): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Cache state of `df`'s CacheManager entry:
+    *  - `None`        — not cached (never persisted, or already freed);
+    *  - `Some(false)` — persist() registered but no action has
+    *                    materialized the column buffers yet;
+    *  - `Some(true)`  — an action loaded the cached buffers.
+    * [[graft.operators.Staged]] polls this from a QueryExecutionListener
+    * to free intra-operator staging caches as soon as the action that
+    * consumes them completes — "loaded" is exactly "the staged subtree
+    * has been read", because the ONLY reader of an operator-private
+    * staged frame is the operator's own plan. */
+  def stagedCacheLoaded(df: Dataset[_]): Option[Boolean] = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    session.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[classic.Dataset[_]])
+      .map(_.cachedRepresentation.cacheBuilder.isCachedColumnBuffersLoaded)
+  }
 }

@@ -142,6 +142,18 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("Expand"), p)
   }
 
+  test("st07 batch face: q50's window spelling over the user-bucketed " +
+      "layout — ZERO user_id exchanges, no Expand, and no object-fold " +
+      "(round 16; the flatMapGroupsWithState encoder round-trip was " +
+      "the 2.5× sf10 gap)") {
+    val p = plan("st07_stream_funnel")
+    assert("Exchange hashpartitioning\\(user_id#\\d+L?, \\d+\\)".r.findAllIn(p).size === 0, p)
+    assert(p.contains("Bucketed: true"), p)
+    assert("windowspecdefinition\\(user_id".r.findAllIn(p).size === 3, p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("FlatMapGroupsWithState"), p)
+  }
+
   test("d15: the per-domain count aggregate is STAGED (persist) — the " +
       "caps join and the totals row share one corpus scan instead of " +
       "re-running it (round 15: 1.31 -> 0.97 s at sf10)") {

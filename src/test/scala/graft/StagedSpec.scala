@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.GraftInternal
+
+/** Lifecycle of intra-operator staging caches (round-16, verdict
+  * item 6): operators that persist() a multi-consumer intermediate
+  * (d15's domain counts, q63's vocabulary table, q53's tokenized
+  * projection) must not leave persistent RDDs behind once the action
+  * that consumes them completes — a long-lived library/REPL session
+  * calling them in a loop must not accumulate block-manager scratch.
+  * [[graft.operators.Staged.autoFree]] frees the cache from a
+  * QueryExecutionListener when an execution ends with the staged
+  * buffers loaded.
+  */
+class StagedSpec extends TestSpark {
+
+  /** Runs the gated query end-to-end (noop sink action) and returns
+    * the persistent-RDD ids the run left behind. */
+  private def leakedBy(name: String): Set[Int] = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    GraftInternal.waitForListeners(spark)
+    spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+  }
+
+  test("d15: the staged per-domain count cache frees itself after the " +
+       "consuming action — no persistent RDDs left") {
+    assert(leakedBy("d15_domain_cap").isEmpty)
+  }
+
+  test("q63: the staged (lang, token) vocabulary cache frees itself " +
+       "after the consuming action") {
+    assert(leakedBy("q63_mi_feature_select").isEmpty)
+  }
+
+  test("q53: the staged tokenized-corpus projection (corpus-row-sized " +
+       "— the one that MUST not outlive the action) frees itself") {
+    assert(leakedBy("q53_shard_pack").isEmpty)
+  }
+
+  test("autoFree staging still computes the same answer twice in a row " +
+       "in one session (recompute after free, not a stale cache)") {
+    val q = SparkEntry.queries("d15_domain_cap")
+    val a = q(spark, sfDir).collect().map(_.toString).toSeq
+    GraftInternal.waitForListeners(spark)
+    val b = q(spark, sfDir).collect().map(_.toString).toSeq
+    GraftInternal.waitForListeners(spark)
+    assert(a === b)
+  }
+}

@@ -221,6 +221,31 @@ class StreamingSpec extends TestSpark {
     assert(batch === want)
   }
 
+  test("st07's gated WINDOW face equals the funnelState fold on the real " +
+       "events table (round 16: the gated batch face is q50's window " +
+       "spelling — zero fact Exchange — and this pin, with the " +
+       "multi-batch == batch proofs above, keeps the DuckDB gate " +
+       "adjudicating the same computation the stream performs)") {
+    val winFace = SparkEntry.queries("st07_stream_funnel")(spark, sfDir)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.getTimestamp(2)).map(_.getTime),
+        Option(r.getTimestamp(3)).map(_.getTime),
+        Option(r.getTimestamp(4)).map(_.getTime)))
+      .sortBy(_._1)
+    val foldFace = Streams.funnelState(
+        Tables(spark, sfDir, "events")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+            col("event_type"))
+          .as[Streams.FunnelEvent])
+      .collect().toSeq
+      .map(u => (u.user_id, u.stage, u.t1.map(_.getTime),
+        u.t2.map(_.getTime), u.t3.map(_.getTime)))
+      .sortBy(_._1)
+    assert(winFace.size === foldFace.size)
+    assert(winFace === foldFace)
+  }
+
   test("sessionizeNative (session_window) equals explicit-state sessionize " +
        "on the real events table") {
     val base = Tables(spark, sfDir, "events")
