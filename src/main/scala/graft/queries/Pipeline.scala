@@ -2491,9 +2491,15 @@ object Pipeline {
           .withColumn("seg", sum("ns").over(wCum))
           .groupBy("user_id", "seg")
           .agg((min(col("b")) - 5).as("w_lo"), max(col("b")).as("w_hi"))
-        intervals.select(col("w_lo").as("w"), lit(1L).as("d"))
-          .unionByName(
-            intervals.select((col("w_hi") + 1).as("w"), lit(-1L).as("d")))
+        // both sweep endpoints leave ONE read of the intervals subtree
+        // (a 2-element explode) — the earlier self-union's branches
+        // each re-computed the distinct+sessionize subtree (the q63
+        // duplicate-subtree trap; AbR16 at sf10: 1.76 → 1.19 s median)
+        intervals
+          .select(explode(array(
+            struct(col("w_lo").as("w"), lit(1L).as("d")),
+            struct((col("w_hi") + 1).as("w"), lit(-1L).as("d")))).as("e"))
+          .select(col("e.w").as("w"), col("e.d").as("d"))
           .groupBy("w").agg(sum("d").as("d"))
           .withColumn("n_users", sum("d").over(
             wW.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
