@@ -399,12 +399,18 @@ object Similarity {
     // in the copy count of replicated content — so at scale the cap
     // is the gate, not an option (the s05 argument). The hot-list agg
     // is map-side-combined over ≤ bands·2^(nBits/bands) keys — no
-    // per-row window sort.
+    // per-row window sort. With the cap, banded0 feeds the hot agg
+    // AND both anti-joined self-join sides, whose exchanges differ —
+    // ReuseExchange can't dedup them, so unstaged the corpus scan +
+    // hyperplane signature ran up to 4× (round-15 ADVICE). Stage the
+    // narrow (id, band, bkey) frame; autoFree returns the blocks
+    // after the consuming action.
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val hot = banded0.groupBy("band", "bkey")
+      val staged = Staged.autoFree(banded0)
+      val hot = staged.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
-      banded0.join(hot, Seq("band", "bkey"), "left_anti")
+      staged.join(hot, Seq("band", "bkey"), "left_anti")
     }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -487,11 +493,16 @@ object Similarity {
     // the sf10 gate spilled past a 65 GB temp disk). Capped, a vector
     // in a dropped bucket still pairs through its other bands; only
     // degenerate near-dup GROUPS larger than the cap lose edges.
+    // Staged like nearDupPairs: capped, banded0 feeds the hot agg and
+    // both self-join sides with differing exchanges (no reuse) — the
+    // staging collapses up to 4 signature computes to one, and
+    // autoFree returns the blocks after the consuming action.
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val hot = banded0.groupBy("band", "bkey")
+      val staged = Staged.autoFree(banded0)
+      val hot = staged.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
-      banded0.join(hot, Seq("band", "bkey"), "left_anti")
+      staged.join(hot, Seq("band", "bkey"), "left_anti")
     }
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
