@@ -2913,23 +2913,36 @@ object Pipeline {
             col("m_end"), col("n_merged"))
           .orderBy("o_custkey", "m_start")
       },
+      // The oracle's ORDER BY is TOTAL (s, e, o_orderkey): ng is
+      // tie-order-SENSITIVE row data computed in one window pass and
+      // consumed by a second — with duplicate (s, e) intervals and a
+      // non-total order, DuckDB's two passes may sort ties
+      // differently and the running sum then groups against the
+      // wrong ng placement (first seen at sf100 density: row counts
+      // matched, 26 group spans split differently). Spark needs no
+      // tiebreak: both frames share one window spec, so ONE Window
+      // operator evaluates them over a single sort, and the merged
+      // result is tie-permutation-invariant under any consistent
+      // order. The total order does not change the oracle's result —
+      // it forces DuckDB's two passes to BE consistent.
       Some("""WITH iv AS (
-                SELECT o_custkey,
+                SELECT o_custkey, o_orderkey,
                        CAST(CAST(o_orderdate AS DATE)
                             - DATE '1992-01-01' AS BIGINT) AS s,
                        CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
                             + o_orderkey % 30 AS BIGINT) AS e
                 FROM orders),
               g AS (
-                SELECT o_custkey, s, e,
+                SELECT o_custkey, o_orderkey, s, e,
                        CASE WHEN max(e) OVER w IS NULL
                               OR s > max(e) OVER w THEN 1 ELSE 0 END AS ng
                 FROM iv
-                WINDOW w AS (PARTITION BY o_custkey ORDER BY s, e
+                WINDOW w AS (PARTITION BY o_custkey
+                  ORDER BY s, e, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
               gg AS (
                 SELECT *, SUM(ng) OVER (PARTITION BY o_custkey
-                  ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+                  ORDER BY s, e, o_orderkey ROWS UNBOUNDED PRECEDING) AS grp
                 FROM g)
               SELECT o_custkey, MIN(s) AS m_start, MAX(e) AS m_end,
                      CAST(COUNT(*) AS BIGINT) AS n_merged
