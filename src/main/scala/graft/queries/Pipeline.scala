@@ -4061,21 +4061,31 @@ object Pipeline {
     // -- gap sessionization (batch face of the streaming operator) ---------
     // session_window boundary: an event at exactly last+gap starts a NEW
     // session (windows are [start, last+gap)), hence `<` in the oracle.
+    // The oracle's window order is TOTAL via event_id (the q73 lesson):
+    // second-truncated t has duplicates, is_new is tie-order-SENSITIVE
+    // pass-1 data, and the running SUM re-sorts in a second pass —
+    // without a unique trailing key DuckDB's two passes may order ties
+    // differently and mis-attach tied rows to the previous session.
+    // The Spark side (session_window aggregation) is set-based and
+    // needs no tiebreak; the total order cannot change the result.
     Q("q33_sessionize",
       (s, d) => graft.streaming.Streams.sessionizeNative(
           t(s, d, "events")
             .select(col("user_id"), date_trunc("second", col("ts")).as("ts")),
           gap = "1 hour")
         .orderBy("user_id", "s_start"),
-      Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS t FROM events),
-                   m AS (SELECT user_id, t,
-                           CASE WHEN t < lag(t) OVER (PARTITION BY user_id ORDER BY t)
+      Some("""WITH e AS (SELECT user_id, event_id,
+                                date_trunc('second', ts) AS t FROM events),
+                   m AS (SELECT user_id, event_id, t,
+                           CASE WHEN t < lag(t) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id)
                                       + INTERVAL 1 HOUR
                                 THEN 0 ELSE 1 END AS is_new
                          FROM e),
                    g AS (SELECT user_id, t,
-                           SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
-                                             ROWS UNBOUNDED PRECEDING) AS sid
+                           SUM(is_new) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
                          FROM m)
               SELECT user_id, MIN(t) AS s_start, MAX(t) AS s_end,
                      COUNT(*) AS n_events
