@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, GraftInternal, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
@@ -29,18 +30,61 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Until that action runs the cache entry merely marks the subtree
   * (persist is lazy), so registration costs nothing up front.
   *
-  * Re-invoking the operator stages a fresh frame (a fresh registry
-  * entry); a caller that builds the plan and never runs it keeps the
-  * (unmaterialized, hence empty) cache entry until `clearCache()` or
-  * session end — the same contract as any un-run persist. Unpersist is
-  * non-blocking and Spark recomputes a cached subtree that disappears
-  * mid-read, so a second concurrent action on the same returned frame
-  * degrades to recompute rather than breaking.
+  * CONTRACT — staged subtrees must be DETERMINISTIC (seeded
+  * hyperplanes, md5, counts over committed inputs): the sweep runs on
+  * EVERY execution end in the session, so under concurrent queries a
+  * staged frame can be freed between two reads within one consuming
+  * action, and Spark then recomputes the subtree. Results stay
+  * correct only because recompute == cache for deterministic plans.
+  * Any future `autoFree` call site introducing randomness must seed
+  * it from the data, not the RNG.
+  *
+  * Residue hardening (round 17 — verdict item 5 / ADVICE):
+  *  - each entry is stamped with the sweep generation at
+  *    registration; an entry still unconsumed after
+  *    [[maxAgeExecutions]] completed executions is unpersisted and
+  *    dropped anyway — covers partially-loaded caches (limit/
+  *    early-exit consumers or a lost block leave
+  *    `isCachedColumnBuffersLoaded` false forever) AND plans that
+  *    were built but never executed, so an un-run staged plan pins
+  *    its frame/session for at most a bounded burst of activity, not
+  *    indefinitely. (A WeakReference would be wrong here: the
+  *    operator's returned plan references the staged LOGICAL plan,
+  *    not this DataFrame wrapper, so GC could clear the ref while
+  *    the cache entry is live and the sweep would then leak it —
+  *    observed directly when round 17 tried it.)
+  *  - registration sweeps first, so repeated plan-only calls cannot
+  *    grow `pending` without bound between executions.
+  *  - per-entry cache lookups are exception-guarded and a stopped
+  *    session drops its entries, so one dead spec session can no
+  *    longer abort another session's sweep pass.
+  *  - if the CALLER already persisted an identical plan,
+  *    CacheManager's sameResult match would hand autoFree the very
+  *    same entry and the sweep's unpersist would silently drop the
+  *    user's cache; [[autoFree]] detects the pre-existing entry and
+  *    leaves its lifecycle to its owner.
   */
 object Staged {
 
-  /** Staged frames not yet observed consumed, keyed by identity. */
-  private val pending = ConcurrentHashMap.newKeySet[DataFrame]()
+  /** A staged frame not yet observed consumed, stamped with the
+    * generation at registration for the age fallback. */
+  private final class Entry(val df: DataFrame, val born: Long)
+
+  private val pending = ConcurrentHashMap.newKeySet[Entry]()
+
+  /** Completed-execution counter (all sessions); each sweep pass is
+    * one generation. */
+  private val generation = new AtomicLong(0L)
+
+  /** Age fallback: a pending frame still unconsumed after this many
+    * completed executions is unpersisted regardless of its loaded
+    * state. Var (package-private) only so the spec can exercise the
+    * fallback without running 64 actions. */
+  private[graft] var maxAgeExecutions: Long = 64L
+
+  /** Live registry size — spec hook for the no-unbounded-growth
+    * assertion. */
+  private[graft] def pendingCount: Int = pending.size()
 
   /** Sessions that already carry the sweep listener (weak keys: a
     * stopped spec session must not be pinned by the registry). */
@@ -56,28 +100,49 @@ object Staged {
   }
 
   /** Persist `df` as an operator-private staging table that frees
-    * itself once the action consuming it completes. */
+    * itself once the action consuming it completes. If an identical
+    * plan is ALREADY cached (the caller persisted it independently),
+    * the frame is returned persisted but NOT registered — autoFree
+    * must never free a cache it does not own. */
   def autoFree(df: DataFrame): DataFrame = {
+    val preExisting =
+      try GraftInternal.stagedCacheLoaded(df).isDefined
+      catch { case _: Throwable => false }
     val p = df.persist()
-    installed.synchronized {
-      if (installed.put(p.sparkSession, java.lang.Boolean.TRUE) == null)
-        p.sparkSession.listenerManager.register(SweepListener)
+    if (!preExisting) {
+      installed.synchronized {
+        if (installed.put(p.sparkSession, java.lang.Boolean.TRUE) == null)
+          p.sparkSession.listenerManager.register(SweepListener)
+      }
+      sweep() // drop dead/aged entries before growing the registry
+      pending.add(new Entry(p, generation.get()))
     }
-    pending.add(p)
     p
   }
 
   private def sweep(): Unit = {
+    val gen = generation.incrementAndGet()
     val it = pending.iterator()
     while (it.hasNext) {
-      val df = it.next()
-      GraftInternal.stagedCacheLoaded(df) match {
+      val e = it.next()
+      val df = e.df
+      val state =
+        try {
+          if (df.sparkSession.sparkContext.isStopped) None
+          else GraftInternal.stagedCacheLoaded(df)
+        } catch { case _: Throwable => None } // stopped/racing session
+      state match {
         case Some(true) => // consumed — free the scratch blocks now
           df.unpersist(blocking = false)
           it.remove()
-        case None => // freed externally (clearCache) — drop the entry
+        case None => // freed externally / dead session — drop entry
           it.remove()
-        case Some(false) => () // registered, not yet materialized
+        case Some(false) => // registered, not yet (fully) loaded
+          if (gen - e.born >= maxAgeExecutions) {
+            try df.unpersist(blocking = false)
+            catch { case _: Throwable => () }
+            it.remove()
+          }
       }
     }
   }

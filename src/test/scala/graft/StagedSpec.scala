@@ -48,4 +48,45 @@ class StagedSpec extends TestSpark {
     GraftInternal.waitForListeners(spark)
     assert(a === b)
   }
+
+  test("build-but-never-run staged plans do not grow the registry " +
+       "without bound (age fallback reclaims them within " +
+       "maxAgeExecutions completed executions)") {
+    import org.apache.spark.sql.functions._
+    val saved = graft.operators.Staged.maxAgeExecutions
+    graft.operators.Staged.maxAgeExecutions = 2L
+    try {
+      val before = graft.operators.Staged.pendingCount
+      // Stage three plans and never run them — the un-run-residue path.
+      (1 to 3).foreach { i =>
+        graft.operators.Staged.autoFree(
+          spark.range(100 + i).toDF("v").groupBy(col("v") % 7).count())
+      }
+      assert(graft.operators.Staged.pendingCount >= before)
+      // A handful of unrelated completed executions must age them out.
+      (1 to 4).foreach { _ =>
+        spark.range(10).toDF("x").write.format("noop").mode("overwrite").save()
+        GraftInternal.waitForListeners(spark)
+      }
+      assert(graft.operators.Staged.pendingCount <= before,
+        "aged un-run staged entries must be reclaimed by the sweep")
+    } finally graft.operators.Staged.maxAgeExecutions = saved
+  }
+
+  test("autoFree on a plan the USER already cached leaves the user's " +
+       "cache alive (sameResult CacheManager entry is not stolen)") {
+    val user = spark.range(1000).toDF("v").persist()
+    try {
+      user.count() // materialize the user's cache
+      val again = graft.operators.Staged.autoFree(spark.range(1000).toDF("v"))
+      again.write.format("noop").mode("overwrite").save()
+      GraftInternal.waitForListeners(spark)
+      // run one more action so the sweep definitely fired after the
+      // staged consumer completed
+      spark.range(5).toDF("y").write.format("noop").mode("overwrite").save()
+      GraftInternal.waitForListeners(spark)
+      assert(user.storageLevel.useMemory,
+        "autoFree must not unpersist a pre-existing user cache")
+    } finally user.unpersist()
+  }
 }

@@ -9,7 +9,9 @@
 # Usage: tools/bench_isolated.sh <sf_dir> <out.json> [iters] [q ...]
 set -euo pipefail
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-SF="${1:?sf dir}"; OUT="${2:?out json}"; ITERS="${3:-5}"; shift 3 || true
+SF="${1:?sf dir}"; OUT="${2:?out json}"; ITERS="${3:-5}"
+shift $(( $# < 3 ? $# : 3 ))   # shift only what exists: 2-arg calls must
+                               # fall through to the default query list
 QUERIES=("$@")
 if [ ${#QUERIES[@]} -eq 0 ]; then
   # default: every query in the committed sf10 artifact
