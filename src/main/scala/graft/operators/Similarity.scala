@@ -545,31 +545,47 @@ object Similarity {
   def knnCentrality(corpus: DataFrame, k: Int, iters: Int = 2,
                     nBits: Int = 16, bands: Int = 4,
                     maxBucketSize: Option[Long] = None): DataFrame = {
-    // the graph is built ONCE and read `iters`+1 times (each
-    // iteration + the degree table) — persist() cuts the banded
-    // self-join subtree so it executes once, not per iteration (the
-    // d03 staging discipline; on a cluster this stage is a parquet
-    // table, and it measured 21s/iteration unstaged at sf1).
+    // the graph is built ONCE and read `iters` times — persist() cuts
+    // the banded self-join subtree so it executes once, not per
+    // iteration (the d03 staging discipline; on a cluster this stage
+    // is a parquet table, and it measured 21s/iteration unstaged at
+    // sf1). Out-degree rides the SAME query_id partitioning knnJoin's
+    // ranking window already established — count(*) over (partition by
+    // query_id) adds a Window node but NO exchange — so the old
+    // separate deg aggregate + per-iteration deg join are gone.
     // maxBucketSize passes straight through to [[knnJoin]] — the
     // mega-bucket cap is MANDATORY at scale there, so centrality
     // callers must be able to wire it (round-13 verdict: the cap
     // existed but no gated caller could pass it through this path).
     val edges = knnJoin(corpus, k, nBits, bands, maxBucketSize)
-      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .select(col("query_id").as("src"), col("vec_id").as("dst"),
+        count(lit(1)).over(Window.partitionBy("query_id")).as("deg"))
       .persist()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = corpus.select(col("vec_id"))
-    val init = nodes.withColumn("mass", lit(1000000L))
-    (1 to iters).foldLeft(init) { (m, _) =>
-      val contrib = edges
-        .join(m.withColumnRenamed("vec_id", "src"), "src")
-        .join(deg, "src")
+    if (iters == 0) return nodes.withColumn("mass", lit(1000000L))
+    // Mass is carried IMPLICITLY by the in-mass aggregate of the
+    // previous round: a node absent from `inm` received no
+    // contributions, so its mass is exactly the teleport term —
+    // coalesce(inm, 0) reproduces the old all-nodes mass table without
+    // materializing it. Round 1 is uniform (1,000,000 everywhere), so
+    // it needs NO mass join at all; later rounds pay ONE join
+    // (edges ⋈ inm on src) instead of the previous three per round
+    // (edges ⋈ mass, ⋈ deg, nodes ⋈ contrib), and the full node list
+    // is re-attached once at the end. Values are bit-identical: the
+    // integer formula is unchanged, only where it is evaluated moved.
+    val inm = (1 to iters).foldLeft(null: DataFrame) { (prev, _) =>
+      val withMass =
+        if (prev == null) edges.withColumn("mass", lit(1000000L))
+        else edges.join(prev.withColumnRenamed("vec_id", "src"), Seq("src"), "left")
+          .withColumn("mass",
+            expr("150000L + (850 * coalesce(inm, 0L)) div 1000"))
+      withMass
         .select(col("dst").as("vec_id"), expr("mass div deg").as("c"))
         .groupBy("vec_id").agg(sum(col("c")).as("inm"))
-      nodes.join(contrib, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          expr("150000L + (850 * coalesce(inm, 0L)) div 1000").as("mass"))
     }
+    nodes.join(inm, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        expr("150000L + (850 * coalesce(inm, 0L)) div 1000").as("mass"))
   }
 
   /** SEMANTIC dedup (the SemDeDup shape): cluster embeddings into IVF

@@ -130,16 +130,30 @@ object TextAnalysis {
     * pass runs, so it is not double-reported. Order is part of the
     * contract (the oracle replicates it).
     *
+    * Match counts are DERIVED from the replaced strings instead of a
+    * second regex pass per pattern (the pre-optimization shape ran
+    * regexp_extract_all + regexp_replace = 6 regex scans; this runs
+    * the 3 replaces plus cheap substring-occurrence counts):
+    * n = occurrences(token, after) − occurrences(token, before).
+    * Sound because no pattern can match text containing its own token
+    * ('[' and ']' are outside every pattern's character set, so a
+    * match never contains or removes a token) and no token overlaps
+    * itself (no proper prefix equals a suffix), so each replacement
+    * adds EXACTLY one occurrence. Measured −14% on t11 at sf0.1
+    * (min 1.32 → 1.13 s, interleaved same-JVM A/B), identical rows.
+    *
     * Returns struct(n_emails, n_ips, n_phones, redacted). */
   def redactPii(text: Column): Column = {
-    val nEmails = size(regexp_extract_all(text, lit(piiEmailRe), lit(0))).cast("long")
+    def cnt(s: Column, tok: String): Column =
+      ((length(s) - length(replace(s, lit(tok), lit("")))) / tok.length)
+        .cast("long")
     val t1 = regexp_replace(text, piiEmailRe, "[EMAIL]")
-    val nIps = size(regexp_extract_all(t1, lit(piiIpRe), lit(0))).cast("long")
     val t2 = regexp_replace(t1, piiIpRe, "[IP]")
-    val nPhones = size(regexp_extract_all(t2, lit(piiPhoneRe), lit(0))).cast("long")
     val t3 = regexp_replace(t2, piiPhoneRe, "[PHONE]")
-    struct(nEmails.as("n_emails"), nIps.as("n_ips"),
-      nPhones.as("n_phones"), t3.as("redacted"))
+    struct((cnt(t1, "[EMAIL]") - cnt(text, "[EMAIL]")).as("n_emails"),
+      (cnt(t2, "[IP]") - cnt(t1, "[IP]")).as("n_ips"),
+      (cnt(t3, "[PHONE]") - cnt(t2, "[PHONE]")).as("n_phones"),
+      t3.as("redacted"))
   }
 
   /** 62-bit polynomial rolling-hash fingerprint of the normalized text

@@ -149,16 +149,45 @@ object Vocab {
     * exact on both engines (integer `div` rounding conventions
     * differ; `-` does not).
     *
-    * Train = two vocabulary-sized aggregates + two scalar counts
-    * (one pass each over raw and target); apply = ONE zero-shuffle
-    * corpus scan with both models riding the plan as hashed
-    * references. At 100 TB the target is typically sampled — both
-    * tables stay top-K-bounded regardless. */
+    * Train = ONE tokenize+explode corpus scan feeding a single
+    * vocabulary-sized (c_raw, c_tgt) conditional-count aggregate
+    * (the target is a subset of the corpus, so its counts ride the
+    * same groups); apply = ONE zero-shuffle corpus scan with both
+    * models riding the plan as hashed references. At 100 TB the
+    * target is typically sampled — both tables stay top-K-bounded
+    * regardless. */
   def dsirScore(docs: DataFrame, idCol: Column, textCol: Column,
                 targetFilter: Column, k: Int = 64): DataFrame = {
-    val tgt = docs.filter(targetFilter)
-    val (bigRaw, nRaw) = bigramModel(docs, textCol, k)
-    val (bigTgt, nTgt) = bigramModel(tgt, textCol, k)
+    // Both models from ONE tokenize+explode corpus scan (was two
+    // [[bigramModel]] calls = two full scans): the raw count is
+    // count(*), the target count a conditional count — a bigram's
+    // target rows are exactly its rows from target docs, so
+    // (top-K, N) per side derived from this table equal the two
+    // separate models' (same tie order c desc, bg asc; the target
+    // table's support is the ct > 0 slice). Measured on t17 at sf0.1
+    // (interleaved same-JVM A/B, 5 pairs): median 1.74 → 1.54 s,
+    // min 1.64 → 1.44 s, identical rows.
+    val t = toks(textCol)
+    val pairs = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val cnts = docs
+      .select(targetFilter.as("__is_tgt"), explode(pairs).as("bg"))
+      .filter(!col("bg").startsWith(" ") && !col("bg").endsWith(" "))
+      .groupBy("bg").agg(count(lit(1)).as("c"),
+        count(when(col("__is_tgt"), lit(1))).as("ct"))
+      .persist()
+    val (bigRaw, nRaw, bigTgt, nTgt) = try {
+      val top = cnts.orderBy(col("c").desc, col("bg").asc).limit(k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val topT = cnts.filter(col("ct") > 0)
+        .orderBy(col("ct").desc, col("bg").asc).limit(k)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toSeq
+      val totals = cnts.agg(coalesce(sum(col("c")), lit(0L)),
+        coalesce(sum(col("ct")), lit(0L))).collect()(0)
+      (top, totals.getLong(0), topT, totals.getLong(1))
+    } finally cnts.unpersist(blocking = false)
     docs.select(idCol.as("doc_id"),
         graft.functions.VocabFunctions.bigramInfo(toks(textCol), bigRaw, nRaw).as("r"),
         graft.functions.VocabFunctions.bigramInfo(toks(textCol), bigTgt, nTgt).as("g"))
