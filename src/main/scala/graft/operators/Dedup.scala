@@ -218,16 +218,23 @@ object Dedup {
     // reads the signatures instead of recomputing them per side (the
     // 100 TB equivalent is staging signatures to a parquet table).
     val hExpr = hashedShingles(text)
-    // One persisted stage holds (h, sig); the band keys and the join
-    // both read it from storage instead of re-deriving signatures (the
-    // 100 TB equivalent is staging signatures to a parquet table).
+    // One EAGERLY checkpointed stage holds (h, sig); the band keys and
+    // the join read it from storage instead of re-deriving signatures
+    // (the 100 TB equivalent is staging signatures to a parquet
+    // table). Eager localCheckpoint, not a lazy persist: the band
+    // self-join's two map stages and the two verify-side joins all hit
+    // a COLD cache under the first action (the kmvSetOps race) —
+    // measured on d03 at sf0.1 (interleaved same-JVM A/B, identical
+    // rows): lazy 1.60 med / 1.38 min s vs eager 1.30 / 1.26. The one
+    // build job IS the pipeline's signature pass; downstream stages
+    // read flat blocks. Staged.cleanup frees checkpoint blocks too.
     val sigs = df
       .select(id.as("id"), hExpr.as("h"))
       .filter(size(col("h")) > 0)
       .select(col("id"), col("h"),
         graft.functions.MinHashFunctions
           .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig"))
-      .persist()
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       val bandSig = concat_ws("_",
         (0 until rowsPerBand).map(r =>
@@ -321,9 +328,17 @@ object Dedup {
   def connectedComponentsStaged(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIters: Int = 20): Staged = {
-    // eager: materialized once, read every round as a flat LogicalRDD
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionAll(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // eager: materialized once, read every round as a flat LogicalRDD.
+    // Both edge directions come from ONE explode, not a self-union —
+    // the union's second branch re-ran the whole pair-mining subtree
+    // (band self-join + exact verify under d07/d10, the hamming join
+    // under m06) inside the checkpoint job; explode(array) emits the
+    // same two rows per pair in a single pass over `pairs`.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val freeRdd = org.apache.spark.sql.GraftInternal.unpersistBackingRdd _
     var labels = edges.select(col("src").as("id")).distinct()
@@ -601,13 +616,18 @@ object Dedup {
       .unionAll(b2.select(
         (checkedId(batchId.cast("long"), "batch") + FLAG).as("kid"),
         batchText.as("ktext")))
+    // eager checkpoint for the same reason as [[minhashLshPairsStaged]]'s
+    // signature stage: the downstream band/verify stages read it from
+    // several independent map stages, and a cold lazy cache loses the
+    // race (measured there: −19% med). Materializing here also lands
+    // b2's persisted cache in the same clean build job.
     val sigs = keyed
       .select(col("kid").as("id"), hashedShingles(col("ktext")).as("h"))
       .filter(size(col("h")) > 0)
       .select(col("id"), col("h"),
         graft.functions.MinHashFunctions
           .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig"))
-      .persist()
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       val bandSig = concat_ws("_",
         (0 until rowsPerBand).map(r =>

@@ -402,11 +402,14 @@ object Similarity {
     // per-row window sort. With the cap, banded0 feeds the hot agg
     // AND both anti-joined self-join sides, whose exchanges differ —
     // ReuseExchange can't dedup them, so unstaged the corpus scan +
-    // hyperplane signature ran up to 4× (round-15 ADVICE). Stage the
-    // narrow (id, band, bkey) frame; autoFree returns the blocks
-    // after the consuming action.
+    // hyperplane signature ran up to 4× (round-15 ADVICE). EAGER
+    // localCheckpoint rather than a lazy persist (round-17): the hot
+    // agg and the anti-join's left map stage race on the cold cache
+    // (A/B'd under s05's knnJoin twin: −6% med, identical rows);
+    // blocks are reaped by the caller's cache discipline /
+    // ContextCleaner, the signature-stage precedent.
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val staged = Staged.autoFree(banded0)
+      val staged = banded0.localCheckpoint(true)
       val hot = staged.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
@@ -495,10 +498,14 @@ object Similarity {
     // degenerate near-dup GROUPS larger than the cap lose edges.
     // Staged like nearDupPairs: capped, banded0 feeds the hot agg and
     // both self-join sides with differing exchanges (no reuse) — the
-    // staging collapses up to 4 signature computes to one, and
-    // autoFree returns the blocks after the consuming action.
+    // staging collapses up to 4 signature computes to one. EAGER
+    // localCheckpoint rather than a lazy persist: the hot agg and the
+    // anti-join's left map stage race on the cold cache (round-17 A/B,
+    // identical rows: lazy 1.35 med / 1.24 min s vs eager 1.26 / 1.19
+    // at sf0.1 under s05). Blocks are reaped by the caller's cache
+    // discipline / ContextCleaner, the signature-stage precedent.
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val staged = Staged.autoFree(banded0)
+      val staged = banded0.localCheckpoint(true)
       val hot = staged.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
@@ -515,10 +522,19 @@ object Similarity {
       .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
       .select(col("id_a"), col("id_b"),
         cosine(col("va.embedding"), col("vb.embedding")).as("cos"))
+    // both directions via ONE explode, not a self-union: the union's
+    // second branch re-ran the whole candidate-mining + vector-fetch +
+    // cosine subtree (ReuseExchange dedups only the exchanges below
+    // it — the final joins and the cosine evaluated twice, visible as
+    // two full branches under the plan's Union node). explode(array)
+    // emits the same two rows per scored pair in a single pass.
     val both = scored
-      .select(col("id_a").as("query_id"), col("id_b").as("vec_id"), col("cos"))
-      .union(scored
-        .select(col("id_b").as("query_id"), col("id_a").as("vec_id"), col("cos")))
+      .select(explode(array(
+        struct(col("id_a").as("query_id"), col("id_b").as("vec_id"), col("cos")),
+        struct(col("id_b").as("query_id"), col("id_a").as("vec_id"), col("cos"))))
+        .as("e"))
+      .select(col("e.query_id").as("query_id"), col("e.vec_id").as("vec_id"),
+        col("e.cos").as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     both.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -557,12 +573,21 @@ object Similarity {
     // mega-bucket cap is MANDATORY at scale there, so centrality
     // callers must be able to wire it (round-13 verdict: the cap
     // existed but no gated caller could pass it through this path).
+    val nodes = corpus.select(col("vec_id"))
+    if (iters == 0) return nodes.withColumn("mass", lit(1000000L))
+    // EAGER localCheckpoint, not a lazy persist: the loop's plan reads
+    // the edge list from several INDEPENDENT stages (each round's join
+    // map stage), which all hit a cold cache on the first action — the
+    // kmvSetOps race, measured here as 2.33 med / 2.16 min s lazy vs
+    // 1.76 / 1.47 eager (interleaved same-JVM A/B, sf0.1, identical
+    // rows). One clean build job materializes the graph; every round
+    // reads flat blocks and the per-round plans stay constant-size.
+    // Blocks are freed by the caller's cache discipline exactly as the
+    // kmvSetOps stage is (bench: getPersistentRDDs unpersist).
     val edges = knnJoin(corpus, k, nBits, bands, maxBucketSize)
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
         count(lit(1)).over(Window.partitionBy("query_id")).as("deg"))
-      .persist()
-    val nodes = corpus.select(col("vec_id"))
-    if (iters == 0) return nodes.withColumn("mass", lit(1000000L))
+      .localCheckpoint(true)
     // Mass is carried IMPLICITLY by the in-mass aggregate of the
     // previous round: a node absent from `inm` received no
     // contributions, so its mass is exactly the teleport term —
@@ -616,9 +641,15 @@ object Similarity {
   def semDedup(corpus: DataFrame, eps: Double, nCells: Int = 16,
                lloydIters: Int = 1): DataFrame = {
     val centroids = trainCentroids(corpus, nCells, lloydIters)
-    val cells = assignCells(corpus, centroids, 1)
+    // staged: the assigned-cells frame feeds BOTH sides of the in-cell
+    // self-join AND the anti-join's left side — unstaged, the
+    // assignment scan (nearestCells argmax over every corpus row) ran
+    // 3×, and ReuseExchange cannot dedup the differently-keyed
+    // consumers. autoFree returns the blocks after the consuming
+    // action (deterministic subtree: seeded Lloyd + argmax).
+    val cells = Staged.autoFree(assignCells(corpus, centroids, 1)
       .select(col("vec_id"), col("embedding"),
-        element_at(col("cells"), 1).as("cell_id"))
+        element_at(col("cells"), 1).as("cell_id")))
     val drops = cells.as("a").join(cells.as("b"),
         col("a.cell_id") === col("b.cell_id") &&
         col("a.vec_id") < col("b.vec_id"))

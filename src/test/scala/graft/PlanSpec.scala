@@ -197,7 +197,12 @@ class PlanSpec extends TestSpark {
 
   test("s02/d05: LSH bucketing uses the codegen'd native hyperplane signature") {
     assert(plan("s02_ann_lsh").contains("hyperplane_signature"))
-    assert(plan("d05_embed_neardup").contains("hyperplane_signature"))
+    // d05's banded stage is eagerly checkpointed since round 17 (the
+    // cold-cache race fix), so the signature runs inside the stage
+    // build job and the final plan reads its flat blocks; the native
+    // expression itself is pinned through s02's (uncheckpointed) twin
+    // above and d05's band join over the stage scan below.
+    assert(plan("d05_embed_neardup").contains("Scan ExistingRDD"))
   }
 
   test("t04: fingerprint uses the codegen'd native rolling hash") {
@@ -420,12 +425,16 @@ class PlanSpec extends TestSpark {
   }
 
   test("s06: the kNN edge list materializes ONCE — every PageRank " +
-       "iteration and the degree table read the same cached stage") {
+       "iteration reads the same eagerly checkpointed stage") {
     val p = plan("s06_knn_centrality")
-    // deg + 2 iterations = at least 3 reads of the persisted edges;
-    // unstaged, each would re-run the banded self-join (measured 43s
-    // vs 17-29s at sf1)
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    // round-17: the edge stage is an EAGER localCheckpoint (the lazy
+    // persist lost the cold-cache race between the loop's independent
+    // map stages — A/B'd at 2.33 med lazy vs 1.76 eager, sf0.1), so
+    // the final plan reads flat ExistingRDD blocks and contains NO
+    // banded self-join at all; unstaged, each iteration would re-run
+    // it (measured 43s vs 17-29s at sf1).
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("hyperplane_signature"), p)
   }
 
   test("m09: the signature self-join shuffles 3-long rows — the binary " +
