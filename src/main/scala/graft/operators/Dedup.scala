@@ -218,23 +218,25 @@ object Dedup {
     // reads the signatures instead of recomputing them per side (the
     // 100 TB equivalent is staging signatures to a parquet table).
     val hExpr = hashedShingles(text)
-    // One EAGERLY checkpointed stage holds (h, sig); the band keys and
+    // One EAGERLY materialized stage holds (h, sig); the band keys and
     // the join read it from storage instead of re-deriving signatures
     // (the 100 TB equivalent is staging signatures to a parquet
-    // table). Eager localCheckpoint, not a lazy persist: the band
+    // table). Eager (autoFreeEager), not a lazy persist: the band
     // self-join's two map stages and the two verify-side joins all hit
     // a COLD cache under the first action (the kmvSetOps race) —
     // measured on d03 at sf0.1 (interleaved same-JVM A/B, identical
     // rows): lazy 1.60 med / 1.38 min s vs eager 1.30 / 1.26. The one
     // build job IS the pipeline's signature pass; downstream stages
-    // read flat blocks. Staged.cleanup frees checkpoint blocks too.
-    val sigs = df
+    // read warm blocks, and the action that consumes the returned
+    // plan frees them (the round-16 lifecycle — a REPL loop no longer
+    // accumulates signature caches either, which the old plain
+    // persist() did until clearCache).
+    val sigs = graft.operators.Staged.autoFreeEager(df
       .select(id.as("id"), hExpr.as("h"))
       .filter(size(col("h")) > 0)
       .select(col("id"), col("h"),
         graft.functions.MinHashFunctions
-          .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig"))
-      .localCheckpoint(true)
+          .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig")))
     val bandCols = (0 until bands).map { b =>
       val bandSig = concat_ws("_",
         (0 until rowsPerBand).map(r =>
@@ -616,18 +618,18 @@ object Dedup {
       .unionAll(b2.select(
         (checkedId(batchId.cast("long"), "batch") + FLAG).as("kid"),
         batchText.as("ktext")))
-    // eager checkpoint for the same reason as [[minhashLshPairsStaged]]'s
-    // signature stage: the downstream band/verify stages read it from
-    // several independent map stages, and a cold lazy cache loses the
-    // race (measured there: −19% med). Materializing here also lands
-    // b2's persisted cache in the same clean build job.
-    val sigs = keyed
+    // eager materialization (autoFreeEager) for the same reason as
+    // [[minhashLshPairsStaged]]'s signature stage: the downstream
+    // band/verify stages read it from several independent map stages,
+    // and a cold lazy cache loses the race (measured there: −19%
+    // med). Materializing here also lands b2's persisted cache in the
+    // same clean build job.
+    val sigs = graft.operators.Staged.autoFreeEager(keyed
       .select(col("kid").as("id"), hashedShingles(col("ktext")).as("h"))
       .filter(size(col("h")) > 0)
       .select(col("id"), col("h"),
         graft.functions.MinHashFunctions
-          .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig"))
-      .localCheckpoint(true)
+          .minhashSig(col("h"), bands * rowsPerBand, seed).as("sig")))
     val bandCols = (0 until bands).map { b =>
       val bandSig = concat_ws("_",
         (0 until rowsPerBand).map(r =>

@@ -402,14 +402,14 @@ object Similarity {
     // per-row window sort. With the cap, banded0 feeds the hot agg
     // AND both anti-joined self-join sides, whose exchanges differ —
     // ReuseExchange can't dedup them, so unstaged the corpus scan +
-    // hyperplane signature ran up to 4× (round-15 ADVICE). EAGER
-    // localCheckpoint rather than a lazy persist (round-17): the hot
-    // agg and the anti-join's left map stage race on the cold cache
-    // (A/B'd under s05's knnJoin twin: −6% med, identical rows);
-    // blocks are reaped by the caller's cache discipline /
-    // ContextCleaner, the signature-stage precedent.
+    // hyperplane signature ran up to 4× (round-15 ADVICE). EAGERLY
+    // materialized (autoFreeEager, round-17): the hot agg and the
+    // anti-join's left map stage race on the cold lazy cache (A/B'd
+    // under s05's knnJoin twin: −6% med, identical rows); the
+    // round-16 lifecycle holds — the consuming action's end frees
+    // the blocks.
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val staged = banded0.localCheckpoint(true)
+      val staged = Staged.autoFreeEager(banded0)
       val hot = staged.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
@@ -498,14 +498,14 @@ object Similarity {
     // degenerate near-dup GROUPS larger than the cap lose edges.
     // Staged like nearDupPairs: capped, banded0 feeds the hot agg and
     // both self-join sides with differing exchanges (no reuse) — the
-    // staging collapses up to 4 signature computes to one. EAGER
-    // localCheckpoint rather than a lazy persist: the hot agg and the
-    // anti-join's left map stage race on the cold cache (round-17 A/B,
+    // staging collapses up to 4 signature computes to one. EAGERLY
+    // materialized (autoFreeEager): the hot agg and the anti-join's
+    // left map stage race on the cold lazy cache (round-17 A/B,
     // identical rows: lazy 1.35 med / 1.24 min s vs eager 1.26 / 1.19
-    // at sf0.1 under s05). Blocks are reaped by the caller's cache
-    // discipline / ContextCleaner, the signature-stage precedent.
+    // at sf0.1); the consuming action's end frees the blocks (the
+    // round-16 lifecycle).
     val banded = maxBucketSize.fold(banded0) { cap =>
-      val staged = banded0.localCheckpoint(true)
+      val staged = Staged.autoFreeEager(banded0)
       val hot = staged.groupBy("band", "bkey")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
         .select("band", "bkey")
@@ -575,15 +575,17 @@ object Similarity {
     // existed but no gated caller could pass it through this path).
     val nodes = corpus.select(col("vec_id"))
     if (iters == 0) return nodes.withColumn("mass", lit(1000000L))
-    // EAGER localCheckpoint, not a lazy persist: the loop's plan reads
-    // the edge list from several INDEPENDENT stages (each round's join
-    // map stage), which all hit a cold cache on the first action — the
-    // kmvSetOps race, measured here as 2.33 med / 2.16 min s lazy vs
-    // 1.76 / 1.47 eager (interleaved same-JVM A/B, sf0.1, identical
-    // rows). One clean build job materializes the graph; every round
-    // reads flat blocks and the per-round plans stay constant-size.
-    // Blocks are freed by the caller's cache discipline exactly as the
-    // kmvSetOps stage is (bench: getPersistentRDDs unpersist).
+    // The connectedComponents pattern (round 17): the edge list is
+    // EAGERLY checkpointed (a lazy persist is populated cold by
+    // whichever of the loop's independent map stages wins the race —
+    // A/B'd at 2.33 med / 2.16 min s lazy vs 1.76 / 1.47 eager,
+    // identical rows), the FINAL in-mass aggregate is checkpointed
+    // too (materializing every round while the graph blocks are warm
+    // — A/B'd against the cache-staged alternative at 2.88 med /
+    // 2.57 min vs 2.23 / 1.88), and the BIG stage is then freed
+    // deterministically before returning: the result plan references
+    // only the nodes-sized mass blocks, so nothing corpus-scaled
+    // outlives the call.
     val edges = knnJoin(corpus, k, nBits, bands, maxBucketSize)
       .select(col("query_id").as("src"), col("vec_id").as("dst"),
         count(lit(1)).over(Window.partitionBy("query_id")).as("deg"))
@@ -607,7 +609,10 @@ object Similarity {
       withMass
         .select(col("dst").as("vec_id"), expr("mass div deg").as("c"))
         .groupBy("vec_id").agg(sum(col("c")).as("inm"))
-    }
+    }.localCheckpoint(true)
+    // the loop is fully materialized in `inm` — free the corpus-scaled
+    // edge blocks now, inside the operator (the CC discipline)
+    org.apache.spark.sql.GraftInternal.unpersistBackingRdd(edges)
     nodes.join(inm, Seq("vec_id"), "left")
       .select(col("vec_id"),
         expr("150000L + (850 * coalesce(inm, 0L)) div 1000").as("mass"))
@@ -645,9 +650,12 @@ object Similarity {
     // self-join AND the anti-join's left side — unstaged, the
     // assignment scan (nearestCells argmax over every corpus row) ran
     // 3×, and ReuseExchange cannot dedup the differently-keyed
-    // consumers. autoFree returns the blocks after the consuming
-    // action (deterministic subtree: seeded Lloyd + argmax).
-    val cells = Staged.autoFree(assignCells(corpus, centroids, 1)
+    // consumers. EAGERLY materialized (autoFreeEager) rather than
+    // lazily: the self-join's two map stages race on the cold cache
+    // (round-17 interleaved A/B, identical rows: lazy 1.22 med / 1.01
+    // min s vs eager 1.06 / 0.94 at sf0.1); the consuming action's
+    // end frees the blocks (the round-16 lifecycle).
+    val cells = Staged.autoFreeEager(assignCells(corpus, centroids, 1)
       .select(col("vec_id"), col("embedding"),
         element_at(col("cells"), 1).as("cell_id")))
     val drops = cells.as("a").join(cells.as("b"),

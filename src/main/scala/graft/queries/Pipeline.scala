@@ -2090,11 +2090,14 @@ object Pipeline {
         // ReuseExchange can NOT dedup them because each consumer
         // pushes a different isnotnull set into its copy of the
         // subtree (round-15 plan audit: 4 FileScans, 0 reuse — the
-        // q77 lazy-derivation trap). Staged.autoFree is the d15/d19
-        // staging discipline with the round-16 lifecycle fix: the
-        // vocabulary-sized cache frees itself when the consuming
-        // action completes.
-        val cwl = graft.operators.Staged.autoFree(
+        // q77 lazy-derivation trap). EAGERLY materialized
+        // (autoFreeEager, round-17): cl/cw/n are three CONCURRENTLY-
+        // launched broadcast jobs racing on the cold lazy cache —
+        // interleaved A/B (pinned heap, identical rows): lazy 0.83
+        // med / 0.68 min s vs eager 0.52 / 0.49 at sf0.1. The
+        // consuming action's end frees the vocabulary-sized blocks as
+        // before (round-16 lifecycle).
+        val cwl = graft.operators.Staged.autoFreeEager(
           tok.groupBy("lang", "w").agg(count(lit(1)).as("c_wl")))
         val cl = cwl.groupBy("lang").agg(sum("c_wl").as("c_l"))
         val cw = cwl.groupBy("w").agg(sum("c_wl").as("c_w"))
@@ -3212,12 +3215,14 @@ object Pipeline {
         // count. Stage the ~20×-narrower (id, hash, count) projection
         // (the d15/q63 staging discipline) so the corpus text is
         // scanned and tokenized ONCE — round 15, the q71 offsets
-        // lesson applied to q53's own scans. This staging is
-        // corpus-ROW-count sized (narrow but not vocabulary-small),
-        // which is exactly why it must not outlive the action:
-        // Staged.autoFree unpersists it when the consuming action
-        // completes (round-15 ADVICE + verdict item 6).
-        val docs = graft.operators.Staged.autoFree(
+        // lesson applied to q53's own scans. EAGERLY materialized
+        // (autoFreeEager, round-17): the two branches race on the
+        // cold lazy cache — interleaved A/B (pinned heap, identical
+        // rows): lazy 0.64 med / 0.45 min s vs eager 0.54 / 0.46 at
+        // sf0.1. The corpus-row-sized (but ~20×-narrow) blocks are
+        // freed by the consuming action's end as before (round-16
+        // lifecycle — exactly the cache that must not outlive it).
+        val docs = graft.operators.Staged.autoFreeEager(
           t(s, d, "documents")
             .select(col("doc_id"), md5(col("text")).as("h"),
               TextAnalysis.tokenCount(col("text")).as("n_tokens")))

@@ -166,6 +166,35 @@ object AbR17c {
     def s06Cur(d: String): DataFrame =
       graft.SparkEntry.queries("s06_knn_centrality")(spark, d)
 
+    // the CC pattern applied to s06: edges eagerly checkpointed, the
+    // FINAL in-mass aggregate checkpointed too (materializing the
+    // whole loop), then the big edge stage freed deterministically
+    // INSIDE the operator — the result plan references only the tiny
+    // mass blocks.
+    def s06V3(d: String): DataFrame = {
+      val (corpus, cap) = s05Corpus(d)
+      val edges = graft.operators.Similarity.knnJoin(corpus, 3, 16, 4, Some(cap))
+        .select(col("query_id").as("src"), col("vec_id").as("dst"),
+          count(lit(1)).over(Window.partitionBy("query_id")).as("deg"))
+        .localCheckpoint(true)
+      val nodes = corpus.select(col("vec_id"))
+      val inm = (1 to 2).foldLeft(null: DataFrame) { (prev, _) =>
+        val withMass =
+          if (prev == null) edges.withColumn("mass", lit(1000000L))
+          else edges.join(prev.withColumnRenamed("vec_id", "src"), Seq("src"), "left")
+            .withColumn("mass",
+              expr("150000L + (850 * coalesce(inm, 0L)) div 1000"))
+        withMass
+          .select(col("dst").as("vec_id"), expr("mass div deg").as("c"))
+          .groupBy("vec_id").agg(sum(col("c")).as("inm"))
+      }.localCheckpoint(true)
+      org.apache.spark.sql.GraftInternal.unpersistBackingRdd(edges)
+      nodes.join(inm, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("150000L + (850 * coalesce(inm, 0L)) div 1000").as("mass"))
+        .orderBy("vec_id")
+    }
+
     // d03's signature stage: lazy persist (current minhashLshPairs)
     // vs eager localCheckpoint — the band self-join's two map stages
     // and the two verify-side hash joins all read the cold sigs cache
@@ -259,6 +288,112 @@ object AbR17c {
         .orderBy("query_id", "rank")
     }
 
+    // q63's vocabulary aggregate: autoFree lazy persist (current) vs
+    // eager localCheckpoint — cl/cw/n are three concurrently-launched
+    // broadcast jobs racing on the cold cwl cache.
+    def q63Cur(d: String): DataFrame =
+      graft.SparkEntry.queries("q63_mi_feature_select")(spark, d)
+    def q63Eager(d: String): DataFrame = {
+      val tok = graft.Tables(spark, d, "documents")
+        .select(col("lang"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+      val cwl = tok.groupBy("lang", "w").agg(count(lit(1)).as("c_wl"))
+        .localCheckpoint(true)
+      val cl = cwl.groupBy("lang").agg(sum("c_wl").as("c_l"))
+      val cw = cwl.groupBy("w").agg(sum("c_wl").as("c_w"))
+      val n = cwl.agg(sum("c_wl").as("n"))
+      val wRank = Window.partitionBy("lang")
+        .orderBy(col("lift_ppm").desc, col("c_wl").desc, col("w").asc)
+      cwl.join(broadcast(cl), "lang").join(broadcast(cw), "w")
+        .crossJoin(broadcast(n))
+        .filter(col("c_wl") >= 5)
+        .withColumn("lift_ppm",
+          expr("((c_wl * 1000000L) div c_w) * n div c_l"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("w").as("token"),
+          col("c_wl"), col("lift_ppm"))
+        .orderBy("lang", "rank")
+    }
+
+    // q55's assigned-cells stage: autoFree lazy persist (current) vs
+    // eager localCheckpoint — both self-join sides + the anti-join's
+    // left map stage read the cold cache. The centroid trainer is
+    // replicated from Similarity.trainCentroids (private there).
+    def embSubset(d: String): DataFrame = {
+      val full = graft.Tables(spark, d, "embeddings")
+      val m = math.max(1L, full.count() / 200000L)
+      if (m == 1L) full else full.filter(col("vec_id") % m === 0)
+    }
+    def q55Cur(d: String): DataFrame =
+      graft.SparkEntry.queries("q55_semdedup")(spark, d)
+    def q55Eager(d: String): DataFrame = {
+      val corpus = embSubset(d)
+      val nCells = 16; val eps = 0.4
+      def centsArray(cent: DataFrame): DataFrame =
+        cent.agg(transform(
+          array_sort(collect_list(struct(col("cell_id"), col("centroid")))),
+          s => s.getField("centroid")).as("cents"))
+      def assign(df: DataFrame, centsArr: DataFrame, keep: Int): DataFrame =
+        df.crossJoin(broadcast(centsArr))
+          .select(col("vec_id"), col("embedding"),
+            graft.functions.VectorFunctions
+              .nearestCells(col("embedding"), col("cents"), keep).as("cells"))
+      val seeds = corpus
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")).asc,
+          col("vec_id").asc)
+        .limit(nCells)
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          s => s.getField("embedding")).as("cents"))
+      val step1 = centsArray(assign(corpus, seeds, 1)
+        .select(element_at(col("cells"), 1).as("cell_id"),
+          posexplode(col("embedding")))
+        .groupBy("cell_id", "pos")
+        .agg((sum(col("col").cast(org.apache.spark.sql.types.DecimalType(27, 8)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid")))
+      val cells = assign(corpus, step1, 1)
+        .select(col("vec_id"), col("embedding"),
+          element_at(col("cells"), 1).as("cell_id"))
+        .localCheckpoint(true)
+      val drops = cells.as("a").join(cells.as("b"),
+          col("a.cell_id") === col("b.cell_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(Similarity.cosine(col("a.embedding"), col("b.embedding")) >= eps)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      val kept = cells.join(drops, Seq("vec_id"), "left_anti")
+      val w = Window.partitionBy("cell_id")
+      kept.withColumn("cell_rep", min(col("vec_id")).over(w))
+        .select(col("vec_id"), col("cell_rep"))
+        .orderBy("vec_id")
+    }
+
+    // q53's staged (id, hash, token-count) projection: autoFree lazy
+    // persist (current) vs eager localCheckpoint — globalRunningSum's
+    // per-bucket window branch and bucket-totals branch race on it.
+    def q53Cur(d: String): DataFrame =
+      graft.SparkEntry.queries("q53_shard_pack")(spark, d)
+    def q53Eager(d: String): DataFrame = {
+      val docs = graft.Tables(spark, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint(true)
+      graft.operators.Packing.globalRunningSum(
+          docs,
+          bucket = substring(col("h"), 1, 1),
+          ordCols = Seq(col("h"), col("doc_id")),
+          weight = col("n_tokens"),
+          outCol = "cum_tokens")
+        .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 1024"))
+        .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+        .orderBy("doc_id")
+    }
+
     val variants: Seq[(String, String => DataFrame)] = which match {
       case "s05" => Seq("old_union_both" -> s05Old _,
                         "new_explode_both" -> s05New _)
@@ -266,10 +401,18 @@ object AbR17c {
                        "new_explode_edges" -> ccNewQ _)
       case "s06edges" => Seq("cur_lazy_persist" -> s06Cur _,
                              "cand_eager_ckpt" -> s06Ckpt _)
+      case "s06v3" => Seq("cur_eager_cache" -> s06Cur _,
+                          "cand_internal_mat" -> s06V3 _)
       case "d03sigs" => Seq("cur_lazy_persist" -> d03Cur _,
                             "cand_eager_ckpt" -> d03Ckpt _)
       case "s05banded" => Seq("cur_autofree_persist" -> s05New _,
                               "cand_eager_banded" -> s05Banded _)
+      case "q63" => Seq("cur_autofree_cwl" -> q63Cur _,
+                        "cand_eager_cwl" -> q63Eager _)
+      case "q55cells" => Seq("cur_autofree_cells" -> q55Cur _,
+                             "cand_eager_cells" -> q55Eager _)
+      case "q53" => Seq("cur_autofree_docs" -> q53Cur _,
+                        "cand_eager_docs" -> q53Eager _)
       case other => sys.error(s"unknown case $other")
     }
 

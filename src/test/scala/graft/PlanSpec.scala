@@ -154,9 +154,10 @@ class PlanSpec extends TestSpark {
     assert(!p.contains("FlatMapGroupsWithState"), p)
   }
 
-  test("d15: the per-domain count aggregate is STAGED (persist) — the " +
-      "caps join and the totals row share one corpus scan instead of " +
-      "re-running it (round 15: 1.31 -> 0.97 s at sf10)") {
+  test("d15: the per-domain count aggregate is STAGED (eagerly " +
+      "materialized cache, round 17) — the caps join and the totals " +
+      "row share one corpus scan instead of re-running it " +
+      "(round 15: 1.31 -> 0.97 s at sf10)") {
     val p = plan("d15_domain_cap")
     // BOTH count consumers (caps join + totals row) read the cached
     // aggregate; the plan string also prints each InMemoryRelation's
@@ -197,12 +198,7 @@ class PlanSpec extends TestSpark {
 
   test("s02/d05: LSH bucketing uses the codegen'd native hyperplane signature") {
     assert(plan("s02_ann_lsh").contains("hyperplane_signature"))
-    // d05's banded stage is eagerly checkpointed since round 17 (the
-    // cold-cache race fix), so the signature runs inside the stage
-    // build job and the final plan reads its flat blocks; the native
-    // expression itself is pinned through s02's (uncheckpointed) twin
-    // above and d05's band join over the stage scan below.
-    assert(plan("d05_embed_neardup").contains("Scan ExistingRDD"))
+    assert(plan("d05_embed_neardup").contains("hyperplane_signature"))
   }
 
   test("t04: fingerprint uses the codegen'd native rolling hash") {
@@ -424,17 +420,20 @@ class PlanSpec extends TestSpark {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("s06: the kNN edge list materializes ONCE — every PageRank " +
-       "iteration reads the same eagerly checkpointed stage") {
+  test("s06: the kNN edge list materializes ONCE and the loop is " +
+       "fully materialized before the result plan — the final plan " +
+       "reads only the nodes-sized mass checkpoint") {
     val p = plan("s06_knn_centrality")
-    // round-17: the edge stage is an EAGER localCheckpoint (the lazy
-    // persist lost the cold-cache race between the loop's independent
-    // map stages — A/B'd at 2.33 med lazy vs 1.76 eager, sf0.1), so
-    // the final plan reads flat ExistingRDD blocks and contains NO
-    // banded self-join at all; unstaged, each iteration would re-run
-    // it (measured 43s vs 17-29s at sf1).
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p)
+    // round-17 CC-pattern staging: edges eagerly checkpointed (the
+    // lazy persist lost the cold-cache race between the loop's
+    // independent map stages — 2.33 med lazy vs 1.76 eager at sf0.1),
+    // final in-mass aggregate checkpointed, corpus-scaled edge blocks
+    // freed inside the operator. The final plan therefore contains NO
+    // banded self-join and no window — just the nodes join against
+    // the mass checkpoint scan.
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 1, p)
     assert(!p.contains("hyperplane_signature"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
   }
 
   test("m09: the signature self-join shuffles 3-long rows — the binary " +

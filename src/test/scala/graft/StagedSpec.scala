@@ -3,14 +3,17 @@ package graft
 import org.apache.spark.sql.GraftInternal
 
 /** Lifecycle of intra-operator staging caches (round-16, verdict
-  * item 6): operators that persist() a multi-consumer intermediate
-  * (d15's domain counts, q63's vocabulary table, q53's tokenized
-  * projection) must not leave persistent RDDs behind once the action
-  * that consumes them completes — a long-lived library/REPL session
+  * item 6): operators that stage a multi-consumer intermediate (d15's
+  * domain counts, q63's vocabulary table, q53's tokenized projection)
+  * must not leave persistent RDDs behind once the action that
+  * consumes them completes — a long-lived library/REPL session
   * calling them in a loop must not accumulate block-manager scratch.
-  * [[graft.operators.Staged.autoFree]] frees the cache from a
-  * QueryExecutionListener when an execution ends with the staged
-  * buffers loaded.
+  * Round 17 moved the gated sites to
+  * [[graft.operators.Staged.autoFreeEager]] (a lazy cache was
+  * populated cold by whichever consumer stage won the race — A/B'd at
+  * −13…−37 % med); the eager variant materializes the cache with its
+  * own count() action, whose sweep is absorbed by a one-sweep grace,
+  * and the consuming action's end frees the blocks exactly as before.
   */
 class StagedSpec extends TestSpark {
 
@@ -39,8 +42,26 @@ class StagedSpec extends TestSpark {
     assert(leakedBy("q53_shard_pack").isEmpty)
   }
 
-  test("autoFree staging still computes the same answer twice in a row " +
-       "in one session (recompute after free, not a stale cache)") {
+  test("autoFreeEager: the materializing count's own execution end " +
+       "does not free the stage (one-sweep grace) — the NEXT " +
+       "execution does") {
+    import org.apache.spark.sql.functions._
+    val staged = graft.operators.Staged.autoFreeEager(
+      spark.range(10000).toDF("v").groupBy(col("v") % 13).count())
+    GraftInternal.waitForListeners(spark)
+    // after the eager count + its sweep, the cache must still be live
+    // (a consumer arriving now must read warm blocks, not recompute)
+    assert(GraftInternal.stagedCacheLoaded(staged) === Some(true),
+      "stage must stay cached past its own materializing action")
+    // the consuming action's end frees it
+    staged.write.format("noop").mode("overwrite").save()
+    GraftInternal.waitForListeners(spark)
+    assert(GraftInternal.stagedCacheLoaded(staged).isEmpty,
+      "stage must be freed once the consuming action completes")
+  }
+
+  test("eagerly staged operators still compute a fresh answer twice " +
+       "in a row in one session (new stage per call, not a stale cache)") {
     val q = SparkEntry.queries("d15_domain_cap")
     val a = q(spark, sfDir).collect().map(_.toString).toSeq
     GraftInternal.waitForListeners(spark)
